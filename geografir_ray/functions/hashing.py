@@ -1,0 +1,68 @@
+"""Deterministic 64-bit hashing (no PYTHONHASHSEED dependence).
+
+Every shuffle key, dedup key, salt, and fingerprint in the engine goes
+through these so results are reproducible across workers and runs
+(SURVEY.md §7.4.5: all nondeterminism sources pinned).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_FNV_OFFSET = _U64(0xCBF29CE484222325)
+_FNV_PRIME = _U64(0x100000001B3)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (public domain, Steele et al.) — int mixing."""
+    with np.errstate(over="ignore"):
+        z = np.asarray(x).astype(np.uint64) + _U64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+        return z ^ (z >> _U64(31))
+
+
+def fnv1a_bytes(data: bytes) -> int:
+    """Scalar FNV-1a 64 over bytes."""
+    h = int(_FNV_OFFSET)
+    for b in data:
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def hash_strings(arr) -> np.ndarray:
+    """Vectorized-ish deterministic u64 hash of a string/bytes sequence.
+
+    Python loop over rows but each row is a C-speed ``bytes.__hash__``-free
+    FNV via int.from_bytes batching; adequate for key columns (dedup /
+    salting).  For very hot paths prefer hashing an integer key column
+    with :func:`splitmix64`.
+    """
+    out = np.empty(len(arr), dtype=np.uint64)
+    for i, s in enumerate(arr):
+        if s is None:
+            out[i] = 0
+            continue
+        b = s.encode("utf-8", "surrogatepass") if isinstance(s, str) else bytes(s)
+        # blocked FNV: fold 8-byte words to keep the Python loop short
+        h = int(_FNV_OFFSET)
+        for j in range(0, len(b) - 7, 8):
+            w = int.from_bytes(b[j : j + 8], "little")
+            h = ((h ^ w) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        tail = b[len(b) - len(b) % 8 :]
+        if tail:
+            h = ((h ^ int.from_bytes(tail, "little")) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        h = ((h ^ len(b)) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        out[i] = h
+    return out
+
+
+def salt_keys(keys: np.ndarray, row_hash: np.ndarray, n_salts: int) -> np.ndarray:
+    """Salted key for hot-key mitigation: (key, row_hash % n_salts) packed.
+
+    Two-phase aggregation pattern (SURVEY.md §7.3): group on the salted
+    key first, then on the bare key over the tiny partials.
+    """
+    salt = (np.asarray(row_hash).astype(np.uint64)) % _U64(n_salts)
+    return splitmix64(np.asarray(keys).astype(np.uint64) * _U64(1000003) + salt)

@@ -1,0 +1,226 @@
+"""Text-analysis kernels for the training-data pipeline operators:
+tokenization, quality stats, language-ID, shingles, MinHash, SimHash,
+rolling-hash fingerprints.
+
+Tokenization contract (shared with the DuckDB oracles): a token is a
+maximal run of non-space characters — exactly ``text.split(' ')`` with
+empty strings dropped, which equals DuckDB's
+``list_filter(string_split(text, ' '), x -> x <> '')``.  The ``text``
+column itself is NEVER modified (byte-identical passthrough invariant,
+BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import splitmix64
+
+_U64 = np.uint64
+
+
+def tokenize(text: str) -> list[str]:
+    return [t for t in text.split(" ") if t]
+
+
+def token_counts(texts) -> np.ndarray:
+    """n_tokens per document (vectorized enough: one C-level split per doc)."""
+    return np.fromiter(
+        (len(tokenize(t)) if t is not None else 0 for t in texts),
+        dtype=np.int64,
+        count=len(texts),
+    )
+
+
+def distinct_token_counts(texts) -> np.ndarray:
+    return np.fromiter(
+        (len(set(tokenize(t))) if t is not None else 0 for t in texts),
+        dtype=np.int64,
+        count=len(texts),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (heuristics in the C4/Gopher tradition — public recipes)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that for on with as at by".split()
+)
+
+
+def quality_stats(texts) -> dict[str, np.ndarray]:
+    """Per-doc quality components: n_tokens, n_distinct, distinct_ratio,
+    mean_token_len, stopword_ratio, alpha_ratio."""
+    n = len(texts)
+    n_tokens = np.zeros(n, dtype=np.int64)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    mean_len = np.zeros(n, dtype=np.float64)
+    stop_ratio = np.zeros(n, dtype=np.float64)
+    alpha_ratio = np.zeros(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = tokenize(t)
+        if not toks:
+            continue
+        n_tokens[i] = len(toks)
+        n_distinct[i] = len(set(toks))
+        mean_len[i] = sum(len(w) for w in toks) / len(toks)
+        stop_ratio[i] = sum(w in _STOPWORDS for w in toks) / len(toks)
+        n_alpha = sum(c.isalpha() for c in t)
+        alpha_ratio[i] = n_alpha / len(t)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        distinct_ratio = np.where(n_tokens > 0, n_distinct / np.maximum(n_tokens, 1), 0.0)
+    return {
+        "n_tokens": n_tokens,
+        "n_distinct": n_distinct,
+        "distinct_ratio": distinct_ratio,
+        "mean_token_len": mean_len,
+        "stopword_ratio": stop_ratio,
+        "alpha_ratio": alpha_ratio,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Language ID — character n-gram heuristic (public technique; profiles are
+# tiny hand-rolled trigram sets, adequate for a deterministic stage)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, frozenset[str]] = {
+    "en": frozenset(["the", "and", "ing", "ion", " th", "he ", "is ", "of "]),
+    "es": frozenset(["de ", " de", "la ", "os ", "ión", "que", "el ", "ado"]),
+    "fr": frozenset(["le ", " le", "es ", "ent", "ion", "de ", " la", "une"]),
+    "de": frozenset(["der", "ein", "sch", "ung", "die", "und", "en ", "ch "]),
+    "zh": frozenset([]),  # detected via CJK codepoints instead
+}
+
+
+def langid(texts) -> np.ndarray:
+    """Deterministic heuristic language id; 'und' when no signal."""
+    out = np.empty(len(texts), dtype=object)
+    for i, t in enumerate(texts):
+        if not t:
+            out[i] = "und"
+            continue
+        if any("一" <= c <= "鿿" for c in t[:200]):
+            out[i] = "zh"
+            continue
+        low = t.lower()
+        grams = {low[j : j + 3] for j in range(min(len(low), 400) - 2)}
+        best, best_score = "und", 0
+        for lang, markers in _LANG_MARKERS.items():
+            score = len(grams & markers)
+            if score > best_score:
+                best, best_score = lang, score
+        out[i] = best
+    return out.astype(str)
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash + SimHash + rolling fingerprint
+# ---------------------------------------------------------------------------
+
+
+def token_hashes(toks: list[str]) -> np.ndarray:
+    """Deterministic u64 per token (FNV-1a over utf-8, via Python hashless)."""
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, w in enumerate(toks):
+        h = 0xCBF29CE484222325
+        for b in w.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        out[i] = h
+    return out
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """u64 hashes of word k-shingles (combined via splitmix rolling)."""
+    toks = tokenize(text)
+    th = token_hashes(toks)
+    if len(th) < k:
+        return splitmix64(th) if len(th) else np.empty(0, dtype=np.uint64)
+    # combine k consecutive token hashes
+    acc = th[: len(th) - k + 1].copy()
+    for j in range(1, k):
+        acc = splitmix64(acc * _U64(1099511628211) + th[j : len(th) - k + 1 + j])
+    return acc
+
+
+_MINHASH_A = None
+_MINHASH_B = None
+
+
+def _minhash_coeffs(num_perm: int):
+    global _MINHASH_A, _MINHASH_B
+    if _MINHASH_A is None or len(_MINHASH_A) < num_perm:
+        rng = np.random.default_rng(20240817)  # pinned seed
+        _MINHASH_A = rng.integers(1, 2**61 - 1, size=256, dtype=np.uint64) | _U64(1)
+        _MINHASH_B = rng.integers(0, 2**61 - 1, size=256, dtype=np.uint64)
+    return _MINHASH_A[:num_perm], _MINHASH_B[:num_perm]
+
+
+def minhash_signature(shingles: np.ndarray, num_perm: int = 128) -> np.ndarray:
+    """(num_perm,) u64 MinHash signature of a shingle-hash set."""
+    a, b = _minhash_coeffs(num_perm)
+    if len(shingles) == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    # universal-ish hash family: (a*x + b) with wraparound, then min
+    v = shingles[:, None] * a[None, :] + b[None, :]
+    return v.min(axis=0)
+
+
+def minhash_bands(sig: np.ndarray, n_bands: int = 16) -> np.ndarray:
+    """Band hashes for LSH bucketing: (n_bands,) u64."""
+    rows = len(sig) // n_bands
+    out = np.empty(n_bands, dtype=np.uint64)
+    for band in range(n_bands):
+        chunk = sig[band * rows : (band + 1) * rows]
+        h = _U64(band) + _U64(0x9E3779B97F4A7C15)
+        for x in chunk:
+            h = splitmix64(h ^ x)
+        out[band] = h
+    return out
+
+
+def jaccard_token_sets(a: str, b: str) -> float:
+    sa, sb = set(tokenize(a)), set(tokenize(b))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over token hashes (Charikar, public)."""
+    th = token_hashes(tokenize(text))
+    if len(th) == 0:
+        return 0
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)).astype(
+        np.int64
+    )
+    counts = (2 * bits - 1).sum(axis=0)
+    return int(((counts > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64)
+    # popcount via bit tricks
+    x = x - ((x >> _U64(1)) & _U64(0x5555555555555555))
+    x = (x & _U64(0x3333333333333333)) + ((x >> _U64(2)) & _U64(0x3333333333333333))
+    x = (x + (x >> _U64(4))) & _U64(0x0F0F0F0F0F0F0F0F)
+    return ((x * _U64(0x0101010101010101)) >> _U64(56)).astype(np.int64)
+
+
+def rolling_fingerprints(text: str, window: int = 8, keep_mod: int = 16) -> np.ndarray:
+    """Winnowing-style document fingerprints: polynomial rolling hash over
+    bytes, keep hashes where h % keep_mod == 0 (content-defined sampling)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(data) < window:
+        return np.empty(0, dtype=np.uint64)
+    base = _U64(257)
+    # rolling hash via cumulative powers (vectorized)
+    n = len(data) - window + 1
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(window):
+        h = h * base + data[j : j + n]
+    h = splitmix64(h)
+    return np.unique(h[h % _U64(keep_mod) == _U64(0)])

@@ -1,0 +1,106 @@
+"""Text kernel tests: tokenization contract, minhash/simhash properties,
+fingerprints, langid determinism."""
+
+import numpy as np
+
+from geografir_ray.functions import text
+
+
+def test_tokenize_matches_sql_contract():
+    # contract: split on single spaces, drop empties — matches
+    # list_filter(string_split(text, ' '), x -> x <> '')
+    assert text.tokenize("a b  c") == ["a", "b", "c"]
+    assert text.tokenize(" a ") == ["a"]
+    assert text.tokenize("") == []
+    assert text.token_counts(["a b", "", "x  y z"]).tolist() == [2, 0, 3]
+    assert text.distinct_token_counts(["a a b", "x"]).tolist() == [2, 1]
+
+
+def test_quality_stats():
+    s = text.quality_stats(["the cat sat", "", "aaa aaa aaa"])
+    assert s["n_tokens"].tolist() == [3, 0, 3]
+    assert s["n_distinct"].tolist() == [3, 0, 1]
+    assert abs(s["stopword_ratio"][0] - 1 / 3) < 1e-12
+    assert s["distinct_ratio"][2] == 1 / 3
+
+
+def test_minhash_similarity_estimates_jaccard():
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy cat again and again today"
+    c = "completely different words in this particular document right here now"
+    sa = text.minhash_signature(text.shingle_hashes(a), 128)
+    sb = text.minhash_signature(text.shingle_hashes(b), 128)
+    sc = text.minhash_signature(text.shingle_hashes(c), 128)
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    true_ab = _shingle_jaccard(a, b)
+    assert abs(sim_ab - true_ab) < 0.2
+    assert sim_ac < 0.1
+    # identical docs -> identical signatures
+    np.testing.assert_array_equal(sa, text.minhash_signature(text.shingle_hashes(a), 128))
+
+
+def _shingle_jaccard(a, b, k=3):
+    sa = set(map(tuple, zip(*[text.tokenize(a)[i:] for i in range(k)])))
+    sb = set(map(tuple, zip(*[text.tokenize(b)[i:] for i in range(k)])))
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_bands_deterministic():
+    sig = text.minhash_signature(text.shingle_hashes("a b c d e f g h i j"), 128)
+    b1 = text.minhash_bands(sig, 16)
+    b2 = text.minhash_bands(sig, 16)
+    np.testing.assert_array_equal(b1, b2)
+    assert len(b1) == 16
+
+
+def test_simhash_properties():
+    a = "the quick brown fox jumps over the lazy dog and runs far away"
+    b = "the quick brown fox jumps over the lazy dog and runs far home"
+    c = "zx qv wt yu io pl mn bv cx zl kj hg fd sa qw er"
+    ha, hb, hc = text.simhash64(a), text.simhash64(b), text.simhash64(c)
+    d_ab = text.hamming64(np.array([ha]), np.array([hb]))[0]
+    d_ac = text.hamming64(np.array([ha]), np.array([hc]))[0]
+    assert d_ab < d_ac
+    assert text.simhash64(a) == ha  # deterministic
+    assert text.simhash64("") == 0
+
+
+def test_hamming64():
+    assert text.hamming64(np.array([0]), np.array([0]))[0] == 0
+    assert text.hamming64(np.array([0xFFFFFFFFFFFFFFFF]), np.array([0]))[0] == 64
+    assert text.hamming64(np.array([0b1011]), np.array([0b0010]))[0] == 2
+
+
+def test_rolling_fingerprints():
+    a = "some reasonably long document text for fingerprinting purposes here"
+    f1 = text.rolling_fingerprints(a)
+    f2 = text.rolling_fingerprints(a)
+    np.testing.assert_array_equal(f1, f2)
+    # sharing a long substring -> sharing fingerprints
+    b = "PREFIX " + a + " SUFFIX"
+    fb = text.rolling_fingerprints(b)
+    common = np.intersect1d(f1, fb)
+    assert len(common) >= len(f1) * 0.8
+    assert len(text.rolling_fingerprints("tiny")) == 0
+
+
+def test_jaccard_token_sets():
+    assert text.jaccard_token_sets("a b c", "a b c") == 1.0
+    assert text.jaccard_token_sets("a b", "c d") == 0.0
+    assert text.jaccard_token_sets("", "") == 1.0
+
+
+def test_langid_deterministic_signals():
+    out = text.langid(
+        [
+            "the cat is on the mat and the dog is in the house",
+            "la casa de la playa que está en la ciudad de madrid",
+            "der hund und die katze schlafen unter einem schönen baum",
+            "这是一个中文句子用于测试语言识别",
+            "",
+        ]
+    )
+    assert out[0] == "en"
+    assert out[3] == "zh"
+    assert out[4] == "und"
