@@ -4,13 +4,11 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in geografir_ray library
+code.
 """
 
 from __future__ import annotations
@@ -20,25 +18,52 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (read → geocode →
+    broadcast PIP join → two-phase zonal aggregate)."""
+    from geografir_ray.pipelines.flagship import flagship
+
+    return flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from geografir_ray.pipelines import relational as R
+    from geografir_ray.pipelines import spatial as S
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (groupby / join / sort / set ops)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_top_orders": R.q3_top_orders,
+        "q5_nation_revenue": R.q5_nation_revenue,
+        "brand_revenue": R.brand_revenue,
+        "set_ops_orders": R.set_ops_orders,
+        # spatial
+        "geo_tile_assign": S.tile_assign,
+        "geo_hot_tiles": S.hot_tiles,
+        "geo_pip_join": S.pip_customer_zones,
+        "geo_pip_zonal": S.pip_zonal_stats,
+        "geo_knn": S.knn_doc_suppliers,
+        "geo_reproject": S.reproject_customers,
+        "geo_bbox_by_nation": S.bbox_by_nation,
+        "geo_cells": S.cell_assignment,  # rows-only: cell ids not SQL-expressible
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from geografir_ray.pipelines import relational as R
+    from geografir_ray.pipelines import spatial as S
+
+    return {
+        "q1_pricing_summary": R.Q1_SQL,
+        "q3_top_orders": R.Q3_SQL,
+        "q5_nation_revenue": R.Q5_SQL,
+        "brand_revenue": R.BRAND_REVENUE_SQL,
+        "set_ops_orders": R.SET_OPS_SQL,
+        "geo_tile_assign": S.tile_assign_sql(),
+        "geo_hot_tiles": S.hot_tiles_sql(),
+        "geo_pip_join": S.PIP_CUSTOMER_SQL,
+        "geo_pip_zonal": S.PIP_ZONAL_SQL,
+        "geo_knn": S.knn_doc_suppliers_sql(),
+        "geo_reproject": S.REPROJECT_SQL,
+        "geo_bbox_by_nation": S.BBOX_BY_NATION_SQL,
+        # geo_cells: intentionally omitted (rows-only check)
+    }

@@ -1,0 +1,411 @@
+"""Relational pipelines over the TPC-H-ish testdata: filtered grouped
+aggregates, multi-way joins, top-k — the engine's generic shuffle ops.
+
+Shuffle strategy per query is documented inline (SURVEY.md §7.3):
+dimension tables are broadcast (ray.put + per-batch lookup), fact-side
+aggregations are two-phase (per-batch combiner → tiny global groupby),
+and float money columns aggregate in integer cents for exact oracle
+parity (see pipelines/common.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.tables import read_table
+from .common import floor_scale, floor_scale_sql, grouped_sum
+
+_CUTOFF = "1998-09-01"
+
+
+# ---------------------------------------------------------------------------
+# q1: pricing summary (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64(_CUTOFF, "us"))))
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": floor_scale(t["l_quantity"]),
+                "price_c": floor_scale(t["l_extendedprice"]),
+                "disc_price_c": floor_scale(disc_price),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_sum(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty_c": ("qty_c", "sum"),
+            "sum_base_price_c": ("price_c", "sum"),
+            "sum_disc_price_c": ("disc_price_c", "sum"),
+            "count_order": ("one", "sum"),
+        },
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc.divide(pc.cast(t["sum_qty_c"], pa.float64()), 100.0),
+                "sum_base_price": pc.divide(
+                    pc.cast(t["sum_base_price_c"], pa.float64()), 100.0
+                ),
+                "sum_disc_price": pc.divide(
+                    pc.cast(t["sum_disc_price_c"], pa.float64()), 100.0
+                ),
+                "count_order": t["count_order"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       sum({floor_scale_sql('l_quantity')}) / 100.0 AS sum_qty,
+       sum({floor_scale_sql('l_extendedprice')}) / 100.0 AS sum_base_price,
+       sum({floor_scale_sql('l_extendedprice * (1.0 - l_discount)')}) / 100.0 AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q3: top-10 orders by revenue for one market segment
+# (customer ⋈ orders ⋈ lineitem; dimension sides broadcast)
+# ---------------------------------------------------------------------------
+
+_SEGMENT = "BUILDING"
+_Q3_DATE = "1995-03-15"
+
+
+def q3_top_orders(sf_dir: str):
+    import ray
+
+    # small sides on the driver: customer keys in segment, order dates
+    cust = (
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], _SEGMENT)).select(
+                ["c_custkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    cust_keys = set(cust["c_custkey"].tolist())
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).to_pandas()
+    cutoff = np.datetime64(_Q3_DATE, "us")
+    orders = orders[
+        orders["o_custkey"].isin(cust_keys) & (orders["o_orderdate"].values < cutoff)
+    ]
+    order_map_ref = ray.put(
+        {
+            "keys": np.sort(orders["o_orderkey"].values.astype(np.int64)),
+            "dates": orders.sort_values("o_orderkey")["o_orderdate"].values,
+        }
+    )
+
+    class JoinOrders:
+        """Broadcast semi-join lineitem→orders via sorted-key searchsorted."""
+
+        def __init__(self):
+            m = ray.get(order_map_ref)
+            self.keys = m["keys"]
+            self.dates = m["dates"]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, ok)
+            pos_c = np.clip(pos, 0, max(len(self.keys) - 1, 0))
+            hit = (
+                (self.keys[pos_c] == ok)
+                if len(self.keys)
+                else np.zeros(len(ok), dtype=bool)
+            )
+            ship_ok = t["l_shipdate"].to_numpy(zero_copy_only=False) > np.datetime64(
+                _Q3_DATE, "us"
+            )
+            keep = hit & ship_ok
+            t2 = t.filter(pa.array(keep))
+            rev = pc.multiply(
+                t2["l_extendedprice"], pc.subtract(pa.scalar(1.0), t2["l_discount"])
+            )
+            odate = self.dates[pos_c[keep]] if len(self.keys) else self.dates[:0]
+            return pa.table(
+                {
+                    "l_orderkey": t2["l_orderkey"],
+                    "o_orderdate": pa.array(odate),
+                    "rev_c": floor_scale(rev),
+                }
+            )
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(JoinOrders, batch_format="pyarrow", concurrency=2)
+
+    agg = grouped_sum(
+        li,
+        ["l_orderkey", "o_orderdate"],
+        {"revenue_c": ("rev_c", "sum")},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "revenue": pc.divide(pc.cast(t["revenue_c"], pa.float64()), 100.0),
+            }
+        )
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate,
+       sum({floor_scale_sql('l_extendedprice * (1.0 - l_discount)')}) / 100.0 AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = '{_SEGMENT}'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{_Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q5-shape: revenue by nation (6-way join; all dimension sides broadcast,
+# single pass over lineitem, no shuffle until the 25-row final groupby)
+# ---------------------------------------------------------------------------
+
+
+def q5_nation_revenue(sf_dir: str):
+    import ray
+
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+
+    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    order_nation = {
+        ok: cust_nation.get(ck, -1) for ok, ck in zip(orders["o_orderkey"], orders["o_custkey"])
+    }
+    ok_sorted = np.array(sorted(order_nation.keys()), dtype=np.int64)
+    on_sorted = np.array([order_nation[k] for k in ok_sorted], dtype=np.int64)
+    sk_sorted = np.sort(supp["s_suppkey"].values.astype(np.int64))
+    sn_sorted = supp.sort_values("s_suppkey")["s_nationkey"].values.astype(np.int64)
+    ref = ray.put((ok_sorted, on_sorted, sk_sorted, sn_sorted))
+
+    class NationTag:
+        def __init__(self):
+            self.ok, self.on, self.sk, self.sn = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            lsk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            p1 = np.searchsorted(self.ok, lok)
+            p1c = np.clip(p1, 0, len(self.ok) - 1)
+            cn = np.where(self.ok[p1c] == lok, self.on[p1c], -1)
+            p2 = np.searchsorted(self.sk, lsk)
+            p2c = np.clip(p2, 0, len(self.sk) - 1)
+            sn = np.where(self.sk[p2c] == lsk, self.sn[p2c], -2)
+            keep = cn == sn  # local-supplier condition (customer nation == supplier nation)
+            t2 = t.filter(pa.array(keep))
+            rev = pc.multiply(
+                t2["l_extendedprice"], pc.subtract(pa.scalar(1.0), t2["l_discount"])
+            )
+            return pa.table(
+                {"n_nationkey": pa.array(cn[keep]), "rev_c": floor_scale(rev)}
+            )
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(NationTag, batch_format="pyarrow", concurrency=2)
+
+    agg = grouped_sum(li, ["n_nationkey"], {"revenue_c": ("rev_c", "sum")})
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nk = t["n_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array([nmap[int(k)] for k in nk]),
+                "revenue": pc.divide(pc.cast(t["revenue_c"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["revenue", "n_name"], descending=[True, False]
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name,
+       sum({floor_scale_sql('l_extendedprice * (1.0 - l_discount)')}) / 100.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# brand revenue: lineitem ⋈ part (broadcast) → top brands
+# ---------------------------------------------------------------------------
+
+
+def brand_revenue(sf_dir: str):
+    import ray
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    pk = np.sort(part["p_partkey"].values.astype(np.int64))
+    pb = part.sort_values("p_partkey")["p_brand"].values
+    ref = ray.put((pk, pb))
+
+    class BrandTag:
+        def __init__(self):
+            self.pk, self.pb = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lpk = t["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.pk, lpk), 0, len(self.pk) - 1)
+            brand = self.pb[pos]
+            rev = pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+            return pa.table({"p_brand": pa.array(brand), "rev_c": floor_scale(rev)})
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    ).map_batches(BrandTag, batch_format="pyarrow", concurrency=2)
+    agg = grouped_sum(li, ["p_brand"], {"revenue_c": ("rev_c", "sum")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "revenue": pc.divide(pc.cast(t["revenue_c"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["revenue", "p_brand"], descending=[True, False]
+    )
+
+
+BRAND_REVENUE_SQL = f"""
+SELECT p_brand,
+       sum({floor_scale_sql('l_extendedprice * (1.0 - l_discount)')}) / 100.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY revenue DESC, p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# set ops: union + anti-join (except) over order subsets
+# ---------------------------------------------------------------------------
+
+
+def set_ops_orders(sf_dir: str):
+    """(high-value ∪ priority-1) orders EXCEPT orders of BUILDING customers.
+
+    Union = ds.union; except = broadcast anti-join on the key set.
+    """
+    import ray
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    )
+    high = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 150000.0)).select(
+            ["o_orderkey", "o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    prio = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(
+            ["o_orderkey", "o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    both = high.union(prio)
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    building = np.sort(
+        cust[cust["c_mktsegment"] == "BUILDING"]["c_custkey"].values.astype(np.int64)
+    )
+    ref = ray.put(building)
+
+    class AntiJoin:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.keys, ck), 0, max(len(self.keys) - 1, 0))
+            hit = self.keys[pos] == ck if len(self.keys) else np.zeros(len(ck), bool)
+            return t.filter(pa.array(~hit)).select(["o_orderkey"])
+
+    out = both.map_batches(AntiJoin, batch_format="pyarrow", concurrency=2)
+    # distinct (union of the two subsets overlaps)
+    return out.groupby("o_orderkey").count().select_columns(["o_orderkey"]).sort("o_orderkey")
+
+
+SET_OPS_SQL = """
+SELECT DISTINCT o_orderkey FROM (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 150000.0
+  UNION ALL
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+) u
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+ORDER BY o_orderkey
+"""

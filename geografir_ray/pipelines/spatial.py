@@ -1,0 +1,488 @@
+"""Spatial pipelines: geocode → cells → point-in-polygon joins → kNN →
+tile assignment / zonal stats → reprojection.
+
+Points are derived deterministically from integer key columns
+(functions/synthgeo.py) so every query has an op-for-op SQL twin; the
+polygon side is the diamond-zone set (genuine 4-gon rings for the Ray
+machinery, closed-form containment for the oracle).
+
+Shuffle keys (SURVEY.md §7.3): grid cell for PIP co-partitioning, tile
+id for zonal aggregation, bare groupby for the final small reductions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import cells, geom, synthgeo
+from ..functions.synthgeo import synth_lat_sql, synth_lon_sql, zone_params_sql
+from ..sources.tables import read_table
+from ..stages import geo as geo_stages
+from .common import grouped_sum
+
+N_ZONES = 25
+PIP_COVER_BITS = 6  # 5.6°x2.8° cells: diamonds cover ≤ ~20 cells each
+
+
+def _points_ds(sf_dir: str, table: str, key_col: str, key_expr=None, extra_cols=()):
+    """Dataset of (point_id, lat, lon [, extra]) derived from a table."""
+    columns = sorted({key_col, *extra_cols})
+    ds = read_table(sf_dir, table, columns=columns)
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if key_expr is not None:
+            k = key_expr(t)
+        cols = {
+            "point_id": pa.array(k),
+            "lat": pa.array(synthgeo.synth_lat(k)),
+            "lon": pa.array(synthgeo.synth_lon(k)),
+        }
+        for c in extra_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Tile assignment + per-tile aggregation (two-phase, skew-safe)
+# ---------------------------------------------------------------------------
+
+
+def tile_assign(sf_dir: str, tile_deg: float = 1.0):
+    """lineitem-derived points → 1° tiles → count + quantity per tile.
+
+    Scale design: the hot-center skew concentrates ~70% of points in 12
+    clusters; the per-batch combiner (partial_groupby) collapses each
+    hot tile to one row per batch before the shuffle, so the all-to-all
+    exchange moves O(tiles × batches), not O(rows).
+    """
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = (
+            t["l_orderkey"].to_numpy(zero_copy_only=False) * 8
+            + t["l_linenumber"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        lat = synthgeo.synth_lat(k)
+        lon = synthgeo.synth_lon(k)
+        tx = np.floor((lon + 180.0) / tile_deg).astype(np.int64)
+        ty = np.floor((lat + 90.0) / tile_deg).astype(np.int64)
+        qty_c = pc.cast(
+            pc.floor(pc.multiply(t["l_quantity"], pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table(
+            {
+                "tile_x": pa.array(tx),
+                "tile_y": pa.array(ty),
+                "qty_c": qty_c,
+                "one": pa.array(np.ones(len(k), dtype=np.int64)),
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_sum(
+        ds,
+        ["tile_x", "tile_y"],
+        {"n_points": ("one", "sum"), "sum_qty_c": ("qty_c", "sum")},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tile_x": t["tile_x"],
+                "tile_y": t["tile_y"],
+                "n_points": t["n_points"],
+                "sum_qty": pc.divide(pc.cast(t["sum_qty_c"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(["tile_y", "tile_x"])
+
+
+def tile_assign_sql(tile_deg: float = 1.0) -> str:
+    key = "(l_orderkey * 8 + l_linenumber)"
+    lat = synth_lat_sql(key)
+    lon = synth_lon_sql(key)
+    return f"""
+SELECT CAST(floor(({lon} + 180.0) / {tile_deg}) AS BIGINT) AS tile_x,
+       CAST(floor(({lat} + 90.0) / {tile_deg}) AS BIGINT) AS tile_y,
+       count(*) AS n_points,
+       sum(CAST(floor(l_quantity * 100.0) AS BIGINT)) / 100.0 AS sum_qty
+FROM lineitem
+GROUP BY tile_x, tile_y
+ORDER BY tile_y, tile_x
+"""
+
+
+def hot_tiles(sf_dir: str, k: int = 20):
+    """Top-k hottest tiles: two-phase count then global sort-limit."""
+    full = tile_assign(sf_dir)
+    return full.select_columns(["tile_x", "tile_y", "n_points"]).sort(["n_points", "tile_y", "tile_x"], descending=[True, False, False]).limit(k)
+
+
+def hot_tiles_sql(k: int = 20) -> str:
+    key = "(l_orderkey * 8 + l_linenumber)"
+    lat = synth_lat_sql(key)
+    lon = synth_lon_sql(key)
+    return f"""
+SELECT CAST(floor(({lon} + 180.0) / 1.0) AS BIGINT) AS tile_x,
+       CAST(floor(({lat} + 90.0) / 1.0) AS BIGINT) AS tile_y,
+       count(*) AS n_points
+FROM lineitem
+GROUP BY tile_x, tile_y
+ORDER BY n_points DESC, tile_y, tile_x
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon join — partitioned machinery
+# (explode zones to covering cells; co-partition points and zones by
+# cell; per-group STR-tree probe + exact raycast)
+# ---------------------------------------------------------------------------
+
+
+def _zones_table() -> pa.Table:
+    zk = np.arange(N_ZONES, dtype=np.int64)
+    verts = synthgeo.zone_vertices(zk)  # (n, 4, 2) lon/lat
+    return pa.table(
+        {
+            "zone_id": pa.array(zk),
+            "xs": pa.array(list(verts[:, :, 0])),
+            "ys": pa.array(list(verts[:, :, 1])),
+        }
+    )
+
+
+def pip_join_partitioned(points, zones: pa.Table, bits: int = PIP_COVER_BITS):
+    """Generic cell-partitioned PIP join.
+
+    points: Dataset with (point_id, lat, lon); zones: Arrow table with
+    (zone_id, xs, ys) rings.  Both sides are exploded/keyed by grid
+    cell and co-partitioned via a single groupby(cell) shuffle; each
+    group builds an STR-tree over its zone bboxes and raycast-verifies
+    candidates.  Scales with both sides (no broadcast assumption).
+    """
+    import ray.data
+
+    # zone side: explode to covering cells (driver-side: zone table is a
+    # Dataset in the general case; here it is already collected/compact)
+    xs = zones["xs"].to_pylist()
+    ys = zones["ys"].to_pylist()
+    zone_id = zones["zone_id"].to_numpy()
+    ring_offsets = np.cumsum([0] + [len(r) for r in xs])
+    vertex_xy = np.stack(
+        [np.concatenate([np.asarray(r) for r in xs]), np.concatenate([np.asarray(r) for r in ys])],
+        axis=1,
+    )
+    boxes = geom.bbox_of_rings(vertex_xy, ring_offsets)
+    poly_idx, cell_ids = geom.cover_bboxes_with_grid(boxes, bits)
+    zrows = pa.table(
+        {
+            "cell": pa.array(cell_ids),
+            "side": pa.array(np.ones(len(poly_idx), dtype=np.int8)),
+            "id": pa.array(zone_id[poly_idx]),
+            "lon": pa.array(np.full(len(poly_idx), np.nan)),
+            "lat": pa.array(np.full(len(poly_idx), np.nan)),
+            "xs": pa.array([xs[p] for p in poly_idx]),
+            "ys": pa.array([ys[p] for p in poly_idx]),
+        }
+    )
+    zones_ds = ray.data.from_arrow(zrows)
+
+    def point_rows(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        cell = cells.grid_cell(lat, lon, bits)
+        n = len(lat)
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "id": t["point_id"],
+                "lon": t["lon"],
+                "lat": t["lat"],
+                "xs": pa.array([None] * n, type=pa.list_(pa.float64())),
+                "ys": pa.array([None] * n, type=pa.list_(pa.float64())),
+            }
+        )
+
+    pts = points.map_batches(point_rows, batch_format="pyarrow", zero_copy_batch=True)
+    unioned = pts.union(zones_ds)
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        zmask = g["side"].values == 1
+        if not zmask.any() or zmask.all():
+            return pd.DataFrame({"point_id": [], "zone_id": []}).astype(
+                {"point_id": np.int64, "zone_id": np.int64}
+            )
+        zxs = [np.asarray(r) for r in g.loc[zmask, "xs"]]
+        zys = [np.asarray(r) for r in g.loc[zmask, "ys"]]
+        zid = g.loc[zmask, "id"].values.astype(np.int64)
+        offs = np.cumsum([0] + [len(r) for r in zxs])
+        vxy = np.stack([np.concatenate(zxs), np.concatenate(zys)], axis=1)
+        tree = geom.STRtree(geom.bbox_of_rings(vxy, offs))
+        px = g.loc[~zmask, "lon"].values
+        py = g.loc[~zmask, "lat"].values
+        pid = g.loc[~zmask, "id"].values.astype(np.int64)
+        pi, zi = tree.query_points(px, py)
+        if len(pi):
+            ok = geom.points_in_polygons_pairs(px[pi], py[pi], zi, vxy, offs)
+            pi, zi = pi[ok], zi[ok]
+        return pd.DataFrame({"point_id": pid[pi], "zone_id": zid[zi]})
+
+    return unioned.groupby("cell").map_groups(probe, batch_format="pandas")
+
+
+def pip_customer_zones(sf_dir: str):
+    """customer-derived points × diamond zones → (point_id, zone_id)."""
+    pts = _points_ds(sf_dir, "customer", "c_custkey")
+    out = pip_join_partitioned(pts, _zones_table())
+    return out.sort(["point_id", "zone_id"])
+
+
+def _pip_condition_sql(key: str, z: str = "z.zkey") -> str:
+    lat = synth_lat_sql(key)
+    lon = synth_lon_sql(key)
+    p = zone_params_sql(z)
+    return (
+        f"abs({lon} - {p['cx']}) / {p['rx']} + abs({lat} - {p['cy']}) / {p['ry']} <= 1.0"
+    )
+
+
+PIP_CUSTOMER_SQL = f"""
+WITH z AS (SELECT CAST(n_nationkey AS BIGINT) AS zkey FROM nation)
+SELECT c_custkey AS point_id, z.zkey AS zone_id
+FROM customer, z
+WHERE {_pip_condition_sql('c_custkey')}
+ORDER BY point_id, zone_id
+"""
+
+
+def pip_zonal_stats(sf_dir: str):
+    """Zonal aggregate: count + total acctbal (cents) per zone."""
+    pts = _points_ds(sf_dir, "customer", "c_custkey", extra_cols=("c_acctbal",))
+    pairs = pip_join_partitioned(pts, _zones_table())
+    # join pairs back to acctbal via broadcast of the (small) point payload
+    import ray
+
+    pdf = pts.select_columns(["point_id", "c_acctbal"]).to_pandas()
+    keys = np.sort(pdf["point_id"].values.astype(np.int64))
+    bal = pdf.sort_values("point_id")["c_acctbal"].values
+    ref = ray.put((keys, bal))
+
+    class AttachBal:
+        def __init__(self):
+            self.keys, self.bal = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pid = t["point_id"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.keys, pid), 0, len(self.keys) - 1)
+            bal_c = np.floor(self.bal[pos] * 100.0).astype(np.int64)
+            return pa.table(
+                {
+                    "zone_id": t["zone_id"],
+                    "bal_c": pa.array(bal_c),
+                    "one": pa.array(np.ones(len(pid), dtype=np.int64)),
+                }
+            )
+
+    tagged = pairs.map_batches(AttachBal, batch_format="pyarrow", concurrency=2)
+    agg = grouped_sum(
+        tagged, ["zone_id"], {"n_points": ("one", "sum"), "sum_bal_c": ("bal_c", "sum")}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "zone_id": t["zone_id"],
+                "n_points": t["n_points"],
+                "sum_acctbal": pc.divide(pc.cast(t["sum_bal_c"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("zone_id")
+
+
+PIP_ZONAL_SQL = f"""
+WITH z AS (SELECT CAST(n_nationkey AS BIGINT) AS zkey FROM nation)
+SELECT z.zkey AS zone_id, count(*) AS n_points,
+       sum(CAST(floor(c_acctbal * 100.0) AS BIGINT)) / 100.0 AS sum_acctbal
+FROM customer, z
+WHERE {_pip_condition_sql('c_custkey')}
+GROUP BY z.zkey
+ORDER BY zone_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# kNN: documents-derived query points → k nearest supplier-derived points
+# (small target side → broadcast brute force, the scale-correct plan;
+# the partitioned ring-expansion variant lives in stages/knn.py and is
+# exercised by tests and the flagship)
+# ---------------------------------------------------------------------------
+
+
+def knn_doc_suppliers(sf_dir: str, k: int = 5):
+    import ray
+
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey"]).to_pandas()
+    sk = supp["s_suppkey"].values.astype(np.int64)
+    slat = synthgeo.synth_lat(sk)
+    slon = synthgeo.synth_lon(sk)
+    ref = ray.put((sk, slat, slon))
+
+    class KNN:
+        def __init__(self):
+            self.sk, self.slat, self.slon = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            qid = t["point_id"].to_numpy(zero_copy_only=False)
+            qlat = t["lat"].to_numpy(zero_copy_only=False)
+            qlon = t["lon"].to_numpy(zero_copy_only=False)
+            d = geom.haversine_km(
+                qlat[:, None], qlon[:, None], self.slat[None, :], self.slon[None, :]
+            )
+            kk = min(k, d.shape[1])
+            # deterministic order: distance, then neighbor id
+            order = np.lexsort((self.sk[None, :].repeat(len(qid), 0), d), axis=1)[:, :kk]
+            rows_q = np.repeat(qid, kk)
+            rows_n = self.sk[order].ravel()
+            rows_r = np.tile(np.arange(1, kk + 1), len(qid))
+            return pa.table(
+                {
+                    "point_id": pa.array(rows_q),
+                    "neighbor_id": pa.array(rows_n),
+                    "rank": pa.array(rows_r.astype(np.int64)),
+                }
+            )
+
+    pts = _points_ds(sf_dir, "documents", "doc_id")
+    return pts.map_batches(KNN, batch_format="pyarrow", concurrency=2).sort(
+        ["point_id", "rank"]
+    )
+
+
+def knn_doc_suppliers_sql(k: int = 5) -> str:
+    qlat = synth_lat_sql("d.doc_id")
+    qlon = synth_lon_sql("d.doc_id")
+    tlat = synth_lat_sql("s.s_suppkey")
+    tlon = synth_lon_sql("s.s_suppkey")
+    dist = geom.haversine_km_sql(qlat, qlon, tlat, tlon)
+    return f"""
+WITH ranked AS (
+  SELECT d.doc_id AS point_id, s.s_suppkey AS neighbor_id,
+         row_number() OVER (PARTITION BY d.doc_id
+                            ORDER BY {dist}, s.s_suppkey) AS rank
+  FROM documents d CROSS JOIN supplier s
+)
+SELECT point_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+ORDER BY point_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reprojection + per-nation bbox
+# ---------------------------------------------------------------------------
+
+
+def reproject_customers(sf_dir: str):
+    """customer points → EPSG:3857, rounded to mm for exact oracle parity."""
+    pts = _points_ds(sf_dir, "customer", "c_custkey")
+    return pts.map_batches(
+        geo_stages.web_mercator(), batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["point_id", "x3857", "y3857"]).sort("point_id")
+
+
+REPROJECT_SQL = f"""
+SELECT c_custkey AS point_id,
+       round(radians({synth_lon_sql('c_custkey')}) * 6378137.0, 3) AS x3857,
+       round(ln(tan(pi() / 4.0 + radians({synth_lat_sql('c_custkey')}) / 2.0)) * 6378137.0, 3) AS y3857
+FROM customer
+ORDER BY point_id
+"""
+
+
+def bbox_by_nation(sf_dir: str):
+    """BoundingBox.from_geometry semantics as a grouped aggregate:
+    per-nation bbox of customer point sets (min/max over coords,
+    bounding_box.py:138-169)."""
+    pts = _points_ds(sf_dir, "customer", "c_custkey", extra_cols=("c_nationkey",))
+
+    agg = grouped_sum(
+        pts.map_batches(
+            lambda t: pa.table(
+                {
+                    "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                    "lon": t["lon"],
+                    "lat": t["lat"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["c_nationkey"],
+        {
+            "minx": ("lon", "min"),
+            "miny": ("lat", "min"),
+            "maxx": ("lon", "max"),
+            "maxy": ("lat", "max"),
+        },
+    )
+    return agg.sort("c_nationkey")
+
+
+BBOX_BY_NATION_SQL = f"""
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       min({synth_lon_sql('c_custkey')}) AS minx,
+       min({synth_lat_sql('c_custkey')}) AS miny,
+       max({synth_lon_sql('c_custkey')}) AS maxx,
+       max({synth_lat_sql('c_custkey')}) AS maxy
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cell assignment (geohash / S2 / hex) — no SQL twin (rows-only check;
+# kernel correctness is pinned by published vectors in tests/test_cells.py)
+# ---------------------------------------------------------------------------
+
+
+def cell_assignment(sf_dir: str):
+    pts = _points_ds(sf_dir, "customer", "c_custkey")
+    out = pts.map_batches(
+        geo_stages.add_cells(geohash_precision=9, s2_level=12, hex_resolution=7),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def cast_cells(t: pa.Table) -> pa.Table:
+        # driver compare path prefers signed ints; reinterpret u64 as i64
+        return pa.table(
+            {
+                "point_id": t["point_id"],
+                "geohash": t["geohash"],
+                "cell_geohash": pc.cast(
+                    pc.bit_wise_and(t["cell_geohash"], pa.scalar(0x7FFFFFFFFFFFFFFF, type=pa.uint64())),
+                    pa.int64(),
+                ),
+                "cell_s2": pc.cast(
+                    pc.bit_wise_and(t["cell_s2"], pa.scalar(0x7FFFFFFFFFFFFFFF, type=pa.uint64())),
+                    pa.int64(),
+                ),
+                "cell_hex": pc.cast(
+                    pc.bit_wise_and(t["cell_hex"], pa.scalar(0x7FFFFFFFFFFFFFFF, type=pa.uint64())),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return out.map_batches(cast_cells, batch_format="pyarrow").sort("point_id")

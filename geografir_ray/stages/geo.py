@@ -1,0 +1,193 @@
+"""Geospatial map_batches stages: synthetic point derivation, cell
+assignment, tile assignment, reprojection, PIP join stages.
+
+All stages are Arrow-in/Arrow-out (zero-copy batches); numpy kernels
+from ``geografir_ray.functions`` do the math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import cells, geom, synthgeo
+
+
+def add_latlon(key_col: str) -> "callable":
+    """Stage: derive deterministic (lat, lon) from an integer key column.
+
+    The SQL twin is synthgeo.synth_lat_sql/synth_lon_sql — op-for-op
+    identical, so oracle comparisons are exact.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        batch = batch.append_column("lat", pa.array(synthgeo.synth_lat(k)))
+        return batch.append_column("lon", pa.array(synthgeo.synth_lon(k)))
+
+    fn.__name__ = f"add_latlon[{key_col}]"
+    return fn
+
+
+def add_cells(
+    geohash_precision: int = 9,
+    s2_level: int = 12,
+    hex_resolution: int = 7,
+) -> "callable":
+    """Stage: geohash / S2 / hex cell ids from lat+lon columns."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        batch = batch.append_column(
+            "cell_geohash", pa.array(cells.geohash_int(lat, lon, geohash_precision))
+        )
+        batch = batch.append_column(
+            "geohash", pa.array(cells.geohash_encode(lat, lon, geohash_precision))
+        )
+        batch = batch.append_column(
+            "cell_s2", pa.array(cells.s2_cell_id(lat, lon, s2_level))
+        )
+        return batch.append_column(
+            "cell_hex", pa.array(cells.hex_cell(lat, lon, hex_resolution))
+        )
+
+    fn.__name__ = "add_cells"
+    return fn
+
+
+def add_grid_cell(bits: int, out_col: str = "cell") -> "callable":
+    def fn(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        return batch.append_column(out_col, pa.array(cells.grid_cell(lat, lon, bits)))
+
+    fn.__name__ = f"add_grid_cell[{bits}]"
+    return fn
+
+
+def add_tile(tile_deg: float = 1.0) -> "callable":
+    """Stage: integer tile coordinates on a fixed lat/lon grid.
+
+    tile_x = floor((lon + 180) / tile_deg), tile_y = floor((lat + 90) / tile_deg)
+    — the SQL twin uses the identical expression.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        tx = np.floor((lon + 180.0) / tile_deg).astype(np.int64)
+        ty = np.floor((lat + 90.0) / tile_deg).astype(np.int64)
+        batch = batch.append_column("tile_x", pa.array(tx))
+        return batch.append_column("tile_y", pa.array(ty))
+
+    fn.__name__ = f"add_tile[{tile_deg}]"
+    return fn
+
+
+def tile_sql(tile_deg: float, lat_expr: str, lon_expr: str) -> tuple[str, str]:
+    """(tile_x, tile_y) SQL expressions matching :func:`add_tile`."""
+    return (
+        f"CAST(floor(({lon_expr} + 180.0) / {tile_deg}) AS BIGINT)",
+        f"CAST(floor(({lat_expr} + 90.0) / {tile_deg}) AS BIGINT)",
+    )
+
+
+def add_pixel(tile_deg: float, tile_px: int) -> "callable":
+    """Stage: within-tile pixel coordinates (vector→raster burn grid).
+
+    Affine inverse of the tile grid: px = floor(frac_x * tile_px), with
+    frac the position inside the tile.  SQL twin in pixel_sql.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        gx = (lon + 180.0) / tile_deg
+        gy = (lat + 90.0) / tile_deg
+        px = np.floor((gx - np.floor(gx)) * tile_px).astype(np.int64)
+        py = np.floor((gy - np.floor(gy)) * tile_px).astype(np.int64)
+        batch = batch.append_column("px", pa.array(px))
+        return batch.append_column("py", pa.array(py))
+
+    fn.__name__ = "add_pixel"
+    return fn
+
+
+def pixel_sql(tile_deg: float, tile_px: int, lat_expr: str, lon_expr: str):
+    gx = f"(({lon_expr} + 180.0) / {tile_deg})"
+    gy = f"(({lat_expr} + 90.0) / {tile_deg})"
+    return (
+        f"CAST(floor(({gx} - floor({gx})) * {tile_px}) AS BIGINT)",
+        f"CAST(floor(({gy} - floor({gy})) * {tile_px}) AS BIGINT)",
+    )
+
+
+def web_mercator() -> "callable":
+    """Stage: EPSG:4326 -> EPSG:3857 (spherical mercator), rounded to mm.
+
+    Rounding keeps the value-hash comparison against the SQL twin exact
+    despite potential last-ulp libm differences.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        from ..functions.crs import wgs84_to_webmercator
+
+        x, y = wgs84_to_webmercator(lat, lon)
+        batch = batch.append_column("x3857", pa.array(np.round(x, 3)))
+        return batch.append_column("y3857", pa.array(np.round(y, 3)))
+
+    fn.__name__ = "web_mercator"
+    return fn
+
+
+class BroadcastPIP:
+    """Actor-pool stage: point-in-polygon against a broadcast zone set.
+
+    The zone table (vertices + bboxes + a cell→zones index) is shipped
+    once via ``ray.put`` and materialized per actor in ``__init__`` —
+    the "small side broadcast, no shuffle" join (SURVEY.md §7.3).
+
+    Emits one output row per (point, containing zone) pair.
+    """
+
+    def __init__(self, zones_ref, id_col: str, keep_cols: tuple[str, ...] = ()):
+        import ray
+
+        z = ray.get(zones_ref)  # dict with zone_id, vertex_xy, ring_offsets
+        self.zone_id = z["zone_id"]
+        self.vertex_xy = z["vertex_xy"]
+        self.ring_offsets = z["ring_offsets"]
+        boxes = geom.bbox_of_rings(self.vertex_xy, self.ring_offsets)
+        self.tree = geom.STRtree(boxes)
+        self.id_col = id_col
+        self.keep_cols = keep_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        pi, zi = self.tree.query_points(lon, lat)
+        if len(pi):
+            ok = geom.points_in_polygons_pairs(
+                lon[pi], lat[pi], zi, self.vertex_xy, self.ring_offsets
+            )
+            pi, zi = pi[ok], zi[ok]
+        cols = {
+            self.id_col: batch[self.id_col].take(pa.array(pi)),
+            "zone_id": pa.array(self.zone_id[zi]),
+        }
+        for c in self.keep_cols:
+            cols[c] = batch[c].take(pa.array(pi))
+        return pa.table(cols)
+
+
+def zones_payload(zone_keys: np.ndarray) -> dict:
+    """Diamond-zone broadcast payload (zone_id, packed vertices)."""
+    verts = synthgeo.zone_vertices(zone_keys)
+    return {
+        "zone_id": np.asarray(zone_keys, dtype=np.int64),
+        "vertex_xy": verts.reshape(-1, 2),
+        "ring_offsets": np.arange(0, 4 * (len(zone_keys) + 1), 4),
+    }

@@ -1,0 +1,58 @@
+"""End-to-end smoke + correctness tests through the driver contract."""
+
+import numpy as np
+import pytest
+
+
+def test_entry_flagship(ray_session):
+    import __ray_entry__ as E
+
+    ds = E.entry()
+    df = ds.to_pandas()
+    assert len(df) > 0
+    assert list(df.columns) == ["zone_id", "n_points", "sum_qty"]
+    assert (df["n_points"] > 0).all()
+    assert df["zone_id"].is_unique
+
+
+def test_queries_have_oracles_or_are_documented(ray_session):
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # rows-only queries are the documented non-SQL-expressible ones
+    assert set(qs) - set(oracles) == {"geo_cells"}
+
+
+def test_pip_join_small_oracle(ray_session, sf_small):
+    """Partitioned PIP join vs direct closed-form evaluation at sf0.001."""
+    import pyarrow.parquet as pq
+
+    from geografir_ray.functions import synthgeo
+    from geografir_ray.pipelines.spatial import N_ZONES, pip_customer_zones
+
+    out = pip_customer_zones(sf_small).to_pandas()
+
+    cust = pq.read_table(f"{sf_small}/customer.parquet", columns=["c_custkey"])
+    k = cust["c_custkey"].to_numpy().astype(np.int64)
+    lat = synthgeo.synth_lat(k)
+    lon = synthgeo.synth_lon(k)
+    zp = synthgeo.zone_params(np.arange(N_ZONES, dtype=np.int64))
+    expect = set()
+    for z in range(N_ZONES):
+        inside = synthgeo.point_in_diamond(
+            lon, lat, zp["cx"][z], zp["cy"][z], zp["rx"][z], zp["ry"][z]
+        )
+        for pid in k[inside]:
+            expect.add((int(pid), z))
+    got = set(zip(out["point_id"].tolist(), out["zone_id"].tolist()))
+    assert got == expect
+
+
+def test_tile_assign_deterministic(ray_session, sf_small):
+    from geografir_ray.pipelines.spatial import tile_assign
+
+    a = tile_assign(sf_small).to_pandas()
+    b = tile_assign(sf_small).to_pandas()
+    assert a.equals(b)
