@@ -267,3 +267,74 @@ def cover_bboxes_with_grid(
     if not polys:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
     return np.concatenate(polys), np.concatenate(cellids)
+
+
+# ---------------------------------------------------------------------------
+# Grid-bucket zone index (fast vectorized point→candidate-zone lookup)
+# ---------------------------------------------------------------------------
+
+
+class GridZoneIndex:
+    """Broadcastable point-in-polygon index over a zone set.
+
+    Build: explode zone bboxes to covering grid cells (bits-resolution),
+    sort by cell.  Query: cell per point → searchsorted run lookup →
+    variable-length candidate expansion (all numpy, no per-point loop,
+    no O(points × nodes) intermediates — the STR-tree descent
+    materializes (npts × fanout) index arrays per level, which is the
+    wrong trade for millions of points against a broadcast zone set).
+    """
+
+    def __init__(self, vertex_xy: np.ndarray, ring_offsets: np.ndarray, bits: int = 6):
+        self.vertex_xy = vertex_xy
+        self.ring_offsets = np.asarray(ring_offsets, dtype=np.int64)
+        self.bits = bits
+        self.boxes = bbox_of_rings(vertex_xy, self.ring_offsets)
+        poly_idx, cell_ids = cover_bboxes_with_grid(self.boxes, bits)
+        order = np.argsort(cell_ids, kind="stable")
+        self._cells = cell_ids[order]
+        self._polys = poly_idx[order]
+        self._ucells, ustart = np.unique(self._cells, return_index=True)
+        self._ustart = np.concatenate([ustart, [len(self._cells)]])
+
+    def query_points(self, px: np.ndarray, py: np.ndarray):
+        """(point_idx, poly_idx) candidate pairs (bbox-filtered)."""
+        from .cells import grid_cell
+
+        pcell = grid_cell(py, px, self.bits)
+        loc = np.searchsorted(self._ucells, pcell)
+        loc_c = np.clip(loc, 0, max(len(self._ucells) - 1, 0))
+        valid = (
+            (self._ucells[loc_c] == pcell)
+            if len(self._ucells)
+            else np.zeros(len(px), dtype=bool)
+        )
+        vpt = np.flatnonzero(valid)
+        starts = self._ustart[loc_c[vpt]]
+        ends = self._ustart[loc_c[vpt] + 1]
+        counts = ends - starts
+        pt_idx = np.repeat(vpt, counts)
+        # gather candidate runs: ranges [starts, ends) concatenated
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        run_pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        cand = self._polys[np.repeat(starts, counts) + run_pos]
+        # bbox filter
+        b = self.boxes[cand]
+        x = px[pt_idx]
+        y = py[pt_idx]
+        hit = (b[:, 0] <= x) & (b[:, 2] >= x) & (b[:, 1] <= y) & (b[:, 3] >= y)
+        return pt_idx[hit], cand[hit]
+
+    def contains_pairs(self, px: np.ndarray, py: np.ndarray):
+        """Exact (point_idx, poly_idx) containment pairs."""
+        pi, zi = self.query_points(px, py)
+        if len(pi):
+            ok = points_in_polygons_pairs(
+                px[pi], py[pi], zi, self.vertex_xy, self.ring_offsets
+            )
+            pi, zi = pi[ok], zi[ok]
+        return pi, zi

@@ -44,21 +44,22 @@ def flagship(sf_dir: str):
             }
         )
 
-    pts = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    pts = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     pts = pts.map_batches(
         geo_stages.add_cells(geohash_precision=7, s2_level=10, hex_resolution=6),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=None,
     )
 
     zones_ref = ray.put(geo_stages.zones_payload(np.arange(N_ZONES, dtype=np.int64)))
-    # actor-pool stage: class + concurrency so the STR-tree builds once per actor
+    # task-based broadcast PIP: zone index cached once per worker process,
+    # stage fuses with derive/add_cells (see broadcast_pip_task docstring)
     pairs = pts.map_batches(
-        geo_stages.BroadcastPIP,
-        fn_constructor_args=(zones_ref, "point_id", ("qty_c", "cell_s2")),
+        geo_stages.broadcast_pip_task(zones_ref, "point_id", ("qty_c", "cell_s2")),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        batch_size=None,
     )
 
     def to_partial(t: pa.Table) -> pa.Table:

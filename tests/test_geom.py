@@ -166,3 +166,28 @@ def test_synthgeo_ranges_and_determinism():
     # skew: hot fraction ~70%
     hot = (k % 10) < 7
     assert 0.69 < hot.mean() < 0.71
+
+
+def test_grid_zone_index_matches_brute_force():
+    rng = np.random.default_rng(53)
+    zones = np.arange(25, dtype=np.int64)
+    verts = synthgeo.zone_vertices(zones)
+    vertex_xy = verts.reshape(-1, 2)
+    ring_offsets = np.arange(0, 4 * 26, 4)
+    idx = geom.GridZoneIndex(vertex_xy, ring_offsets, bits=6)
+    px = rng.uniform(-180, 180, 20000)
+    py = rng.uniform(-60, 72, 20000)
+    pi, zi = idx.contains_pairs(px, py)
+    got = set(zip(pi.tolist(), zi.tolist()))
+    p = synthgeo.zone_params(zones)
+    expect = set()
+    for z in range(25):
+        inside = synthgeo.point_in_diamond(px, py, p["cx"][z], p["cy"][z], p["rx"][z], p["ry"][z])
+        expect.update((int(i), z) for i in np.flatnonzero(inside))
+    assert got == expect
+
+
+def test_grid_zone_index_empty():
+    idx = geom.GridZoneIndex(np.empty((0, 2)), np.array([0]), bits=6)
+    pi, zi = idx.contains_pairs(np.array([1.0]), np.array([2.0]))
+    assert len(pi) == 0 and len(zi) == 0

@@ -26,11 +26,15 @@ def to_table(result):
     import ray
 
     if isinstance(result, ray.data.Dataset):
-        tables = ray.get(result.to_arrow_refs())
+        tables = [
+            b for b in result.iter_batches(batch_size=None, batch_format="pyarrow")
+        ]
         tables = [t for t in tables if t.num_rows > 0] or tables[:1]
-        import pyarrow as pa2
-
-        return pa2.concat_tables(tables, promote_options="permissive") if tables else pa.table({})
+        return (
+            pa.concat_tables(tables, promote_options="permissive")
+            if tables
+            else pa.table({})
+        )
     raise TypeError(type(result))
 
 
