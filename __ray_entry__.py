@@ -26,6 +26,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from geografir_ray.pipelines import documents as D
+    from geografir_ray.pipelines import embeddings as M
+    from geografir_ray.pipelines import events as E
     from geografir_ray.pipelines import relational as R
     from geografir_ray.pipelines import spatial as S
 
@@ -45,10 +48,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_reproject": S.reproject_customers,
         "geo_bbox_by_nation": S.bbox_by_nation,
         "geo_cells": S.cell_assignment,  # rows-only: cell ids not SQL-expressible
+        # events (window / session / as-of)
+        "events_hourly": E.events_hourly,
+        "events_sessions": E.events_sessions,
+        "events_asof_signup": E.events_asof_signup,
+        "events_top_users": E.events_top_users,
+        # documents (text analysis + dedup family)
+        "docs_stats": D.docs_stats,
+        "docs_term_topk": D.docs_term_topk,
+        "docs_exact_dedup": D.docs_exact_dedup,
+        "docs_jaccard_pairs": D.docs_jaccard_pairs,
+        "docs_quality": D.docs_quality,
+        "docs_text_passthrough": D.docs_text_passthrough,
+        "docs_minhash_lsh": D.docs_minhash_lsh,  # rows-only: minhash seeds
+        "docs_simhash": D.docs_simhash,  # rows-only: simhash bits
+        "docs_langid_quality": D.docs_langid_quality,  # rows-only: heuristic model
+        "docs_fingerprints": D.docs_fingerprints,  # rows-only: rolling hash
+        # embeddings (similarity search / ANN)
+        "emb_knn": M.emb_knn,
+        "emb_neardup": M.emb_neardup,
+        "emb_label_stats": M.emb_label_stats,  # rows-only: float mean order
+        "emb_ivf_knn": M.emb_ivf_knn,  # rows-only: approximate by design
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from geografir_ray.pipelines import documents as D
+    from geografir_ray.pipelines import embeddings as M
+    from geografir_ray.pipelines import events as E
     from geografir_ray.pipelines import relational as R
     from geografir_ray.pipelines import spatial as S
 
@@ -65,5 +92,19 @@ def oracle_sql() -> dict[str, str]:
         "geo_knn": S.knn_doc_suppliers_sql(),
         "geo_reproject": S.REPROJECT_SQL,
         "geo_bbox_by_nation": S.BBOX_BY_NATION_SQL,
-        # geo_cells: intentionally omitted (rows-only check)
+        "events_hourly": E.EVENTS_HOURLY_SQL,
+        "events_sessions": E.EVENTS_SESSIONS_SQL,
+        "events_asof_signup": E.EVENTS_ASOF_SQL,
+        "events_top_users": E.EVENTS_TOP_USERS_SQL,
+        "docs_stats": D.DOCS_STATS_SQL,
+        "docs_term_topk": D.DOCS_TERM_TOPK_SQL,
+        "docs_exact_dedup": D.DOCS_EXACT_DEDUP_SQL,
+        "docs_jaccard_pairs": D.DOCS_JACCARD_SQL,
+        "docs_quality": D.DOCS_QUALITY_SQL,
+        "docs_text_passthrough": D.DOCS_TEXT_PASSTHROUGH_SQL,
+        "emb_knn": M.EMB_KNN_SQL,
+        "emb_neardup": M.EMB_NEARDUP_SQL,
+        # rows-only (documented): geo_cells, docs_minhash_lsh,
+        # docs_simhash, docs_langid_quality, docs_fingerprints,
+        # emb_label_stats, emb_ivf_knn
     }

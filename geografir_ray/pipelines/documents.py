@@ -1,0 +1,503 @@
+"""Document pipelines: text analysis, term frequencies, and the
+deduplication family (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+fingerprints) — the training-data operators of the engine.
+
+The ``text`` column is never modified anywhere in these pipelines
+(byte-identical passthrough invariant, BASELINE.json:15): stages only
+READ it and emit derived columns.
+
+Tokenization contract shared with the SQL oracles: split on single
+spaces, drop empties (functions/text.py docstring).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import text as T
+from ..sources.tables import read_table
+from .common import grouped_sum
+
+_TOKENS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# Per-document stats (token counts, distinct ratio, char count check)
+# ---------------------------------------------------------------------------
+
+
+def docs_stats(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(T.token_counts(texts)),
+                "n_distinct": pa.array(T.distinct_token_counts(texts)),
+                "text_len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+DOCS_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_TOKENS_SQL})) AS BIGINT) AS n_distinct,
+       CAST(length(text) AS BIGINT) AS text_len,
+       n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus term frequencies: explode tokens → two-phase count → top-k
+# (the token is the shuffle key; per-batch combining collapses the
+# zipf-hot head before the exchange)
+# ---------------------------------------------------------------------------
+
+
+def docs_term_topk(sf_dir: str, k: int = 50):
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        # per-batch combiner fused into the explode: emit (token, count)
+        counts: dict[str, int] = {}
+        for s in t["text"].to_pylist():
+            if s:
+                for w in s.split(" "):
+                    if w:
+                        counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), type=pa.string()),
+                "n": pa.array(np.fromiter(counts.values(), dtype=np.int64, count=len(counts))),
+            }
+        )
+
+    ds = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_sum(ds, ["token"], {"n": ("n", "sum")})
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+DOCS_TERM_TOPK_SQL = f"""
+SELECT token, count(*)::BIGINT AS n
+FROM (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-partition on text, keep min doc_id per group
+# (scale path: the shuffle key is a 64-bit content hash, not the full
+# text — only the winner row's id moves in phase 2)
+# ---------------------------------------------------------------------------
+
+
+def docs_exact_dedup(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hash_stage(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash_strings
+
+        h = hash_strings(t["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_hash": pa.array(
+                    (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+                ),
+            }
+        )
+
+    hashed = ds.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_sum(
+        hashed.map_batches(
+            lambda t: pa.table(
+                {
+                    "text_hash": t["text_hash"],
+                    "doc_id": t["doc_id"],
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["text_hash"],
+        {"doc_id": ("doc_id", "min"), "n_dupes": ("one", "sum")},
+    )
+    return agg.select_columns(["doc_id", "n_dupes"]).sort("doc_id")
+
+
+DOCS_EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dupes
+FROM documents
+GROUP BY text
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram (token-set) Jaccard pairs: token-inverted-index join →
+# pair co-count → |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
+# Shuffle key: token.  Output int pair ids only (exact oracle parity).
+# ---------------------------------------------------------------------------
+
+
+def docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def distinct_tokens(t: pa.Table) -> pa.Table:
+        ids = []
+        toks = []
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ts = sorted(set(T.tokenize(s or "")))
+            ids.extend([d] * len(ts))
+            toks.extend(ts)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "token": pa.array(toks, type=pa.string()),
+            }
+        )
+
+    posting = ds.map_batches(distinct_tokens, batch_format="pyarrow")
+
+    # token-partitioned pair generation: per token group, emit all doc
+    # pairs (a < b).  Hot tokens are bounded by the 64-word synthetic
+    # vocabulary here; at scale, stop-token filtering (drop tokens with
+    # df > cutoff) caps the quadratic blowup — documented tradeoff.
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["doc_id"].values.astype(np.int64))
+        if len(d) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64), "common": pd.Series([], dtype=np.int64)})
+        ii, jj = np.triu_indices(len(d), k=1)
+        return pd.DataFrame({"a": d[ii], "b": d[jj], "common": np.ones(len(ii), dtype=np.int64)})
+
+    pair_counts = grouped_sum(
+        posting.groupby("token").map_groups(pairs, batch_format="pandas"),
+        ["a", "b"],
+        {"common": ("common", "sum")},
+    )
+
+    # broadcast doc -> set size, verify jaccard
+    sizes_pd = (
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "sz": pa.array(T.distinct_token_counts(t["text"].to_pylist())),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    keys = np.sort(sizes_pd["doc_id"].values.astype(np.int64))
+    szs = sizes_pd.sort_values("doc_id")["sz"].values.astype(np.int64)
+    ref = ray.put((keys, szs))
+
+    class Verify:
+        def __init__(self):
+            self.keys, self.szs = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            common = t["common"].to_numpy(zero_copy_only=False)
+            sa = self.szs[np.searchsorted(self.keys, a)]
+            sb = self.szs[np.searchsorted(self.keys, b)]
+            union = sa + sb - common
+            jac = common / np.maximum(union, 1)
+            keep = jac >= threshold
+            return pa.table(
+                {"a": pa.array(a[keep]), "b": pa.array(b[keep])}
+            )
+
+    return (
+        pair_counts.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+        .sort(["a", "b"])
+    )
+
+
+DOCS_JACCARD_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS token FROM documents
+),
+sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS sz FROM tok GROUP BY doc_id
+),
+common AS (
+  SELECT t1.doc_id AS a, t2.doc_id AS b, count(*)::BIGINT AS c
+  FROM tok t1 JOIN tok t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+  GROUP BY t1.doc_id, t2.doc_id
+)
+SELECT a, b FROM common
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE c >= 0.8 * (sa.sz + sb.sz - c)
+ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup candidates (rows-only: minhash seeds are not
+# SQL-expressible).  Candidates from band-bucket collisions, verified
+# with exact token-set jaccard via broadcast token sets.
+# ---------------------------------------------------------------------------
+
+
+def docs_minhash_lsh(sf_dir: str, num_perm: int = 128, n_bands: int = 16, threshold: float = 0.5):
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def band_stage(t: pa.Table) -> pa.Table:
+        # minhash coefficients are module-cached (built once per worker
+        # process); plain task fn keeps the stage fusable and avoids
+        # reserving pool CPUs on small sessions
+        T._minhash_coeffs(num_perm)
+        ids = []
+        bands = []
+        hashes = []
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sig = T.minhash_signature(T.shingle_hashes(s or "", k=3), num_perm)
+            bh = T.minhash_bands(sig, n_bands)
+            ids.extend([d] * n_bands)
+            bands.extend(range(n_bands))
+            hashes.extend((bh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "band": pa.array(bands, type=pa.int64()),
+                "bucket": pa.array(hashes, type=pa.int64()),
+            }
+        )
+
+    banded = ds.map_batches(band_stage, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.unique(g["doc_id"].values.astype(np.int64))
+        if len(d) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
+        ii, jj = np.triu_indices(len(d), k=1)
+        return pd.DataFrame({"a": d[ii], "b": d[jj]})
+
+    cand = (
+        banded.groupby(["band", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+    )
+
+    # verify candidates with exact jaccard (token sets broadcast)
+    docs_pd = read_table(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
+    token_sets = {
+        int(d): set(T.tokenize(s or "")) for d, s in zip(docs_pd["doc_id"], docs_pd["text"])
+    }
+    ref = ray.put(token_sets)
+
+    _cache: dict = {}
+
+    def verify_jac(t: pa.Table) -> pa.Table:
+        if "sets" not in _cache:
+            _cache["sets"] = ray.get(ref)
+        sets = _cache["sets"]
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        keep = []
+        for x, y in zip(a, b):
+            sa, sb = sets[x], sets[y]
+            j = len(sa & sb) / max(len(sa | sb), 1)
+            if j >= threshold:
+                keep.append((x, y, j))
+        if not keep:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
+                 "jaccard_pct": pa.array([], type=pa.int64())}
+            )
+        aa, bb, jj = zip(*keep)
+        return pa.table(
+            {
+                "a": pa.array(aa, type=pa.int64()),
+                "b": pa.array(bb, type=pa.int64()),
+                "jaccard_pct": pa.array([int(x * 100) for x in jj], type=pa.int64()),
+            }
+        )
+
+    return cand.map_batches(verify_jac, batch_format="pyarrow").sort(["a", "b"])
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures + near-dup buckets (rows-only)
+# ---------------------------------------------------------------------------
+
+
+def docs_simhash(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sim(t: pa.Table) -> pa.Table:
+        sh = np.fromiter(
+            (T.simhash64(s or "") for s in t["text"].to_pylist()),
+            dtype=np.uint64,
+            count=t.num_rows,
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "simhash": pa.array((sh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)),
+                # 16-bit band keys for hamming-bucket grouping
+                "band0": pa.array((sh & np.uint64(0xFFFF)).astype(np.int64)),
+                "band1": pa.array(((sh >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.int64)),
+                "band2": pa.array(((sh >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)),
+                "band3": pa.array(((sh >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(sim, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID + quality score (rows-only: heuristic models)
+# ---------------------------------------------------------------------------
+
+
+def docs_langid_quality(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    class Score:
+        """Actor-pool stage: marker tables loaded once per actor."""
+
+        def __init__(self):
+            self.markers = T._LANG_MARKERS
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t["text"].to_pylist()
+            q = T.quality_stats(texts)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "lang": t["lang"],
+                    "lang_pred": pa.array(T.langid(texts)),
+                    "n_tokens": pa.array(q["n_tokens"]),
+                    "distinct_pct": pa.array(
+                        np.floor(q["distinct_ratio"] * 100.0).astype(np.int64)
+                    ),
+                    "stopword_pct": pa.array(
+                        np.floor(q["stopword_ratio"] * 100.0).astype(np.int64)
+                    ),
+                }
+            )
+
+    return ds.map_batches(Score, batch_format="pyarrow", concurrency=2).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Quality stats with SQL twin (the SQL-expressible subset)
+# ---------------------------------------------------------------------------
+
+
+def docs_quality(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_tok = T.token_counts(texts)
+        n_dis = T.distinct_token_counts(texts)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(n_tok > 0, n_dis / np.maximum(n_tok, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "distinct_pct": pa.array(np.floor(ratio * 100.0).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+DOCS_QUALITY_SQL = f"""
+SELECT doc_id,
+       CAST(floor(CASE WHEN len({_TOKENS_SQL}) > 0
+                  THEN len(list_distinct({_TOKENS_SQL})) / greatest(len({_TOKENS_SQL}), 1) * 100.0
+                  ELSE 0.0 END) AS BIGINT) AS distinct_pct
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprints (rows-only)
+# ---------------------------------------------------------------------------
+
+
+def docs_fingerprints(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        ids = []
+        prints = []
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            f = T.rolling_fingerprints(s or "")
+            ids.extend([d] * len(f))
+            prints.extend((f & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "fingerprint": pa.array(prints, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["doc_id", "fingerprint"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Byte-identical text passthrough proof: texts survive a full
+# shuffle+map round-trip with identical content hash per doc_id.
+# ---------------------------------------------------------------------------
+
+
+def docs_text_passthrough(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    # a pointless-but-real pipeline: filter, shuffle-ish repartition, map
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.repartition(8)
+
+    def hash_text(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_len": pc.cast(pc.binary_length(pc.cast(t["text"], pa.binary())), pa.int64()),
+                "text": t["text"],
+            }
+        )
+
+    return ds.map_batches(hash_text, batch_format="pyarrow").sort("doc_id")
+
+
+DOCS_TEXT_PASSTHROUGH_SQL = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS text_len, text
+FROM documents
+ORDER BY doc_id
+"""

@@ -1,0 +1,234 @@
+"""Event-stream pipelines: tumbling windows, sessionization, as-of join.
+
+Ray Data is a batch engine; stream-shaped semantics are expressed as
+groupbys over (key, time-bucket) and per-key ordered map_groups
+(ray_guide: "Streaming-shaped workloads").  Ordering assumption: within
+a (user_id) group, rows are sorted by (ts, event_id) inside the group
+fn — never relying on global input order.
+
+The events table is (event_id, ts, user_id, event_type, value, props).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.tables import read_table
+from .common import grouped_sum
+
+SESSION_GAP_MIN = 30
+
+
+# ---------------------------------------------------------------------------
+# Tumbling hourly window: count + exact value sum per (hour, event_type)
+# ---------------------------------------------------------------------------
+
+
+def events_hourly(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        # epoch-hour bucket; identical to SQL date_trunc('hour', ts)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        hour = ts.astype("datetime64[h]").astype("datetime64[us]")
+        return pa.table(
+            {
+                "hour": pa.array(hour),
+                "event_type": t["event_type"],
+                "value_c": pc.cast(
+                    pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
+                ),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    ds = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_sum(
+        ds,
+        ["hour", "event_type"],
+        {"n_events": ("one", "sum"), "sum_value_c": ("value_c", "sum")},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": t["hour"],
+                "event_type": t["event_type"],
+                "n_events": t["n_events"],
+                "sum_value": pc.divide(pc.cast(t["sum_value_c"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(["hour", "event_type"])
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 100.0) AS BIGINT)) / 100.0 AS sum_value
+FROM events
+GROUP BY hour, event_type
+ORDER BY hour, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: per-user session count with a 30-minute inactivity gap
+# (groupby(user) → per-group sort + diff; the partition key is user_id)
+# ---------------------------------------------------------------------------
+
+
+def events_sessions(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].values
+        gaps = np.diff(ts) > np.timedelta64(SESSION_GAP_MIN * 60, "s")
+        n_sessions = 1 + int(gaps.sum())
+        return pd.DataFrame(
+            {
+                "user_id": [np.int64(g["user_id"].iloc[0])],
+                "n_sessions": [np.int64(n_sessions)],
+                "n_events": [np.int64(len(g))],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").sort(
+        "user_id"
+    )
+
+
+EVENTS_SESSIONS_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       count(*) FILTER (WHERE prev_ts IS NULL
+                        OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE) AS n_sessions,
+       count(*) AS n_events
+FROM o
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's most recent signup at
+# or before the purchase ts (tie-break: max signup event_id).
+# Partition key: user_id; per-group sorted searchsorted (merge_asof
+# semantics with an explicit deterministic tie rule).
+# ---------------------------------------------------------------------------
+
+
+def events_asof_signup(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.or_(
+            pc.equal(t["event_type"], "purchase"), pc.equal(t["event_type"], "signup")
+        )
+        return t.filter(m)
+
+    ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        purchases = g[g["event_type"] == "purchase"]
+        signups = g[g["event_type"] == "signup"].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype=np.int64),
+                "signup_event_id": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(purchases) == 0:
+            return empty
+        sts = signups["ts"].values
+        sid = signups["event_id"].values
+        # index of last signup with ts <= purchase ts; sorted by (ts,
+        # event_id) so position idx-1 is max ts then max event_id
+        pos = np.searchsorted(sts, purchases["ts"].values, side="right") - 1
+        matched = pos >= 0
+        if not matched.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "event_id": purchases["event_id"].values[matched].astype(np.int64),
+                "signup_event_id": sid[pos[matched]].astype(np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").sort(
+        "event_id"
+    )
+
+
+EVENTS_ASOF_SQL = """
+SELECT event_id, signup_event_id FROM (
+  SELECT p.event_id,
+         (SELECT s.event_id FROM events s
+          WHERE s.event_type = 'signup' AND s.user_id = p.user_id AND s.ts <= p.ts
+          ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS signup_event_id
+  FROM events p
+  WHERE p.event_type = 'purchase'
+)
+WHERE signup_event_id IS NOT NULL
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top users by total purchase value (sort + limit)
+# ---------------------------------------------------------------------------
+
+
+def events_top_users(sf_dir: str, k: int = 20):
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "value_c": pc.cast(
+                    pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
+                ),
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_sum(ds, ["user_id"], {"total_value_c": ("value_c", "sum")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "total_value": pc.divide(
+                    pc.cast(t["total_value_c"], pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .sort(["total_value", "user_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+EVENTS_TOP_USERS_SQL = """
+SELECT user_id,
+       sum(CAST(floor(value * 100.0) AS BIGINT)) / 100.0 AS total_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT 20
+"""

@@ -22,7 +22,15 @@ def test_queries_have_oracles_or_are_documented(ray_session):
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
     # rows-only queries are the documented non-SQL-expressible ones
-    assert set(qs) - set(oracles) == {"geo_cells"}
+    assert set(qs) - set(oracles) == {
+        "geo_cells",
+        "docs_minhash_lsh",
+        "docs_simhash",
+        "docs_langid_quality",
+        "docs_fingerprints",
+        "emb_label_stats",
+        "emb_ivf_knn",
+    }
 
 
 def test_pip_join_small_oracle(ray_session, sf_small):

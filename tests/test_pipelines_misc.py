@@ -1,0 +1,78 @@
+"""Tests for events / documents / embeddings pipelines: determinism,
+internal-consistency, and ANN recall."""
+
+import numpy as np
+import pytest
+
+
+def test_minhash_lsh_pairs_verified_and_deterministic(ray_session, sf_small):
+    from geografir_ray.functions import text as T
+    from geografir_ray.pipelines.documents import docs_minhash_lsh
+
+    a = docs_minhash_lsh(sf_small).to_pandas()
+    b = docs_minhash_lsh(sf_small).to_pandas()
+    assert a.equals(b)
+    # every returned pair really has jaccard >= threshold (verified stage)
+    assert (a["jaccard_pct"] >= 50).all()
+    assert (a["a"] < a["b"]).all()
+
+
+def test_ivf_knn_recall_vs_brute_force(ray_session, sf_small):
+    from geografir_ray.pipelines.embeddings import emb_ivf_knn, emb_knn
+
+    exact = emb_knn(sf_small).to_pandas()
+    approx = emb_ivf_knn(sf_small).to_pandas()
+    # same shape, approximate recall: IVF with nprobe=3/8 buckets should
+    # recover well over half of true top-5 on random vectors
+    assert len(approx) == len(exact)
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+
+
+def test_sessions_match_manual(ray_session, sf_small):
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.events import SESSION_GAP_MIN, events_sessions
+
+    out = events_sessions(sf_small).to_pandas().set_index("user_id")
+    ev = pq.read_table(f"{sf_small}/events.parquet", columns=["user_id", "ts", "event_id"]).to_pandas()
+    for uid, g in list(ev.groupby("user_id"))[:10]:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds() > SESSION_GAP_MIN * 60
+        assert out.loc[uid, "n_sessions"] == 1 + int(gaps.sum())
+        assert out.loc[uid, "n_events"] == len(g)
+
+
+def test_text_passthrough_byte_identical(ray_session, sf_small):
+    """BASELINE.json:15 invariant: text survives the pipeline unchanged."""
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.documents import docs_text_passthrough
+
+    out = docs_text_passthrough(sf_small).to_pandas().sort_values("doc_id")
+    src = (
+        pq.read_table(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["doc_id"]) == list(src["doc_id"])
+    for a, b in zip(out["text"], src["text"]):
+        assert a.encode() == b.encode()  # byte-identical
+
+
+def test_simhash_close_docs_close_hashes(ray_session, sf_small):
+    from geografir_ray.pipelines.documents import docs_simhash
+
+    df = docs_simhash(sf_small).to_pandas()
+    assert df["doc_id"].is_unique and len(df) > 0
+    # bands recompose to the simhash
+    sh = df["simhash"].values.astype(np.uint64)
+    recomposed = (
+        df["band0"].values.astype(np.uint64)
+        | (df["band1"].values.astype(np.uint64) << np.uint64(16))
+        | (df["band2"].values.astype(np.uint64) << np.uint64(32))
+        | (df["band3"].values.astype(np.uint64) << np.uint64(48))
+    ) & np.uint64(0x7FFFFFFFFFFFFFFF)
+    np.testing.assert_array_equal(sh, recomposed)
