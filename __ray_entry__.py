@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from geografir_ray.pipelines import documents as D
     from geografir_ray.pipelines import embeddings as M
     from geografir_ray.pipelines import events as E
+    from geografir_ray.pipelines import rasterq as RQ
     from geografir_ray.pipelines import relational as R
     from geografir_ray.pipelines import spatial as S
 
@@ -69,6 +70,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_neardup": M.emb_neardup,
         "emb_label_stats": M.emb_label_stats,  # rows-only: float mean order
         "emb_ivf_knn": M.emb_ivf_knn,  # rows-only: approximate by design
+        # raster (tile tables / masked stats / burn / conform)
+        "raster_tile_stats": RQ.raster_tile_stats,
+        "raster_burn": RQ.raster_burn,
+        "raster_conform": RQ.raster_conform,  # rows-only: warp kernel pinned in tests
     }
 
 
@@ -76,6 +81,7 @@ def oracle_sql() -> dict[str, str]:
     from geografir_ray.pipelines import documents as D
     from geografir_ray.pipelines import embeddings as M
     from geografir_ray.pipelines import events as E
+    from geografir_ray.pipelines import rasterq as RQ
     from geografir_ray.pipelines import relational as R
     from geografir_ray.pipelines import spatial as S
 
@@ -104,6 +110,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_text_passthrough": D.DOCS_TEXT_PASSTHROUGH_SQL,
         "emb_knn": M.EMB_KNN_SQL,
         "emb_neardup": M.EMB_NEARDUP_SQL,
+        "raster_tile_stats": RQ.RASTER_TILE_STATS_SQL,
+        "raster_burn": RQ.raster_burn_sql(),
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_simhash, docs_langid_quality, docs_fingerprints,
         # emb_label_stats, emb_ivf_knn

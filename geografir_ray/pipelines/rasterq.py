@@ -1,0 +1,224 @@
+"""Raster pipelines over Ray Data: tile tables, zonal (per-tile) masked
+stats, vector→raster burn, and a distributed conform_to stage.
+
+Tile synthesis is deterministic from the ``part`` table (one 16x16
+int tile per part row, pixel v = p_partkey*256 + i, nodata where
+v % 7 == 0 — mirroring the reference's np.arange fixtures,
+raster_test_helpers.py / test_raster_array.py:19-71), so DuckDB can
+reproduce the pixels with generate_series and the oracle is exact.
+
+Scale design: one row per tile (SURVEY.md §1.3 tile table); per-tile
+stats are a pure map (no shuffle at all — the tile IS the partition);
+burn aggregates co-partition on (tile, pixel) with per-batch combine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import synthgeo
+from ..functions.raster import (
+    RasterArray,
+    RasterMetadata,
+    affine_from_bounds,
+)
+from ..sources.tables import read_table
+from .common import grouped_sum
+
+TILE_PX = 16
+NODATA_MOD = 7  # pixel v is nodata when v % 7 == 0
+
+
+def synth_tile_values(partkey: np.ndarray) -> np.ndarray:
+    """(n, 256) int64 pixel values for each part-derived tile."""
+    base = partkey.astype(np.int64)[:, None] * (TILE_PX * TILE_PX)
+    return base + np.arange(TILE_PX * TILE_PX, dtype=np.int64)[None, :]
+
+
+def tiles_dataset(sf_dir: str):
+    """Tile table: one row per part row (tile_id, data, meta fields)."""
+    ds = read_table(sf_dir, "part", columns=["p_partkey"])
+
+    def build(t: pa.Table) -> pa.Table:
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = synth_tile_values(pk)
+        # tile georeference: row-major over a world grid, 1 deg / tile
+        tx = pk % 360
+        ty = (pk // 360) % 180
+        return pa.table(
+            {
+                "tile_id": pa.array(pk),
+                "data": pa.array(list(vals), type=pa.list_(pa.int64())),
+                "crs": pa.array(np.full(len(pk), 4326, dtype=np.int32)),
+                "count": pa.array(np.ones(len(pk), dtype=np.int32)),
+                "width": pa.array(np.full(len(pk), TILE_PX, dtype=np.int32)),
+                "height": pa.array(np.full(len(pk), TILE_PX, dtype=np.int32)),
+                "dtype": pa.array(["int64"] * len(pk)),
+                "nodata": pa.array(np.full(len(pk), -1.0)),
+                "tile_x": pa.array(tx),
+                "tile_y": pa.array(ty),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Zonal / per-tile masked stats: sum + count of non-nodata pixels
+# (pure map over tile rows — zero shuffle; the Ray-native shape of
+# "RasterArray.masked reductions")
+# ---------------------------------------------------------------------------
+
+
+def raster_tile_stats(sf_dir: str):
+    tiles = tiles_dataset(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        data = t["data"]
+        if isinstance(data, pa.ChunkedArray):
+            data = data.combine_chunks()
+        n = len(data)
+        vals = data.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+        mask = vals % NODATA_MOD == 0  # nodata rule
+        valid = ~mask
+        return pa.table(
+            {
+                "tile_id": t["tile_id"],
+                "n_valid": pa.array(valid.sum(axis=1).astype(np.int64)),
+                "sum_valid": pa.array(np.where(valid, vals, 0).sum(axis=1)),
+                "max_valid": pa.array(np.where(valid, vals, np.iinfo(np.int64).min).max(axis=1)),
+            }
+        )
+
+    return tiles.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "tile_id"
+    )
+
+
+RASTER_TILE_STATS_SQL = f"""
+SELECT p_partkey AS tile_id,
+       CAST(count(*) FILTER (WHERE v % {NODATA_MOD} <> 0) AS BIGINT) AS n_valid,
+       CAST(sum(v) FILTER (WHERE v % {NODATA_MOD} <> 0) AS BIGINT) AS sum_valid,
+       CAST(max(v) FILTER (WHERE v % {NODATA_MOD} <> 0) AS BIGINT) AS max_valid
+FROM (
+  SELECT p_partkey, p_partkey * {TILE_PX * TILE_PX} + i AS v
+  FROM part, generate_series(0, {TILE_PX * TILE_PX - 1}) AS t(i)
+)
+GROUP BY p_partkey
+ORDER BY tile_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vector → raster burn: customer points binned to (tile, pixel) counts.
+# Affine inverse = the same floor arithmetic the SQL twin uses.
+# ---------------------------------------------------------------------------
+
+BURN_TILE_DEG = 1.0
+
+
+def raster_burn(sf_dir: str):
+    ds = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def burn(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = synthgeo.synth_lat(k)
+        lon = synthgeo.synth_lon(k)
+        gx = (lon + 180.0) / BURN_TILE_DEG
+        gy = (lat + 90.0) / BURN_TILE_DEG
+        tx = np.floor(gx).astype(np.int64)
+        ty = np.floor(gy).astype(np.int64)
+        px = np.floor((gx - np.floor(gx)) * TILE_PX).astype(np.int64)
+        py = np.floor((gy - np.floor(gy)) * TILE_PX).astype(np.int64)
+        return pa.table(
+            {
+                "tile_x": pa.array(tx),
+                "tile_y": pa.array(ty),
+                "px": pa.array(px),
+                "py": pa.array(py),
+                "one": pa.array(np.ones(len(k), dtype=np.int64)),
+            }
+        )
+
+    ds = ds.map_batches(burn, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_sum(
+        ds, ["tile_x", "tile_y", "px", "py"], {"n_points": ("one", "sum")}
+    )
+    return agg.sort(["tile_y", "tile_x", "py", "px"])
+
+
+def raster_burn_sql() -> str:
+    lat = synthgeo.synth_lat_sql("c_custkey")
+    lon = synthgeo.synth_lon_sql("c_custkey")
+    gx = f"(({lon} + 180.0) / {BURN_TILE_DEG})"
+    gy = f"(({lat} + 90.0) / {BURN_TILE_DEG})"
+    return f"""
+SELECT CAST(floor({gx}) AS BIGINT) AS tile_x,
+       CAST(floor({gy}) AS BIGINT) AS tile_y,
+       CAST(floor(({gx} - floor({gx})) * {TILE_PX}) AS BIGINT) AS px,
+       CAST(floor(({gy} - floor({gy})) * {TILE_PX}) AS BIGINT) AS py,
+       count(*) AS n_points
+FROM customer
+GROUP BY tile_x, tile_y, px, py
+ORDER BY tile_y, tile_x, py, px
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed conform_to: every tile reprojected/resampled onto a
+# shifted half-resolution reference grid (rows-only; kernel goldens are
+# pinned by tests/test_raster.py against the reference's own arrays).
+# The stage is the map_batches form of pipeline (A) in SURVEY.md §3.
+# ---------------------------------------------------------------------------
+
+
+def raster_conform(sf_dir: str):
+    tiles = tiles_dataset(sf_dir)
+
+    def conform(t: pa.Table) -> pa.Table:
+        data = t["data"]
+        if isinstance(data, pa.ChunkedArray):
+            data = data.combine_chunks()
+        n = len(data)
+        vals = data.flatten().to_numpy(zero_copy_only=False).reshape(n, TILE_PX, TILE_PX)
+        tx = t["tile_x"].to_numpy(zero_copy_only=False)
+        ty = t["tile_y"].to_numpy(zero_copy_only=False)
+        out_ids = []
+        out_sums = []
+        out_valid = []
+        for i in range(n):
+            # source tile over [tx, tx+1] x [ty, ty+1] degrees
+            src_meta = RasterMetadata(
+                4326, 1, TILE_PX, TILE_PX, np.int64, -1,
+                affine_from_bounds(tx[i], ty[i], tx[i] + 1.0, ty[i] + 1.0, TILE_PX, TILE_PX),
+            )
+            arr = vals[i : i + 1].copy()
+            arr[arr % NODATA_MOD == 0] = -1  # apply nodata rule
+            src = RasterArray(arr, src_meta)
+            # reference grid: half resolution, quarter-degree shift
+            ref_meta = RasterMetadata(
+                4326, 1, TILE_PX // 2, TILE_PX // 2, np.int64, -1,
+                affine_from_bounds(
+                    tx[i] + 0.25, ty[i] + 0.25, tx[i] + 1.25, ty[i] + 1.25,
+                    TILE_PX // 2, TILE_PX // 2,
+                ),
+            )
+            ref = RasterArray(np.zeros(ref_meta.shape, dtype=np.int64), ref_meta)
+            out = src.conform_to(ref)
+            valid = ~out.mask
+            out_ids.append(int(t["tile_id"][i].as_py()))
+            out_sums.append(int(out.array[valid].sum()))
+            out_valid.append(int(valid.sum()))
+        return pa.table(
+            {
+                "tile_id": pa.array(out_ids, type=pa.int64()),
+                "conform_sum": pa.array(out_sums, type=pa.int64()),
+                "conform_valid": pa.array(out_valid, type=pa.int64()),
+            }
+        )
+
+    return tiles.map_batches(conform, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "tile_id"
+    )

@@ -76,3 +76,43 @@ def test_simhash_close_docs_close_hashes(ray_session, sf_small):
         | (df["band3"].values.astype(np.uint64) << np.uint64(48))
     ) & np.uint64(0x7FFFFFFFFFFFFFFF)
     np.testing.assert_array_equal(sh, recomposed)
+
+
+def test_raster_conform_pipeline_matches_local(ray_session, sf_small):
+    """Distributed conform stage vs direct local RasterArray.conform_to."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geografir_ray.functions.raster import (
+        RasterArray,
+        RasterMetadata,
+        affine_from_bounds,
+    )
+    from geografir_ray.pipelines.rasterq import (
+        NODATA_MOD,
+        TILE_PX,
+        raster_conform,
+        synth_tile_values,
+    )
+
+    out = raster_conform(sf_small).to_pandas().set_index("tile_id")
+    part = pq.read_table(f"{sf_small}/part.parquet", columns=["p_partkey"]).to_pandas()
+    for pk in part["p_partkey"].values[:20]:
+        tx, ty = int(pk % 360), int((pk // 360) % 180)
+        vals = synth_tile_values(np.array([pk]))[0].reshape(1, TILE_PX, TILE_PX).copy()
+        vals[vals % NODATA_MOD == 0] = -1
+        src = RasterArray(
+            vals,
+            RasterMetadata(4326, 1, TILE_PX, TILE_PX, np.int64, -1,
+                           affine_from_bounds(tx, ty, tx + 1, ty + 1, TILE_PX, TILE_PX)),
+        )
+        ref = RasterArray(
+            np.zeros((1, TILE_PX // 2, TILE_PX // 2), dtype=np.int64),
+            RasterMetadata(4326, 1, TILE_PX // 2, TILE_PX // 2, np.int64, -1,
+                           affine_from_bounds(tx + 0.25, ty + 0.25, tx + 1.25, ty + 1.25,
+                                              TILE_PX // 2, TILE_PX // 2)),
+        )
+        local = src.conform_to(ref)
+        valid = ~local.mask
+        assert out.loc[pk, "conform_sum"] == int(local.array[valid].sum())
+        assert out.loc[pk, "conform_valid"] == int(valid.sum())

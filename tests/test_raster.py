@@ -1,0 +1,298 @@
+"""RasterArray/RasterMetadata semantics ported from the reference test
+suite (/root/reference/raster_array/tests/) onto the from-scratch
+implementation — same golden arrays, same error messages."""
+
+import numpy as np
+import pytest
+
+from geografir_ray.functions.raster import (
+    COG_PROFILE,
+    GEOTIFF_PROFILE,
+    RasterArray,
+    RasterArrayDtypeError,
+    RasterArrayShapeError,
+    RasterMetadata,
+    affine_from_bounds,
+    apply_cog_profile,
+    apply_geotiff_profile,
+    ensure_band_index,
+    ensure_valid_nodata,
+)
+
+
+def make_raster(data, nodata, dtype):
+    """generate_raster equivalent (raster_test_helpers.py:39-68):
+    EPSG:4326, bounds=(0, 0, width, height)."""
+    data = np.asarray(data, dtype=dtype)
+    count, height, width = data.shape
+    meta = RasterMetadata(
+        crs=4326,
+        count=count,
+        width=width,
+        height=height,
+        dtype=dtype,
+        nodata=nodata,
+        transform=affine_from_bounds(0, 0, width, height, width, height),
+    )
+    return RasterArray(data, meta)
+
+
+# --- constructor validation (test_raster_array.py:537-596 style) --------
+
+
+def test_init_requires_3d():
+    meta = RasterMetadata(4326, 1, 4, 4, np.int16, -99, affine_from_bounds(0, 0, 4, 4, 4, 4))
+    with pytest.raises(RasterArrayShapeError, match="Array must have 3 dimensions, has 2"):
+        RasterArray(np.zeros((4, 4), dtype=np.int16), meta)
+
+
+def test_init_shape_mismatch():
+    meta = RasterMetadata(4326, 1, 4, 4, np.int16, -99, affine_from_bounds(0, 0, 4, 4, 4, 4))
+    with pytest.raises(RasterArrayShapeError, match="does not match metadata shape"):
+        RasterArray(np.zeros((1, 3, 4), dtype=np.int16), meta)
+
+
+def test_init_dtype_mismatch():
+    meta = RasterMetadata(4326, 1, 4, 4, np.int16, -99, affine_from_bounds(0, 0, 4, 4, 4, 4))
+    with pytest.raises(RasterArrayDtypeError, match="does not match metadata dtype"):
+        RasterArray(np.zeros((1, 4, 4), dtype=np.int32), meta)
+
+
+# --- mask semantics (raster_array.py:106-133) ---------------------------
+
+
+def test_mask_value_nodata():
+    r = make_raster([[[0, 1], [1, 0]]], nodata=0, dtype=np.int16)
+    np.testing.assert_array_equal(r.mask, np.array([[[True, False], [False, True]]]))
+    assert r.masked.fill_value == 0
+
+
+def test_mask_nan_nodata():
+    r = make_raster([[[np.nan, 1.0], [2.0, np.nan]]], nodata=np.nan, dtype=np.float32)
+    np.testing.assert_array_equal(r.mask, np.array([[[True, False], [False, True]]]))
+
+
+def test_band_is_1_indexed_and_3d():
+    data = np.arange(32, dtype=np.int32).reshape(2, 4, 4)
+    r = make_raster(data, nodata=-9999, dtype=np.int32)
+    b1 = r.band(1)
+    assert b1.shape == (1, 4, 4)
+    np.testing.assert_array_equal(b1[0], data[0])
+    b2 = r.band_masked(2)
+    assert b2.shape == (1, 4, 4)
+    np.testing.assert_array_equal(b2.data[0], data[1])
+
+
+# --- conform_to goldens (test_raster_array.py:192-290) ------------------
+
+
+def test_conform_to_simple_downsample():
+    src = make_raster(np.arange(1, 17).reshape(1, 4, 4), nodata=0, dtype=np.int16)
+    ref = make_raster(np.ones((1, 2, 2)), nodata=0, dtype=np.uint8)
+    conformed = src.conform_to(ref)
+    np.testing.assert_array_equal(conformed.array, np.array([[[9, 10], [13, 14]]]))
+    assert conformed.metadata.shape == ref.metadata.shape
+    assert conformed.metadata.crs.equals(ref.metadata.crs)
+    assert conformed.metadata.nodata == src.metadata.nodata
+    assert np.dtype(conformed.metadata.dtype) == np.dtype(src.metadata.dtype)
+
+
+def test_conform_to_with_src_mask():
+    src = make_raster(
+        [[[0, 1, 1, 0], [0, 1, 1, 0], [0, 1, 1, 0], [0, 1, 1, 0]]],
+        nodata=0,
+        dtype=np.int16,
+    )
+    ref = make_raster(np.ones((1, 2, 4)), nodata=0, dtype=np.uint8)
+    conformed = src.conform_to(ref)
+    np.testing.assert_array_equal(
+        conformed.array, np.array([[[0, 1, 1, 0], [0, 1, 1, 0]]])
+    )
+    np.testing.assert_array_equal(
+        conformed.mask,
+        np.array([[[True, False, False, True], [True, False, False, True]]]),
+    )
+
+
+def test_conform_to_with_ref_mask():
+    src = make_raster(np.full((1, 4, 4), 99), nodata=0, dtype=np.int16)
+    ref = make_raster(
+        [[[0, 0, 0, 0], [0, 1, 1, 0], [0, 1, 1, 0], [0, 0, 0, 0]]],
+        nodata=0,
+        dtype=np.uint8,
+    )
+    conformed = src.conform_to(ref)
+    expected = np.array([[[0, 0, 0, 0], [0, 99, 99, 0], [0, 99, 99, 0], [0, 0, 0, 0]]])
+    np.testing.assert_array_equal(conformed.array, expected)
+    np.testing.assert_array_equal(conformed.mask, expected == 0)
+
+
+def test_conform_to_nodata_dtype_override_and_truthiness_quirk():
+    src = make_raster(np.arange(1, 17).reshape(1, 4, 4), nodata=0, dtype=np.int16)
+    ref = make_raster(np.ones((1, 4, 4)), nodata=0, dtype=np.uint8)
+    out = src.conform_to(ref, target_nodata=-1, target_dtype=np.int32)
+    assert out.metadata.nodata == -1
+    assert np.dtype(out.metadata.dtype) == np.int32
+    # quirk preserved: target_nodata=0 is falsy -> ignored
+    # (raster_array.py:188 `target_nodata or self.metadata.nodata`)
+    src2 = make_raster(np.arange(1, 17).reshape(1, 4, 4), nodata=-5, dtype=np.int16)
+    out2 = src2.conform_to(ref, target_nodata=0)
+    assert out2.metadata.nodata == -5
+
+
+def test_conform_to_requires_rasterarray():
+    src = make_raster(np.ones((1, 2, 2)), nodata=0, dtype=np.uint8)
+    with pytest.raises(ValueError, match="raster must be of type RasterArray"):
+        src.conform_to("nope")
+
+
+def test_conform_to_crs_roundtrip():
+    """Cross-CRS conform: a 4326 raster conformed onto a matching 3857
+    grid keeps interior values (nearest warp through our CRS kernels)."""
+    from geografir_ray.functions.crs import wgs84_to_webmercator
+
+    src = make_raster(np.arange(100, dtype=np.int16).reshape(1, 10, 10), -99, np.int16)
+    # build ref grid in 3857 covering the same box
+    x0, y0 = wgs84_to_webmercator(np.array([0.0]), np.array([0.0]))
+    x1, y1 = wgs84_to_webmercator(np.array([10.0]), np.array([10.0]))
+    meta = RasterMetadata(
+        3857, 1, 10, 10, np.int16, -99,
+        affine_from_bounds(x0[0], y0[0], x1[0], y1[0], 10, 10),
+    )
+    ref = RasterArray(np.ones((1, 10, 10), dtype=np.int16), meta)
+    out = src.conform_to(ref)
+    assert out.metadata.crs.epsg == 3857
+    # every output pixel should be filled from the source (full overlap)
+    assert not out.mask.any()
+    # corner-ish values follow the warped rows (row order preserved)
+    assert out.array[0, 0, 0] in src.array[0, :2, :1]
+
+
+# --- ensure_valid_nodata matrix (test_raster_array.py:481-518) ----------
+
+
+@pytest.mark.parametrize(
+    "nodata,dtype,expected",
+    [
+        (0, np.int16, 0),
+        (-99.0, np.int16, -99),
+        (-99, np.float32, -99.0),
+        (float("nan"), np.float32, float("nan")),
+        (255, np.uint8, 255),
+    ],
+)
+def test_ensure_valid_nodata_ok(nodata, dtype, expected):
+    got = ensure_valid_nodata(nodata, dtype)
+    if isinstance(expected, float) and np.isnan(expected):
+        assert np.isnan(got)
+    else:
+        assert got == expected
+        assert type(got) is type(expected)
+
+
+def test_ensure_valid_nodata_errors():
+    with pytest.raises(ValueError, match="nodata cannot be None."):
+        ensure_valid_nodata(None, np.int16)
+    with pytest.raises(
+        ValueError, match="nodata value should be an integer for an integer dtype."
+    ):
+        ensure_valid_nodata(float("nan"), np.int16)
+    with pytest.raises(ValueError, match="is not a whole number for an integer dtype"):
+        ensure_valid_nodata(-99.5, np.int16)
+    with pytest.raises(
+        ValueError, match="is not between the min and max of dtype uint8"
+    ):
+        ensure_valid_nodata(9999, np.uint8)
+
+
+def test_ensure_band_index():
+    assert ensure_band_index(None) is None
+    assert ensure_band_index(3) == [3]
+    assert ensure_band_index([1, 2]) == [1, 2]
+    for bad in ([], [1.5], "x", 1.5):
+        with pytest.raises(
+            TypeError,
+            match="band_index must be an integer or a list of integers or None.",
+        ):
+            ensure_band_index(bad)
+
+
+# --- RasterMetadata (test_raster_metadata.py style) ---------------------
+
+
+def test_metadata_shape_bounds_profile():
+    t = affine_from_bounds(-120, 36, -119, 37, 10, 10)
+    m = RasterMetadata(4326, 1, 10, 10, np.int16, -99, t)
+    assert m.shape == (1, 10, 10)
+    left, bottom, right, top = m.bounds
+    assert (left, top) == (-120, 37)
+    assert abs(right - -119) < 1e-12 and abs(bottom - 36) < 1e-12
+    p = m.profile
+    assert p["driver"] == "GTiff" and p["blockxsize"] == 512 and p["zlevel"] == 9
+    assert p["count"] == 1 and p["nodata"] == -99
+
+
+def test_metadata_copy_ignores_unknown_kwargs():
+    # pinned by test_raster_metadata.py:287 (tolerated extra kwargs)
+    t = affine_from_bounds(0, 0, 4, 4, 4, 4)
+    m = RasterMetadata(4326, 1, 4, 4, np.int16, -99, t)
+    m2 = m.copy(nodata=-1, bogus_key="ignored", another=123)
+    assert m2.nodata == -1
+    assert m2.width == 4
+    assert not hasattr(m2, "bogus_key")
+
+
+def test_metadata_from_profile_roundtrip():
+    t = affine_from_bounds(0, 0, 8, 8, 8, 8)
+    m = RasterMetadata(4326, 2, 8, 8, np.float32, float("nan"), t)
+    m2 = RasterMetadata.from_profile(m.profile)
+    assert m2.count == 2 and m2.width == 8
+    assert np.isnan(m2.nodata)
+
+
+# --- profiles (test_profiles.py style) ----------------------------------
+
+
+def test_apply_cog_profile_strips_incompatible_keys():
+    p = apply_geotiff_profile({"crs": 4326, "count": 1})
+    assert "blockxsize" in p and "tiled" in p and "interleave" in p
+    c = apply_cog_profile(p)
+    for bad in ("blockxsize", "blockysize", "tiled", "interleave"):
+        assert bad not in c
+    assert c["driver"] == "COG" and c["blocksize"] == 512
+
+
+def test_apply_geotiff_profile_defaults_win():
+    p = apply_geotiff_profile({"zlevel": 1, "crs": 4326})
+    assert p["zlevel"] == 9  # defaults win (profiles.py:148-160)
+    assert p["crs"] == 4326
+
+
+# --- tile-table round-trip (to_raster/from_raster equivalent) -----------
+
+
+def test_tile_row_roundtrip():
+    src = make_raster(np.arange(32, dtype=np.int32).reshape(2, 4, 4), -9999, np.int32)
+    row = src.to_tile_row(7)
+    back = RasterArray.from_tile_row(row)
+    np.testing.assert_array_equal(back.array, src.array)
+    assert back.metadata == src.metadata
+
+
+def test_from_tile_row_band_subset_cast_and_nodata_rewrite():
+    data = np.arange(32, dtype=np.int32).reshape(2, 4, 4)
+    data[0, 0, 0] = -9999
+    src = make_raster(data, -9999, np.int32)
+    row = src.to_tile_row(1)
+    # band subset
+    b2 = RasterArray.from_tile_row(row, band_index=2)
+    assert b2.metadata.count == 1
+    np.testing.assert_array_equal(b2.array[0], data[1])
+    # dtype cast + nodata rewrite (raster_array.py:302-316 semantics)
+    cast = RasterArray.from_tile_row(row, target_nodata=-1, target_dtype=np.int16)
+    assert cast.metadata.nodata == -1
+    assert np.dtype(cast.metadata.dtype) == np.int16
+    assert cast.array[0, 0, 0] == -1  # old nodata rewritten
+    # truthiness quirk: target_nodata=0 ignored (raster_array.py:288-292)
+    quirk = RasterArray.from_tile_row(row, target_nodata=0)
+    assert quirk.metadata.nodata == -9999
