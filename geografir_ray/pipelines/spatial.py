@@ -486,3 +486,37 @@ def cell_assignment(sf_dir: str):
         )
 
     return out.map_batches(cast_cells, batch_format="pyarrow").sort("point_id")
+
+
+def knn_partitioned_query(sf_dir: str, k: int = 5):
+    """Cell-partitioned kNN (ring expansion + exact fallback) — the
+    large-large path; brute-force-equivalence pinned in tests."""
+    from ..stages.knn import knn_partitioned
+
+    queries = _points_ds(sf_dir, "documents", "doc_id").map_batches(
+        lambda t: t.rename_columns(["query_id", "lat", "lon"]), batch_format="pyarrow"
+    )
+    targets = _points_ds(sf_dir, "customer", "c_custkey").map_batches(
+        lambda t: t.rename_columns(["target_id", "lat", "lon"]), batch_format="pyarrow"
+    )
+    return knn_partitioned(queries, targets, k=k, bits=6, radius=1)
+
+
+def knn_partitioned_sql(k: int = 5) -> str:
+    from ..functions.geom import haversine_km_sql
+
+    qlat = synth_lat_sql("d.doc_id")
+    qlon = synth_lon_sql("d.doc_id")
+    tlat = synth_lat_sql("c.c_custkey")
+    tlon = synth_lon_sql("c.c_custkey")
+    dist = haversine_km_sql(qlat, qlon, tlat, tlon)
+    return f"""
+WITH ranked AS (
+  SELECT d.doc_id AS query_id, c.c_custkey AS neighbor_id,
+         row_number() OVER (PARTITION BY d.doc_id
+                            ORDER BY {dist}, c.c_custkey) AS rank
+  FROM documents d CROSS JOIN customer c
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

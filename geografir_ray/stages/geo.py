@@ -21,7 +21,9 @@ def add_latlon(key_col: str) -> "callable":
     """
 
     def fn(batch: pa.Table) -> pa.Table:
-        k = batch[key_col].to_numpy(zero_copy_only=False)
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if "point_id" not in batch.column_names:
+            batch = batch.append_column("point_id", pa.array(k))
         batch = batch.append_column("lat", pa.array(synthgeo.synth_lat(k)))
         return batch.append_column("lon", pa.array(synthgeo.synth_lon(k)))
 

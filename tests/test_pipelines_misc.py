@@ -116,3 +116,39 @@ def test_raster_conform_pipeline_matches_local(ray_session, sf_small):
         valid = ~local.mask
         assert out.loc[pk, "conform_sum"] == int(local.array[valid].sum())
         assert out.loc[pk, "conform_valid"] == int(valid.sum())
+
+
+def test_knn_partitioned_matches_brute_force(ray_session):
+    """Cell-partitioned kNN (ring expansion + exact fallback) vs brute
+    force on skewed synthetic points."""
+    import ray.data as rd
+
+    from geografir_ray.functions import geom, synthgeo
+    from geografir_ray.stages.knn import knn_partitioned
+
+    qk = np.arange(400, dtype=np.int64)
+    tk = np.arange(500, 2500, dtype=np.int64)
+    qlat, qlon = synthgeo.synth_lat(qk), synthgeo.synth_lon(qk)
+    tlat, tlon = synthgeo.synth_lat(tk), synthgeo.synth_lon(tk)
+
+    queries = rd.from_arrow(
+        __import__("pyarrow").table({"query_id": qk, "lat": qlat, "lon": qlon})
+    )
+    targets = rd.from_arrow(
+        __import__("pyarrow").table({"target_id": tk, "lat": tlat, "lon": tlon})
+    )
+    k = 5
+    got = knn_partitioned(queries, targets, k=k, bits=6, radius=1).to_pandas()
+
+    d = geom.haversine_km(qlat[:, None], qlon[:, None], tlat[None, :], tlon[None, :])
+    order = np.lexsort((np.broadcast_to(tk, d.shape), d), axis=1)[:, :k]
+    expect = {
+        (int(q), r + 1): int(tk[order[i, r]])
+        for i, q in enumerate(qk)
+        for r in range(k)
+    }
+    got_map = {
+        (int(r.query_id), int(r.rank)): int(r.neighbor_id)
+        for r in got.itertuples()
+    }
+    assert got_map == expect

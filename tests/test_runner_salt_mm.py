@@ -1,0 +1,130 @@
+"""Pipeline runner, salted aggregation, and multimodal stage tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_runner_config_pipeline(ray_session, sf_small):
+    from geografir_ray.pipelines.runner import build, run, stage_names
+
+    config = {
+        "table": "customer",
+        "columns": ["c_custkey", "c_acctbal"],
+        "stages": [
+            {"name": "pts", "stage": "derive_points", "params": {"key_col": "c_custkey"}},
+            {"name": "cells", "stage": "assign_cells", "params": {"s2_level": 10}},
+            {"name": "tiles", "stage": "assign_tiles", "params": {"tile_deg": 2.0}},
+            {"name": "rich", "stage": "filter_expr", "params": {"column": "c_acctbal", "op": ">", "value": 0.0}},
+            {"name": "proj", "stage": "select", "params": {"columns": ["point_id", "cell_s2", "tile_x", "tile_y"]}},
+        ],
+    }
+    ds = build(config, sf_small)
+    df = ds.to_pandas()
+    assert set(df.columns) == {"point_id", "cell_s2", "tile_x", "tile_y"}
+    assert len(df) > 0
+
+    metrics = run(config, sf_small)
+    assert metrics["rows"] == len(df)
+    assert metrics["wall_sec"] > 0
+    assert "derive_points" in stage_names().__repr__() or "derive_points" in stage_names()
+
+
+def test_runner_unknown_stage(ray_session, sf_small):
+    from geografir_ray.pipelines.runner import build
+
+    with pytest.raises(KeyError, match="unknown stage"):
+        build({"table": "customer", "columns": None,
+               "stages": [{"name": "x", "stage": "nope", "params": {}}]}, sf_small)
+
+
+def test_salted_grouped_sum_matches_plain(ray_session):
+    import ray.data as rd
+
+    from geografir_ray.pipelines.common import grouped_sum
+    from geografir_ray.stages.salt import salted_grouped_sum
+
+    # zipf-hot keys: 80% of rows on key 0
+    n = 20000
+    rng = np.random.default_rng(61)
+    keys = np.where(rng.random(n) < 0.8, 0, rng.integers(1, 50, n)).astype(np.int64)
+    vals = rng.integers(0, 1000, n).astype(np.int64)
+    t = pa.table({"key": keys, "val": vals, "one": np.ones(n, dtype=np.int64)})
+
+    plain = (
+        grouped_sum(rd.from_arrow(t), ["key"], {"total": ("val", "sum"), "n": ("one", "sum")})
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    salted = (
+        salted_grouped_sum(
+            rd.from_arrow(t), "key", {"total": ("val", "sum"), "n": ("one", "sum")}, n_salts=8
+        )
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    assert plain.equals(salted[plain.columns])
+    # ground truth
+    import pandas as pd
+
+    truth = (
+        pd.DataFrame({"key": keys, "val": vals})
+        .groupby("key")
+        .agg(total=("val", "sum"), n=("val", "size"))
+        .reset_index()
+    )
+    assert (salted.sort_values("key")["total"].values == truth["total"].values).all()
+
+
+def test_media_features_stage(ray_session):
+    import ray.data as rd
+
+    from geografir_ray.stages.multimodal import MediaFeatures
+
+    payloads = [f"payload-{i}".encode() * (i + 1) for i in range(100)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(100), type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "format": pa.array(["fake"] * 100),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(MediaFeatures, fn_constructor_args=("doc_id", "fake"),
+                     batch_format="pyarrow", concurrency=2, batch_size=32)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert len(out) == 100
+    assert (out["n_bytes"].values == [len(p) for p in payloads]).all()
+    assert (out["byte_sum"].values == [sum(p) for p in payloads]).all()
+    # deterministic across a second run
+    out2 = (
+        rd.from_arrow(t)
+        .map_batches(MediaFeatures, fn_constructor_args=("doc_id", "fake"),
+                     batch_format="pyarrow", concurrency=2, batch_size=32)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out.reset_index(drop=True).equals(out2.reset_index(drop=True))
+
+
+def test_media_unimplemented_formats_raise():
+    from geografir_ray.stages.multimodal import DECODERS
+
+    for fmt in ("jpeg", "png", "wav", "mp4"):
+        with pytest.raises(NotImplementedError, match="codec library"):
+            DECODERS[fmt](b"xx")
+
+
+def test_frame_sample_plan():
+    import pyarrow as pa
+
+    from geografir_ray.stages.multimodal import frame_sample_plan
+
+    t = pa.table({"n_frames": pa.array([10, 3, 0], type=pa.int64())})
+    out = frame_sample_plan("n_frames", 4)(t)
+    assert out["frame_plan"].to_pylist() == [[0, 4, 8], [0], []]
