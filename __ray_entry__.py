@@ -77,6 +77,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # large-large partitioned kNN + multimodal plumbing
         "geo_knn_partitioned": S.knn_partitioned_query,
         "mm_features": D.docs_media_features,  # rows-only: fake codec
+        # location extraction (gazetteer scan -> geocode) + sampling
+        "docs_locations": D.docs_locations,
+        "docs_extract_zonal": D.docs_extract_zonal,
+        "docs_sample": D.docs_sample,
     }
 
 
@@ -116,6 +120,9 @@ def oracle_sql() -> dict[str, str]:
         "raster_tile_stats": RQ.RASTER_TILE_STATS_SQL,
         "raster_burn": RQ.raster_burn_sql(),
         "geo_knn_partitioned": S.knn_partitioned_sql(),
+        "docs_locations": D.docs_locations_sql(),
+        "docs_extract_zonal": D.docs_extract_zonal_sql(),
+        "docs_sample": D.docs_sample_sql(),
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_simhash, docs_langid_quality, docs_fingerprints,
         # emb_label_stats, emb_ivf_knn

@@ -50,8 +50,17 @@ def bench_suite() -> dict[str, float]:
     from geografir_ray.pipelines import spatial as S
     from geografir_ray.pipelines.flagship import flagship
 
+    def pages_e2e(_sf_dir: str):
+        # north-star chain on the pages schema: synth 1M pages →
+        # dedup-by-url → gazetteer extraction → geocode → PIP → zonal
+        from geografir_ray.pipelines.pages import pages_zonal
+        from geografir_ray.sources.synth import pages_dataset
+
+        return pages_zonal(pages_dataset(1_000_000))
+
     suite = {
         "flagship_pip_zonal": flagship,
+        "pages_e2e_1m": pages_e2e,
         "q1_pricing_summary": R.q1_pricing_summary,
         "q5_nation_revenue": R.q5_nation_revenue,
         "geo_tile_assign": S.tile_assign,

@@ -531,3 +531,116 @@ def docs_media_features(sf_dir: str):
         concurrency=2,
         batch_size=64,  # media rows are wide: small batches (memory-aware)
     ).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Location extraction (gazetteer scan of text -> geocoded mentions) —
+# the north-star operator, with an exact SQL twin (token-equality match
+# against the anchor VALUES list)
+# ---------------------------------------------------------------------------
+
+
+def docs_locations(sf_dir: str):
+    from ..functions.gazetteer import LocationExtractor
+
+    _cache: dict = {}
+
+    def extract(t: pa.Table) -> pa.Table:
+        if "x" not in _cache:
+            _cache["x"] = LocationExtractor()
+        rows, names, lats, lons = _cache["x"].extract(t["text"].to_pylist())
+        take = pa.array(rows)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(take),
+                "name": pa.array(names, type=pa.string()),
+                "lat": pa.array(lats),
+                "lon": pa.array(lons),
+            }
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["doc_id", "name"]
+    )
+
+
+def docs_locations_sql() -> str:
+    from ..functions.gazetteer import gazetteer_sql_values
+
+    return f"""
+SELECT t.doc_id, t.token AS name, gaz.lat, gaz.lon
+FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents) t
+JOIN {gazetteer_sql_values()} ON t.token = gaz.name
+ORDER BY doc_id, name
+"""
+
+
+def docs_extract_zonal(sf_dir: str):
+    """Extraction -> diamond-zone PIP -> per-zone mention counts."""
+    import ray
+
+    from ..stages import geo as geo_stages
+    from .spatial import N_ZONES
+
+    mentions = docs_locations(sf_dir)
+    zones_ref = ray.put(geo_stages.zones_payload(np.arange(N_ZONES, dtype=np.int64)))
+    pairs = mentions.map_batches(
+        geo_stages.broadcast_pip_task(zones_ref, "doc_id", ()),
+        batch_format="pyarrow",
+    )
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"zone_id": t["zone_id"], "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+        )
+
+    agg = grouped_sum(
+        pairs.map_batches(ones, batch_format="pyarrow"),
+        ["zone_id"],
+        {"n_mentions": ("one", "sum")},
+    )
+    return agg.sort("zone_id")
+
+
+def docs_extract_zonal_sql() -> str:
+    from ..functions.gazetteer import gazetteer_sql_values
+    from ..functions.synthgeo import zone_params_sql
+
+    zp = zone_params_sql("z.zkey")
+    return f"""
+WITH mentions AS (
+  SELECT gaz.lat, gaz.lon
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents) t
+  JOIN {gazetteer_sql_values()} ON t.token = gaz.name
+),
+z AS (SELECT CAST(n_nationkey AS BIGINT) AS zkey FROM nation)
+SELECT z.zkey AS zone_id, count(*) AS n_mentions
+FROM mentions, z
+WHERE abs(mentions.lon - {zp['cx']}) / {zp['rx']} + abs(mentions.lat - {zp['cy']}) / {zp['ry']} <= 1.0
+GROUP BY z.zkey
+ORDER BY zone_id
+"""
+
+
+def docs_sample(sf_dir: str, pct: int = 5):
+    """Deterministic hash-based sampling (hash(doc_id) % 100 < pct) —
+    reproducible across runs/workers, SQL-expressible."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (k * 2654435761 + 1013904223) % 4294967296
+        return t.filter(pa.array(h % 100 < pct))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+def docs_sample_sql(pct: int = 5) -> str:
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id * 2654435761 + 1013904223) % 4294967296) % 100 < {pct}
+ORDER BY doc_id
+"""

@@ -1,0 +1,82 @@
+"""North-star pages pipeline tests: synthetic corpus shape, dedup
+winner determinism, byte-identical text, end-to-end zonal counts."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_pages_batch_schema_and_determinism():
+    from geografir_ray.sources.synth import pages_batch
+
+    t1 = pages_batch(0, 500)
+    t2 = pages_batch(0, 500)
+    assert t1.schema.names == ["url", "warc_ts", "html", "text", "lang"]
+    assert t1.equals(t2)  # fully deterministic
+    assert t1["warc_ts"].type == pa.timestamp("us")
+    assert t1["html"].type == pa.binary()
+    # ~1% duplicated urls
+    urls = t1["url"].to_pylist()
+    assert len(set(urls)) == len(urls) - 5
+
+
+def test_pages_dedup_by_url_winner(ray_session):
+    import ray.data as rd
+
+    from geografir_ray.pipelines.pages import dedup_by_url
+    from geografir_ray.sources.synth import pages_batch
+
+    t = pages_batch(0, 1000)
+    out = dedup_by_url(rd.from_arrow(t)).to_pandas()
+    src = t.to_pandas()
+    # exactly one row per distinct url, and it is the min-warc_ts row
+    expect = src.sort_values(["warc_ts", "url"]).groupby("url", as_index=False).first()
+    assert len(out) == src["url"].nunique()
+    got = out.sort_values("url").reset_index(drop=True)
+    exp = expect.sort_values("url").reset_index(drop=True)
+    assert (got["warc_ts"].values == exp["warc_ts"].values).all()
+    # byte-identical text passthrough through the dedup shuffle
+    joined = got.merge(
+        src[["url", "warc_ts", "text"]], on=["url", "warc_ts"], how="left",
+        suffixes=("", "_src"),
+    )
+    assert joined["text_src"].notna().all()
+    for a, b in zip(joined["text"], joined["text_src"]):
+        assert a.encode() == b.encode()
+
+
+def test_pages_zonal_end_to_end(ray_session):
+    import ray.data as rd
+
+    from geografir_ray.functions import synthgeo
+    from geografir_ray.functions.gazetteer import LocationExtractor
+    from geografir_ray.pipelines.pages import pages_zonal
+    from geografir_ray.pipelines.spatial import N_ZONES
+    from geografir_ray.sources.synth import pages_batch
+
+    t = pages_batch(0, 2000)
+    out = pages_zonal(rd.from_arrow(t)).to_pandas().set_index("zone_id")
+
+    # recompute expected zonal counts directly
+    src = t.to_pandas().sort_values(["warc_ts", "url"]).groupby("url", as_index=False).first()
+    x = LocationExtractor()
+    rows, names, lats, lons = x.extract(src["text"].tolist())
+    zp = synthgeo.zone_params(np.arange(N_ZONES, dtype=np.int64))
+    for z in range(N_ZONES):
+        inside = synthgeo.point_in_diamond(
+            lons, lats, zp["cx"][z], zp["cy"][z], zp["rx"][z], zp["ry"][z]
+        )
+        n = int(inside.sum())
+        if n:
+            assert out.loc[z, "n_mentions"] == n
+        else:
+            assert z not in out.index
+
+
+def test_extractor_counts_repeated_mentions():
+    from geografir_ray.functions.gazetteer import LocationExtractor
+
+    x = LocationExtractor()
+    rows, names, lats, lons = x.extract(["springfield and springfield", "nothing here"])
+    assert list(rows) == [0, 0]
+    assert names == ["springfield", "springfield"]
