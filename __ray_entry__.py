@@ -81,6 +81,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_locations": D.docs_locations,
         "docs_extract_zonal": D.docs_extract_zonal,
         "docs_sample": D.docs_sample,
+        # large-large joins (native + explicit bucketed) and range join
+        "join_orders_native": R.join_orders_native,
+        "join_orders_bucketed": R.join_orders_bucketed,
+        "events_range_join": E.events_range_join,
     }
 
 
@@ -123,6 +127,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_locations": D.docs_locations_sql(),
         "docs_extract_zonal": D.docs_extract_zonal_sql(),
         "docs_sample": D.docs_sample_sql(),
+        "join_orders_native": R.JOIN_ORDERS_SQL,
+        "join_orders_bucketed": R.JOIN_ORDERS_SQL,
+        "events_range_join": E.EVENTS_RANGE_JOIN_SQL,
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_simhash, docs_langid_quality, docs_fingerprints,
         # emb_label_stats, emb_ivf_knn

@@ -232,3 +232,51 @@ GROUP BY user_id
 ORDER BY total_value DESC, user_id
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Range join: purchase events within ±10 minutes of an error event by
+# the same user (time-bucket co-partition, stages/join.py)
+# ---------------------------------------------------------------------------
+
+RANGE_TOL_MIN = 10
+
+
+def events_range_join(sf_dir: str):
+    from ..stages.join import range_join
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def side(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], kind))
+            return pa.table(
+                {"key": t["user_id"], "ts": t["ts"], "rid": t["event_id"]}
+            )
+
+        fn.__name__ = f"side_{kind}"
+        return fn
+
+    purchases = ds.map_batches(side("purchase"), batch_format="pyarrow")
+    errors = ds.map_batches(side("error"), batch_format="pyarrow")
+    out = range_join(
+        purchases, errors, key="key", left_ts="ts", right_ts="ts",
+        tolerance_us=RANGE_TOL_MIN * 60 * 1_000_000,
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["purchase_id", "error_id"])
+
+    return out.map_batches(rename, batch_format="pyarrow").sort(
+        ["purchase_id", "error_id"]
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = f"""
+SELECT p.event_id AS purchase_id, e.event_id AS error_id
+FROM events p JOIN events e
+  ON p.user_id = e.user_id
+ AND p.event_type = 'purchase' AND e.event_type = 'error'
+ AND abs(date_diff('microsecond', e.ts, p.ts)) <= {RANGE_TOL_MIN * 60 * 1_000_000}
+ORDER BY purchase_id, error_id
+"""

@@ -409,3 +409,47 @@ SELECT DISTINCT o_orderkey FROM (
 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
 ORDER BY o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Large-large joins: Ray-native Dataset.join and the explicit bucketed
+# hash join (same oracle — proves equivalence of both paths)
+# ---------------------------------------------------------------------------
+
+
+def join_orders_native(sf_dir: str):
+    """orders ⋈ customer via Ray's built-in hash-shuffle Dataset.join."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return joined.select_columns(["o_orderkey", "c_mktsegment"]).sort("o_orderkey")
+
+
+def join_orders_bucketed(sf_dir: str):
+    """Same join through the explicit bucketed hash join (stages/join.py)."""
+    from ..stages.join import hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "key"]), batch_format="pyarrow"
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.rename_columns(["key", "c_mktsegment"]), batch_format="pyarrow"
+    )
+    out = hash_join(
+        orders, cust, on="key", n_buckets=32,
+        left_cols=["key", "o_orderkey"], right_cols=["key", "c_mktsegment"],
+    )
+    return out.select_columns(["o_orderkey", "c_mktsegment"]).sort("o_orderkey")
+
+
+JOIN_ORDERS_SQL = """
+SELECT o_orderkey, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey
+"""
