@@ -60,8 +60,22 @@ def merge_fn_for(how: str) -> str:
     return {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[how]
 
 
-def grouped_sum(ds, keys: list[str], aggs: dict[str, tuple[str, str]]):
-    """Two-phase exact aggregation: per-batch partials → global groupby.
+def grouped_sum(
+    ds,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    merge: str = "shuffle",
+):
+    """Two-phase exact aggregation: per-batch partials → global merge.
+
+    merge="shuffle": global groupby over the partials (all-to-all) —
+    required when key cardinality is unbounded (urls, tokens, pairs).
+
+    merge="driver": stream the partial batches to the driver and merge
+    with one vectorized pyarrow group_by — correct whenever the DISTINCT
+    key count is bounded (zones<=25, nations<=25, 1-degree tiles<=64800,
+    hours, brands...): the partial set is O(keys x batches) tiny rows
+    and the all-to-all shuffle is pure overhead (~2-3 s/query at sf0.1).
 
     Returns a Dataset with columns keys + list(aggs).
     """
@@ -70,9 +84,30 @@ def grouped_sum(ds, keys: list[str], aggs: dict[str, tuple[str, str]]):
     partial = ds.map_batches(
         partial_groupby(keys, aggs), batch_format="pyarrow", zero_copy_batch=True
     )
+    if merge == "driver":
+        import ray.data
+
+        tables = [
+            b
+            for b in partial.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows
+        ]
+        if not tables:
+            return partial  # empty; schema preserved
+        whole = pa.concat_tables(tables, promote_options="permissive")
+        spec = []
+        renames = {}
+        for out, (_, how) in aggs.items():
+            m = merge_fn_for(how)
+            spec.append((out, m))
+            renames[f"{out}_{m}"] = out
+        g = whole.group_by(keys).aggregate(spec)
+        g = g.rename_columns([renames.get(c, c) for c in g.column_names])
+        return ray.data.from_arrow(g.select([*keys, *aggs.keys()]))
+
     ray_aggs = []
     for out, (_, how) in aggs.items():
-        merge = merge_fn_for(how)
-        cls = {"sum": Sum, "min": Min, "max": Max}[merge]
+        m = merge_fn_for(how)
+        cls = {"sum": Sum, "min": Min, "max": Max}[m]
         ray_aggs.append(cls(out, alias_name=out))
     return partial.groupby(keys).aggregate(*ray_aggs)

@@ -599,6 +599,7 @@ def docs_extract_zonal(sf_dir: str):
         pairs.map_batches(ones, batch_format="pyarrow"),
         ["zone_id"],
         {"n_mentions": ("one", "sum")},
+        merge="driver",  # <=25 zones
     )
     return agg.sort("zone_id")
 

@@ -50,6 +50,7 @@ def events_hourly(sf_dir: str):
         ds,
         ["hour", "event_type"],
         {"n_events": ("one", "sum"), "sum_value_c": ("value_c", "sum")},
+        merge="driver",  # bounded keys: hours x 5 event types
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -204,7 +205,7 @@ def events_top_users(sf_dir: str, k: int = 20):
         )
 
     ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    agg = grouped_sum(ds, ["user_id"], {"total_value_c": ("value_c", "sum")})
+    agg = grouped_sum(ds, ["user_id"], {"total_value_c": ("value_c", "sum")}, merge="driver")  # bounded user set
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -75,6 +75,7 @@ def flagship(sf_dir: str):
         pairs.map_batches(to_partial, batch_format="pyarrow"),
         ["zone_id"],
         {"n_points": ("one", "sum"), "sum_qty_c": ("qty_c", "sum")},
+        merge="driver",  # <=25 zones
     )
 
     def finish(t: pa.Table) -> pa.Table:

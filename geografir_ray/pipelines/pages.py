@@ -170,5 +170,6 @@ def pages_zonal(pages_ds):
         pairs.map_batches(ones, batch_format="pyarrow"),
         ["zone_id"],
         {"n_mentions": ("one", "sum")},
+        merge="driver",  # <=25 zones
     )
     return agg.sort("zone_id")

@@ -65,6 +65,7 @@ def q1_pricing_summary(sf_dir: str):
             "sum_disc_price_c": ("disc_price_c", "sum"),
             "count_order": ("one", "sum"),
         },
+        merge="driver",  # bounded keys: 3x2 flag/status combinations
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -266,7 +267,7 @@ def q5_nation_revenue(sf_dir: str):
         sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
     ).map_batches(NationTag, batch_format="pyarrow", concurrency=2)
 
-    agg = grouped_sum(li, ["n_nationkey"], {"revenue_c": ("rev_c", "sum")})
+    agg = grouped_sum(li, ["n_nationkey"], {"revenue_c": ("rev_c", "sum")}, merge="driver")  # <=25 nations
     nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -326,7 +327,7 @@ def brand_revenue(sf_dir: str):
     li = read_table(
         sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
     ).map_batches(BrandTag, batch_format="pyarrow", concurrency=2)
-    agg = grouped_sum(li, ["p_brand"], {"revenue_c": ("rev_c", "sum")})
+    agg = grouped_sum(li, ["p_brand"], {"revenue_c": ("rev_c", "sum")}, merge="driver")  # bounded brand set
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -91,6 +91,7 @@ def tile_assign(sf_dir: str, tile_deg: float = 1.0):
         ds,
         ["tile_x", "tile_y"],
         {"n_points": ("one", "sum"), "sum_qty_c": ("qty_c", "sum")},
+        merge="driver",  # bounded keys: <=64800 one-degree tiles
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -296,7 +297,8 @@ def pip_zonal_stats(sf_dir: str):
 
     tagged = pairs.map_batches(AttachBal, batch_format="pyarrow", concurrency=2)
     agg = grouped_sum(
-        tagged, ["zone_id"], {"n_points": ("one", "sum"), "sum_bal_c": ("bal_c", "sum")}
+        tagged, ["zone_id"], {"n_points": ("one", "sum"), "sum_bal_c": ("bal_c", "sum")},
+        merge="driver",  # <=25 zones
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -434,6 +436,7 @@ def bbox_by_nation(sf_dir: str):
             "maxx": ("lon", "max"),
             "maxy": ("lat", "max"),
         },
+        merge="driver",  # <=25 nations
     )
     return agg.sort("c_nationkey")
 
