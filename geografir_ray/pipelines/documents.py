@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import text as T
-from ..sources.tables import read_table
+from ..sources.tables import read_table, read_table_local
 from .common import grouped_sum
 
 _TOKENS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -306,7 +306,7 @@ def docs_minhash_lsh(sf_dir: str, num_perm: int = 128, n_bands: int = 16, thresh
     )
 
     # verify candidates with exact jaccard (token sets broadcast)
-    docs_pd = read_table(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
+    docs_pd = read_table_local(sf_dir, "documents", columns=["doc_id", "text"])
     token_sets = {
         int(d): set(T.tokenize(s or "")) for d, s in zip(docs_pd["doc_id"], docs_pd["text"])
     }

@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..sources.tables import read_table
+from ..sources.tables import read_table, read_table_local
 
 N_QUERIES = 10
 TOP_K = 5
@@ -36,8 +36,7 @@ def _emb_matrix(t: pa.Table) -> np.ndarray:
 def _queries_payload(sf_dir: str):
     """First N_QUERIES vectors by vec_id (deterministic query set)."""
     t = (
-        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .to_pandas()
+        read_table_local(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         .sort_values("vec_id")
         .head(N_QUERIES)
     )
@@ -147,7 +146,7 @@ def emb_neardup(sf_dir: str):
     documented tradeoff."""
     import ray
 
-    t = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).to_pandas()
+    t = read_table_local(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     t = t.sort_values("vec_id")
     m = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
@@ -240,7 +239,7 @@ def emb_ivf_knn(sf_dir: str, n_cells: int = 8, nprobe: int = 3):
 
     # deterministic "training": centroids = first n_cells vectors (seeded
     # kmeans++ would need iteration; init-only keeps it reproducible)
-    head = full.to_pandas().sort_values("vec_id").head(n_cells)
+    head = read_table_local(sf_dir, "embeddings", columns=["vec_id", "embedding"]).sort_values("vec_id").head(n_cells)
     cent = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"]])
     cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
     qids, qn = _queries_payload(sf_dir)

@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..sources.tables import read_table
+from ..sources.tables import read_table, read_table_local
 from .common import floor_scale, floor_scale_sql, grouped_sum
 
 _CUTOFF = "1998-09-01"
@@ -126,9 +126,9 @@ def q3_top_orders(sf_dir: str):
         .to_pandas()
     )
     cust_keys = set(cust["c_custkey"].tolist())
-    orders = read_table(
+    orders = read_table_local(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    ).to_pandas()
+    )
     cutoff = np.datetime64(_Q3_DATE, "us")
     orders = orders[
         orders["o_custkey"].isin(cust_keys) & (orders["o_orderdate"].values < cutoff)
@@ -226,17 +226,21 @@ LIMIT 10
 def q5_nation_revenue(sf_dir: str):
     import ray
 
-    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    nation = read_table_local(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    cust = read_table_local(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp = read_table_local(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    orders = read_table_local(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
-    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    order_nation = {
-        ok: cust_nation.get(ck, -1) for ok, ck in zip(orders["o_orderkey"], orders["o_custkey"])
-    }
-    ok_sorted = np.array(sorted(order_nation.keys()), dtype=np.int64)
-    on_sorted = np.array([order_nation[k] for k in ok_sorted], dtype=np.int64)
+    # vectorized dimension prep (no Python dict loops over 150k rows)
+    ck_sorted_idx = np.argsort(cust["c_custkey"].values, kind="stable")
+    ck_keys = cust["c_custkey"].values[ck_sorted_idx].astype(np.int64)
+    ck_nation = cust["c_nationkey"].values[ck_sorted_idx].astype(np.int64)
+    o_ck = orders["o_custkey"].values.astype(np.int64)
+    pos = np.clip(np.searchsorted(ck_keys, o_ck), 0, len(ck_keys) - 1)
+    o_nation = np.where(ck_keys[pos] == o_ck, ck_nation[pos], -1)
+    ord_idx = np.argsort(orders["o_orderkey"].values, kind="stable")
+    ok_sorted = orders["o_orderkey"].values[ord_idx].astype(np.int64)
+    on_sorted = o_nation[ord_idx]
     sk_sorted = np.sort(supp["s_suppkey"].values.astype(np.int64))
     sn_sorted = supp.sort_values("s_suppkey")["s_nationkey"].values.astype(np.int64)
     ref = ray.put((ok_sorted, on_sorted, sk_sorted, sn_sorted))
@@ -306,7 +310,7 @@ ORDER BY revenue DESC, n_name
 def brand_revenue(sf_dir: str):
     import ray
 
-    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    part = read_table_local(sf_dir, "part", columns=["p_partkey", "p_brand"])
     pk = np.sort(part["p_partkey"].values.astype(np.int64))
     pb = part.sort_values("p_partkey")["p_brand"].values
     ref = ray.put((pk, pb))
@@ -380,7 +384,7 @@ def set_ops_orders(sf_dir: str):
     )
     both = high.union(prio)
 
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = read_table_local(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     building = np.sort(
         cust[cust["c_mktsegment"] == "BUILDING"]["c_custkey"].values.astype(np.int64)
     )

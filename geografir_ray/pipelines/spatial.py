@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 
 from ..functions import cells, geom, synthgeo
 from ..functions.synthgeo import synth_lat_sql, synth_lon_sql, zone_params_sql
-from ..sources.tables import read_table
+from ..sources.tables import read_table, read_table_local
 from ..stages import geo as geo_stages
 from .common import grouped_sum
 
@@ -335,7 +335,7 @@ ORDER BY zone_id
 def knn_doc_suppliers(sf_dir: str, k: int = 5):
     import ray
 
-    supp = read_table(sf_dir, "supplier", columns=["s_suppkey"]).to_pandas()
+    supp = read_table_local(sf_dir, "supplier", columns=["s_suppkey"])
     sk = supp["s_suppkey"].values.astype(np.int64)
     slat = synthgeo.synth_lat(sk)
     slon = synthgeo.synth_lon(sk)

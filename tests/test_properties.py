@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the from-scratch kernels —
+SURVEY.md §5 determinism/conformance strategy."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geografir_ray.functions import cells, crs, geom, synthgeo
+
+lat_st = st.floats(min_value=-89.9, max_value=89.9, allow_nan=False)
+lon_st = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+
+
+@given(lat=lat_st, lon=lon_st, prec=st.integers(min_value=1, max_value=12))
+@settings(max_examples=200, deadline=None)
+def test_geohash_center_reencodes_to_same_cell(lat, lon, prec):
+    code = cells.geohash_int(np.array([lat]), np.array([lon]), prec)
+    clat, clon = cells.geohash_int_to_latlon(code, prec)
+    code2 = cells.geohash_int(clat, clon, prec)
+    assert code[0] == code2[0]
+
+
+@given(lat=lat_st, lon=lon_st, level=st.integers(min_value=1, max_value=30))
+@settings(max_examples=200, deadline=None)
+def test_s2_parent_is_prefix(lat, lon, level):
+    full = cells.s2_cell_id(np.array([lat]), np.array([lon]), 30)
+    parent = cells.s2_parent(full, level)
+    direct = cells.s2_cell_id(np.array([lat]), np.array([lon]), level)
+    assert parent[0] == direct[0]
+    assert cells.s2_level(parent)[0] == level
+
+
+@given(lat=st.floats(min_value=-80, max_value=80, allow_nan=False),
+       lon=st.floats(min_value=-170, max_value=170, allow_nan=False))
+@settings(max_examples=100, deadline=None)
+def test_webmercator_roundtrip(lat, lon):
+    x, y = crs.wgs84_to_webmercator(np.array([lat]), np.array([lon]))
+    la, lo = crs.webmercator_to_wgs84(x, y)
+    assert abs(la[0] - lat) < 1e-9
+    assert abs(lo[0] - lon) < 1e-9
+
+
+@given(lon=st.floats(min_value=-119.9, max_value=-114.1, allow_nan=False),
+       lat=st.floats(min_value=5, max_value=75, allow_nan=False))
+@settings(max_examples=100, deadline=None)
+def test_utm_zone11_roundtrip(lon, lat):
+    c = crs.ensure_crs(32611)
+    x, y = crs.tm_forward(np.array([lat]), np.array([lon]), c)
+    la, lo = crs.tm_inverse(x, y, c)
+    assert abs(la[0] - lat) < 1e-8
+    assert abs(lo[0] - lon) < 1e-8
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31), n=st.integers(5, 40))
+@settings(max_examples=50, deadline=None)
+def test_pip_parity_with_scalar(seed, n):
+    rng = np.random.default_rng(seed)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    rad = rng.uniform(0.3, 2.0, n)
+    ring = np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=1)
+    px = rng.uniform(-2.2, 2.2, 100)
+    py = rng.uniform(-2.2, 2.2, 100)
+    got = geom.points_in_polygon(px, py, ring)
+
+    def scalar(x, y):
+        inside = False
+        j = n - 1
+        for i in range(n):
+            xi, yi = ring[i]
+            xj, yj = ring[j]
+            if (yi <= y) != (yj <= y):
+                if x < xi + (y - yi) / (yj - yi) * (xj - xi):
+                    inside = not inside
+            j = i
+        return inside
+
+    want = np.array([scalar(x, y) for x, y in zip(px, py)])
+    np.testing.assert_array_equal(got, want)
+
+
+@given(k=st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=200, deadline=None)
+def test_synthgeo_in_range_for_any_key(k):
+    lat = synthgeo.synth_lat(np.array([k]))[0]
+    lon = synthgeo.synth_lon(np.array([k]))[0]
+    assert -60.0 <= lat < 72.0
+    assert -180.0 <= lon < 180.0
+
+
+@given(lat=st.floats(-60, 71.9, allow_nan=False),
+       lon=st.floats(-179.9, 179.9, allow_nan=False),
+       res=st.integers(0, 12))
+@settings(max_examples=150, deadline=None)
+def test_hex_center_roundtrip_property(lat, lon, res):
+    cell = cells.hex_cell(np.array([lat]), np.array([lon]), res)
+    clat, clon = cells.hex_center(cell)
+    assert cells.hex_cell(clat, clon, res)[0] == cell[0]
