@@ -86,7 +86,8 @@ def docs_term_topk(sf_dir: str, k: int = 50):
         )
 
     ds = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    agg = grouped_sum(ds, ["token"], {"n": ("n", "sum")})
+    # vocabulary-bounded key space: driver merge over per-batch partials
+    agg = grouped_sum(ds, ["token"], {"n": ("n", "sum")}, merge="driver")
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)
 
 

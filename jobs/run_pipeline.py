@@ -43,9 +43,9 @@ def main() -> int:
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
-    from ray.data import DataContext
+    from geografir_ray.context import tune
 
-    DataContext.get_current().enable_progress_bars = False
+    tune()
 
     t0 = time.perf_counter()
     if args.config:
