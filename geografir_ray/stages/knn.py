@@ -130,52 +130,43 @@ def knn_partitioned(
                 "query_id": np.repeat(qid, kk),
                 "neighbor_id": tid[order].ravel(),
                 "dist": np.take_along_axis(d, order, axis=1).ravel(),
+                "qlat": np.repeat(qlat, kk),
             }
         )
 
     local = unioned.groupby("cell").map_groups(local_topk, batch_format="pandas")
 
-    # global merge per query + exactness check
+    # global merge per query WITH the exactness check pushed into the
+    # distributed merge: only failing queries ever reach the driver
     def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("neighbor_id").sort_values(
             ["dist", "neighbor_id"], kind="mergesort"
         )
         top = g.head(k)
         qid = np.int64(g["query_id"].iloc[0])
+        edge = _ring_edge_km(np.asarray([g["qlat"].iloc[0]]), bits, radius)[0]
+        exact = (len(g) >= k) and (top["dist"].iloc[-1] <= edge)
         return pd.DataFrame(
             {
                 "query_id": np.full(len(top), qid),
                 "neighbor_id": top["neighbor_id"].values.astype(np.int64),
                 "rank": np.arange(1, len(top) + 1, dtype=np.int64),
-                "kth_dist": np.full(len(top), top["dist"].iloc[-1]),
-                "found": np.full(len(top), len(g), dtype=np.int64),
+                "exact": np.full(len(top), exact, dtype=bool),
             }
         )
 
     merged = local.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
-
-    # exactness bound: ring-edge distance per query (vectorized)
-    qpd = queries.to_pandas()
-    qpd["query_id"] = qpd["query_id"].astype(np.int64)
     mpd = merged.to_pandas()
 
-    per_q = (
-        mpd.groupby("query_id")
-        .agg(kth=("kth_dist", "first"), found=("found", "first"))
-        .reset_index()
-        .merge(qpd[["query_id", "lat"]], on="query_id", how="right")
+    qpd = queries.to_pandas()
+    qpd["query_id"] = qpd["query_id"].astype(np.int64)
+    answered_exact = set(
+        mpd.loc[mpd["exact"], "query_id"].astype(np.int64)
     )
-    edge = _ring_edge_km(per_q["lat"].values, bits, radius)
-    exact_ok = (
-        per_q["found"].notna().values
-        & (per_q["found"].fillna(0).values >= k)
-        & (per_q["kth"].fillna(np.inf).values <= edge)
-    )
-    ok_ids = set(per_q.loc[exact_ok, "query_id"].astype(np.int64))
-    fallback_q = set(per_q.loc[~exact_ok, "query_id"].astype(np.int64))
+    fallback_q = set(qpd["query_id"]) - answered_exact
 
     frames = [
-        mpd.loc[mpd["query_id"].isin(ok_ids), ["query_id", "neighbor_id", "rank"]]
+        mpd.loc[mpd["exact"], ["query_id", "neighbor_id", "rank"]]
     ]
     if fallback_q:
         # exact fallback: the affected queries against the full target set
