@@ -58,9 +58,34 @@ def bench_suite() -> dict[str, float]:
 
         return pages_zonal(pages_dataset(1_000_000))
 
+    def pip_partitioned_4m(_sf_dir: str):
+        # the cell-partitioned PIP machinery (cover -> groupby(cell) ->
+        # STR-tree probe) at 4M points — the no-broadcast path
+        import pyarrow as pa
+        import ray.data as rd
+
+        from geografir_ray.functions import synthgeo
+        from geografir_ray.pipelines.spatial import _zones_table, pip_join_partitioned
+
+        def derive(t):
+            k = t["id"].to_numpy()
+            return pa.table(
+                {
+                    "point_id": pa.array(k),
+                    "lat": pa.array(synthgeo.synth_lat(k)),
+                    "lon": pa.array(synthgeo.synth_lon(k)),
+                }
+            )
+
+        pts = rd.range(4_000_000, override_num_blocks=128).map_batches(
+            derive, batch_format="pyarrow", batch_size=None
+        )
+        return pip_join_partitioned(pts, _zones_table())
+
     suite = {
         "flagship_pip_zonal": flagship,
         "pages_e2e_1m": pages_e2e,
+        "pip_partitioned_4m": pip_partitioned_4m,
         "q1_pricing_summary": R.q1_pricing_summary,
         "q5_nation_revenue": R.q5_nation_revenue,
         "geo_tile_assign": S.tile_assign,

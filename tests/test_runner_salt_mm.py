@@ -128,3 +128,46 @@ def test_frame_sample_plan():
     t = pa.table({"n_frames": pa.array([10, 3, 0], type=pa.int64())})
     out = frame_sample_plan("n_frames", 4)(t)
     assert out["frame_plan"].to_pylist() == [[0, 4, 8], [0], []]
+
+
+def test_streaming_window_matches_batch(ray_session, sf_small):
+    """Actor-sharded streaming tumbling windows == batch groupby when
+    no rows are late; late rows are counted under tight lateness."""
+    import pandas as pd
+
+    from geografir_ray.sources.tables import read_table_local
+    from geografir_ray.stages.streaming import streaming_window_counts
+
+    out, late = streaming_window_counts(sf_small, window_min=60, lateness_min=5)
+    assert late == 0  # replay is ts-ordered: nothing can be late
+
+    ev = read_table_local(sf_small, "events", columns=["user_id", "ts", "value"])
+    ev["window_start"] = ev["ts"].values.astype("datetime64[h]").astype("datetime64[us]")
+    ev["v_c"] = np.floor(ev["value"].values * 100.0).astype(np.int64)
+    batch = (
+        ev.groupby(["user_id", "window_start"])
+        .agg(n_events=("v_c", "size"), sum_value_c=("v_c", "sum"))
+        .reset_index()
+    )
+    batch["sum_value"] = batch["sum_value_c"] / 100.0
+    batch = batch[["user_id", "window_start", "n_events", "sum_value"]].sort_values(
+        ["user_id", "window_start"], kind="mergesort"
+    ).reset_index(drop=True)
+    batch["user_id"] = batch["user_id"].astype(out["user_id"].dtype)
+    pd.testing.assert_frame_equal(out, batch)
+
+
+def test_streaming_window_late_rows_counted():
+    """Out-of-order ingestion past the watermark+lateness drops+counts."""
+    import numpy as np
+
+    from geografir_ray.stages.streaming import WindowShardLogic
+
+    w = WindowShardLogic(window_us=100, lateness_us=0)
+    w.ingest(np.array([1]), np.array([50]), np.array([1.0]))     # window 0
+    w.ingest(np.array([1]), np.array([250]), np.array([1.0]))    # window 2 -> closes window 0 and 1
+    w.ingest(np.array([1]), np.array([10]), np.array([1.0]))     # window 0: LATE
+    assert w.late_rows == 1
+    closed = w.flush()
+    # window 0 emitted once with only the on-time row
+    assert (1, 0, 1, 1.0) in closed
