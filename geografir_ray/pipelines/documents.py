@@ -212,27 +212,23 @@ def docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
     szs = sizes_pd.sort_values("doc_id")["sz"].values.astype(np.int64)
     ref = ray.put((keys, szs))
 
-    class Verify:
-        def __init__(self):
-            self.keys, self.szs = ray.get(ref)
+    from ..stages.broadcast import with_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            a = t["a"].to_numpy(zero_copy_only=False)
-            b = t["b"].to_numpy(zero_copy_only=False)
-            common = t["common"].to_numpy(zero_copy_only=False)
-            sa = self.szs[np.searchsorted(self.keys, a)]
-            sb = self.szs[np.searchsorted(self.keys, b)]
-            union = sa + sb - common
-            jac = common / np.maximum(union, 1)
-            keep = jac >= threshold
-            return pa.table(
-                {"a": pa.array(a[keep]), "b": pa.array(b[keep])}
-            )
+    def verify(state, t: pa.Table) -> pa.Table:
+        keys, szs = state
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        common = t["common"].to_numpy(zero_copy_only=False)
+        sa = szs[np.searchsorted(keys, a)]
+        sb = szs[np.searchsorted(keys, b)]
+        union = sa + sb - common
+        jac = common / np.maximum(union, 1)
+        keep = jac >= threshold
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
-    return (
-        pair_counts.map_batches(Verify, batch_format="pyarrow", concurrency=2)
-        .sort(["a", "b"])
-    )
+    return pair_counts.map_batches(
+        with_broadcast(ref, verify, "verify_jaccard"), batch_format="pyarrow"
+    ).sort(["a", "b"])
 
 
 DOCS_JACCARD_SQL = f"""

@@ -59,30 +59,29 @@ def emb_knn(sf_dir: str):
     qids, qn = _queries_payload(sf_dir)
     ref = ray.put((qids, qn))
 
-    class Score:
-        def __init__(self):
-            self.qids, self.qn = ray.get(ref)
+    from ..stages.broadcast import with_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _emb_matrix(t)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sims = m @ self.qn.T  # (batch, nq)
-            vid = t["vec_id"].to_numpy(zero_copy_only=False)
-            nq = len(self.qids)
-            out_q = np.repeat(self.qids, len(vid))
-            out_v = np.tile(vid, nq)
-            out_s = sims.T.ravel()
-            keep = out_q != out_v  # exclude self
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q[keep]),
-                    "vec_id": pa.array(out_v[keep]),
-                    "sim": pa.array(out_s[keep]),
-                }
-            )
+    def score(state, t: pa.Table) -> pa.Table:
+        qids, qn = state
+        m = _emb_matrix(t)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ qn.T  # (batch, nq)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        out_q = np.repeat(qids, len(vid))
+        out_v = np.tile(vid, len(qids))
+        out_s = sims.T.ravel()
+        keep = out_q != out_v  # exclude self
+        return pa.table(
+            {
+                "query_id": pa.array(out_q[keep]),
+                "vec_id": pa.array(out_v[keep]),
+                "sim": pa.array(out_s[keep]),
+            }
+        )
 
     scored = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
-        Score, batch_format="pyarrow", concurrency=2
+        with_broadcast(ref, score, "cosine_score"), batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
     # per-query top-k merge: groupby(query) over per-batch candidates.
@@ -153,24 +152,24 @@ def emb_neardup(sf_dir: str):
     ids = t["vec_id"].values.astype(np.int64)
     ref = ray.put((ids, mn))
 
-    class Pairs:
-        def __init__(self):
-            self.ids, self.mn = ray.get(ref)
+    from ..stages.broadcast import with_broadcast
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bm = _emb_matrix(batch)
-            bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
-            bid = batch["vec_id"].to_numpy(zero_copy_only=False)
-            sims = bm @ self.mn.T
-            bi, aj = np.nonzero(sims >= NEARDUP_THRESHOLD)
-            a = bid[bi]
-            b = self.ids[aj]
-            keep = a < b
-            return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+    def pairs(state, batch: pa.Table) -> pa.Table:
+        ids, mn = state
+        bm = _emb_matrix(batch)
+        bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+        bid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = bm @ mn.T
+        bi, aj = np.nonzero(sims >= NEARDUP_THRESHOLD)
+        a = bid[bi]
+        b = ids[aj]
+        keep = a < b
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
     return (
         read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .map_batches(Pairs, batch_format="pyarrow", concurrency=2)
+        .map_batches(with_broadcast(ref, pairs, "neardup_pairs"),
+                     batch_format="pyarrow", zero_copy_batch=True)
         .sort(["a", "b"])
     )
 
@@ -247,33 +246,35 @@ def emb_ivf_knn(sf_dir: str, n_cells: int = 8, nprobe: int = 3):
     qcells = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
     ref = ray.put((qids, qn, cent, qcells))
 
-    class Assign:
-        def __init__(self):
-            self.qids, self.qn, self.cent, self.qcells = ray.get(ref)
+    from ..stages.broadcast import with_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _emb_matrix(t)
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            cell = np.argmax(mn @ self.cent.T, axis=1)
-            vid = t["vec_id"].to_numpy(zero_copy_only=False)
-            # emit candidates only for (query, vector-in-probed-cell)
-            out_q, out_v, out_s = [], [], []
-            sims = mn @ self.qn.T  # (batch, nq)
-            for qi in range(len(self.qids)):
-                probe = np.isin(cell, self.qcells[qi])
-                probe &= vid != self.qids[qi]
-                out_q.append(np.full(int(probe.sum()), self.qids[qi], dtype=np.int64))
-                out_v.append(vid[probe])
-                out_s.append(sims[probe, qi])
-            return pa.table(
-                {
-                    "query_id": pa.array(np.concatenate(out_q)),
-                    "vec_id": pa.array(np.concatenate(out_v)),
-                    "sim": pa.array(np.concatenate(out_s)),
-                }
-            )
+    def assign(state, t: pa.Table) -> pa.Table:
+        qids, qn, cent_m, qcells = state
+        m = _emb_matrix(t)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cell = np.argmax(mn @ cent_m.T, axis=1)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        # emit candidates only for (query, vector-in-probed-cell)
+        out_q, out_v, out_s = [], [], []
+        sims = mn @ qn.T  # (batch, nq)
+        for qi in range(len(qids)):
+            probe = np.isin(cell, qcells[qi])
+            probe &= vid != qids[qi]
+            out_q.append(np.full(int(probe.sum()), qids[qi], dtype=np.int64))
+            out_v.append(vid[probe])
+            out_s.append(sims[probe, qi])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
 
-    scored = full.map_batches(Assign, batch_format="pyarrow", concurrency=2)
+    scored = full.map_batches(
+        with_broadcast(ref, assign, "ivf_assign"), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(

@@ -140,45 +140,40 @@ def q3_top_orders(sf_dir: str):
         }
     )
 
-    class JoinOrders:
-        """Broadcast semi-join lineitem→orders via sorted-key searchsorted."""
+    from ..stages.broadcast import with_broadcast
 
-        def __init__(self):
-            m = ray.get(order_map_ref)
-            self.keys = m["keys"]
-            self.dates = m["dates"]
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.keys, ok)
-            pos_c = np.clip(pos, 0, max(len(self.keys) - 1, 0))
-            hit = (
-                (self.keys[pos_c] == ok)
-                if len(self.keys)
-                else np.zeros(len(ok), dtype=bool)
-            )
-            ship_ok = t["l_shipdate"].to_numpy(zero_copy_only=False) > np.datetime64(
-                _Q3_DATE, "us"
-            )
-            keep = hit & ship_ok
-            t2 = t.filter(pa.array(keep))
-            rev = pc.multiply(
-                t2["l_extendedprice"], pc.subtract(pa.scalar(1.0), t2["l_discount"])
-            )
-            odate = self.dates[pos_c[keep]] if len(self.keys) else self.dates[:0]
-            return pa.table(
-                {
-                    "l_orderkey": t2["l_orderkey"],
-                    "o_orderdate": pa.array(odate),
-                    "rev_c": floor_scale(rev),
-                }
-            )
+    def join_orders(m: dict, t: pa.Table) -> pa.Table:
+        keys, dates = m["keys"], m["dates"]
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ok)
+        pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+        hit = (keys[pos_c] == ok) if len(keys) else np.zeros(len(ok), dtype=bool)
+        ship_ok = t["l_shipdate"].to_numpy(zero_copy_only=False) > np.datetime64(
+            _Q3_DATE, "us"
+        )
+        keep = hit & ship_ok
+        t2 = t.filter(pa.array(keep))
+        rev = pc.multiply(
+            t2["l_extendedprice"], pc.subtract(pa.scalar(1.0), t2["l_discount"])
+        )
+        odate = dates[pos_c[keep]] if len(keys) else dates[:0]
+        return pa.table(
+            {
+                "l_orderkey": t2["l_orderkey"],
+                "o_orderdate": pa.array(odate),
+                "rev_c": floor_scale(rev),
+            }
+        )
 
     li = read_table(
         sf_dir,
         "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-    ).map_batches(JoinOrders, batch_format="pyarrow", concurrency=2)
+    ).map_batches(
+        with_broadcast(order_map_ref, join_orders, "join_orders"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
     agg = grouped_sum(
         li,
@@ -245,31 +240,30 @@ def q5_nation_revenue(sf_dir: str):
     sn_sorted = supp.sort_values("s_suppkey")["s_nationkey"].values.astype(np.int64)
     ref = ray.put((ok_sorted, on_sorted, sk_sorted, sn_sorted))
 
-    class NationTag:
-        def __init__(self):
-            self.ok, self.on, self.sk, self.sn = ray.get(ref)
+    from ..stages.broadcast import with_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            lok = t["l_orderkey"].to_numpy(zero_copy_only=False)
-            lsk = t["l_suppkey"].to_numpy(zero_copy_only=False)
-            p1 = np.searchsorted(self.ok, lok)
-            p1c = np.clip(p1, 0, len(self.ok) - 1)
-            cn = np.where(self.ok[p1c] == lok, self.on[p1c], -1)
-            p2 = np.searchsorted(self.sk, lsk)
-            p2c = np.clip(p2, 0, len(self.sk) - 1)
-            sn = np.where(self.sk[p2c] == lsk, self.sn[p2c], -2)
-            keep = cn == sn  # local-supplier condition (customer nation == supplier nation)
-            t2 = t.filter(pa.array(keep))
-            rev = pc.multiply(
-                t2["l_extendedprice"], pc.subtract(pa.scalar(1.0), t2["l_discount"])
-            )
-            return pa.table(
-                {"n_nationkey": pa.array(cn[keep]), "rev_c": floor_scale(rev)}
-            )
+    def nation_tag(state, t: pa.Table) -> pa.Table:
+        ok_s, on_s, sk_s, sn_s = state
+        lok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        lsk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        p1c = np.clip(np.searchsorted(ok_s, lok), 0, len(ok_s) - 1)
+        cn = np.where(ok_s[p1c] == lok, on_s[p1c], -1)
+        p2c = np.clip(np.searchsorted(sk_s, lsk), 0, len(sk_s) - 1)
+        sn = np.where(sk_s[p2c] == lsk, sn_s[p2c], -2)
+        keep = cn == sn  # local-supplier condition (customer nation == supplier nation)
+        t2 = t.filter(pa.array(keep))
+        rev = pc.multiply(
+            t2["l_extendedprice"], pc.subtract(pa.scalar(1.0), t2["l_discount"])
+        )
+        return pa.table({"n_nationkey": pa.array(cn[keep]), "rev_c": floor_scale(rev)})
 
     li = read_table(
         sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
-    ).map_batches(NationTag, batch_format="pyarrow", concurrency=2)
+    ).map_batches(
+        with_broadcast(ref, nation_tag, "nation_tag"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
     agg = grouped_sum(li, ["n_nationkey"], {"revenue_c": ("rev_c", "sum")}, merge="driver")  # <=25 nations
     nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
@@ -315,22 +309,24 @@ def brand_revenue(sf_dir: str):
     pb = part.sort_values("p_partkey")["p_brand"].values
     ref = ray.put((pk, pb))
 
-    class BrandTag:
-        def __init__(self):
-            self.pk, self.pb = ray.get(ref)
+    from ..stages.broadcast import with_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            lpk = t["l_partkey"].to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(self.pk, lpk), 0, len(self.pk) - 1)
-            brand = self.pb[pos]
-            rev = pc.multiply(
-                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
-            )
-            return pa.table({"p_brand": pa.array(brand), "rev_c": floor_scale(rev)})
+    def brand_tag(state, t: pa.Table) -> pa.Table:
+        pk, pb = state
+        lpk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(pk, lpk), 0, len(pk) - 1)
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table({"p_brand": pa.array(pb[pos]), "rev_c": floor_scale(rev)})
 
     li = read_table(
         sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
-    ).map_batches(BrandTag, batch_format="pyarrow", concurrency=2)
+    ).map_batches(
+        with_broadcast(ref, brand_tag, "brand_tag"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     agg = grouped_sum(li, ["p_brand"], {"revenue_c": ("rev_c", "sum")}, merge="driver")  # bounded brand set
 
     def finish(t: pa.Table) -> pa.Table:
@@ -390,17 +386,17 @@ def set_ops_orders(sf_dir: str):
     )
     ref = ray.put(building)
 
-    class AntiJoin:
-        def __init__(self):
-            self.keys = ray.get(ref)
+    from ..stages.broadcast import with_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(self.keys, ck), 0, max(len(self.keys) - 1, 0))
-            hit = self.keys[pos] == ck if len(self.keys) else np.zeros(len(ck), bool)
-            return t.filter(pa.array(~hit)).select(["o_orderkey"])
+    def anti_join(keys, t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(keys, ck), 0, max(len(keys) - 1, 0))
+        hit = keys[pos] == ck if len(keys) else np.zeros(len(ck), bool)
+        return t.filter(pa.array(~hit)).select(["o_orderkey"])
 
-    out = both.map_batches(AntiJoin, batch_format="pyarrow", concurrency=2)
+    out = both.map_batches(
+        with_broadcast(ref, anti_join, "anti_join"), batch_format="pyarrow"
+    )
     # distinct (union of the two subsets overlaps)
     return out.groupby("o_orderkey").count().select_columns(["o_orderkey"]).sort("o_orderkey")
 

@@ -279,23 +279,24 @@ def pip_zonal_stats(sf_dir: str):
     bal = pdf.sort_values("point_id")["c_acctbal"].values
     ref = ray.put((keys, bal))
 
-    class AttachBal:
-        def __init__(self):
-            self.keys, self.bal = ray.get(ref)
+    from ..stages.broadcast import with_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            pid = t["point_id"].to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(self.keys, pid), 0, len(self.keys) - 1)
-            bal_c = np.floor(self.bal[pos] * 100.0).astype(np.int64)
-            return pa.table(
-                {
-                    "zone_id": t["zone_id"],
-                    "bal_c": pa.array(bal_c),
-                    "one": pa.array(np.ones(len(pid), dtype=np.int64)),
-                }
-            )
+    def attach_bal(state, t: pa.Table) -> pa.Table:
+        keys, bal = state
+        pid = t["point_id"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(keys, pid), 0, len(keys) - 1)
+        bal_c = np.floor(bal[pos] * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "zone_id": t["zone_id"],
+                "bal_c": pa.array(bal_c),
+                "one": pa.array(np.ones(len(pid), dtype=np.int64)),
+            }
+        )
 
-    tagged = pairs.map_batches(AttachBal, batch_format="pyarrow", concurrency=2)
+    tagged = pairs.map_batches(
+        with_broadcast(ref, attach_bal, "attach_bal"), batch_format="pyarrow"
+    )
     agg = grouped_sum(
         tagged, ["zone_id"], {"n_points": ("one", "sum"), "sum_bal_c": ("bal_c", "sum")},
         merge="driver",  # <=25 zones
@@ -341,35 +342,32 @@ def knn_doc_suppliers(sf_dir: str, k: int = 5):
     slon = synthgeo.synth_lon(sk)
     ref = ray.put((sk, slat, slon))
 
-    class KNN:
-        def __init__(self):
-            self.sk, self.slat, self.slon = ray.get(ref)
+    from ..stages.broadcast import with_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            qid = t["point_id"].to_numpy(zero_copy_only=False)
-            qlat = t["lat"].to_numpy(zero_copy_only=False)
-            qlon = t["lon"].to_numpy(zero_copy_only=False)
-            d = geom.haversine_km(
-                qlat[:, None], qlon[:, None], self.slat[None, :], self.slon[None, :]
-            )
-            kk = min(k, d.shape[1])
-            # deterministic order: distance, then neighbor id
-            order = np.lexsort((self.sk[None, :].repeat(len(qid), 0), d), axis=1)[:, :kk]
-            rows_q = np.repeat(qid, kk)
-            rows_n = self.sk[order].ravel()
-            rows_r = np.tile(np.arange(1, kk + 1), len(qid))
-            return pa.table(
-                {
-                    "point_id": pa.array(rows_q),
-                    "neighbor_id": pa.array(rows_n),
-                    "rank": pa.array(rows_r.astype(np.int64)),
-                }
-            )
+    def knn_batch(state, t: pa.Table) -> pa.Table:
+        sk, slat, slon = state
+        qid = t["point_id"].to_numpy(zero_copy_only=False)
+        qlat = t["lat"].to_numpy(zero_copy_only=False)
+        qlon = t["lon"].to_numpy(zero_copy_only=False)
+        d = geom.haversine_km(
+            qlat[:, None], qlon[:, None], slat[None, :], slon[None, :]
+        )
+        kk = min(k, d.shape[1])
+        # deterministic order: distance, then neighbor id
+        order = np.lexsort((sk[None, :].repeat(len(qid), 0), d), axis=1)[:, :kk]
+        return pa.table(
+            {
+                "point_id": pa.array(np.repeat(qid, kk)),
+                "neighbor_id": pa.array(sk[order].ravel()),
+                "rank": pa.array(np.tile(np.arange(1, kk + 1), len(qid)).astype(np.int64)),
+            }
+        )
 
     pts = _points_ds(sf_dir, "documents", "doc_id")
-    return pts.map_batches(KNN, batch_format="pyarrow", concurrency=2).sort(
-        ["point_id", "rank"]
-    )
+    return pts.map_batches(
+        with_broadcast(ref, knn_batch, "knn"), batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort(["point_id", "rank"])
 
 
 def knn_doc_suppliers_sql(k: int = 5) -> str:
