@@ -454,3 +454,60 @@ SELECT o_orderkey, c_mktsegment
 FROM orders JOIN customer ON o_custkey = c_custkey
 ORDER BY o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# distinct counting: two-phase exact distinct (per-batch dedup -> global
+# distinct -> count per group)
+# ---------------------------------------------------------------------------
+
+
+def distinct_parts_per_flag(sf_dir: str):
+    """count(DISTINCT l_partkey) per returnflag, exactly.
+
+    Phase 1: per-batch (flag, partkey) dedup (combiner); phase 2:
+    global groupby over the deduped pairs; phase 3: count per flag.
+    The shuffle moves distinct pairs, not rows.
+    """
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
+
+    def dedup_batch(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_partkey"]).aggregate([])
+        return g
+
+    pairs = ds.map_batches(dedup_batch, batch_format="pyarrow", zero_copy_batch=True)
+    # global distinct pairs, then count per flag (bounded: flags x parts)
+    agg = grouped_sum(
+        pairs.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        ["l_returnflag", "l_partkey"],
+        {"one": ("one", "min")},
+        merge="driver",
+    )
+    final = grouped_sum(
+        agg.map_batches(
+            lambda t: pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["l_returnflag"],
+        {"n_parts": ("one", "sum")},
+        merge="driver",
+    )
+    return final.sort("l_returnflag")
+
+
+DISTINCT_PARTS_SQL = """
+SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS n_parts
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -152,3 +152,28 @@ def test_knn_partitioned_matches_brute_force(ray_session):
         for r in got.itertuples()
     }
     assert got_map == expect
+
+
+def test_partition_invariance(ray_session, sf_small):
+    """Results must not depend on block layout: rerun key pipelines
+    after forcing a different partitioning of the input."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from geografir_ray.pipelines.pages import dedup_by_url, pages_zonal
+    from geografir_ray.sources.synth import pages_batch
+
+    t = pages_batch(0, 3000)
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        out = pages_zonal(ds).to_pandas()
+        if nblocks == 1:
+            base = out
+        else:
+            assert out.equals(base)
+        dd = dedup_by_url(rd.from_arrow(t).repartition(nblocks)).to_pandas()
+        got = set(zip(dd["url"], dd["warc_ts"]))
+        if nblocks == 1:
+            base_dd = got
+        else:
+            assert got == base_dd
