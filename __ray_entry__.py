@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events (window / session / as-of)
         "events_hourly": E.events_hourly,
         "events_sessions": E.events_sessions,
+        "events_sessions_sorted": E.events_sessions_sorted,
         "events_asof_signup": E.events_asof_signup,
         "events_top_users": E.events_top_users,
         # documents (text analysis + dedup family)
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_bbox_by_nation": S.BBOX_BY_NATION_SQL,
         "events_hourly": E.EVENTS_HOURLY_SQL,
         "events_sessions": E.EVENTS_SESSIONS_SQL,
+        "events_sessions_sorted": E.EVENTS_SESSIONS_SQL,
         "events_asof_signup": E.EVENTS_ASOF_SQL,
         "events_top_users": E.EVENTS_TOP_USERS_SQL,
         "docs_stats": D.DOCS_STATS_SQL,

@@ -281,3 +281,138 @@ FROM events p JOIN events e
  AND abs(date_diff('microsecond', e.ts, p.ts)) <= {RANGE_TOL_MIN * 60 * 1_000_000}
 ORDER BY purchase_id, error_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Sort-based sessionization (the high-cardinality path)
+#
+# groupby(user).map_groups costs one Python call per user (the
+# per-group trap measured in pages dedup); this variant instead sorts
+# globally by (user_id, ts, event_id), computes session starts with a
+# single vectorized diff per batch, and repairs block boundaries with
+# per-batch edge records merged on the driver: a batch's first row is
+# counted as a session start, so if the previous batch ends with the
+# same user within the gap, that start is subtracted.
+# ---------------------------------------------------------------------------
+
+
+def events_sessions_sorted(sf_dir: str):
+    import ray
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"]).sort(
+        ["user_id", "ts", "event_id"]
+    )
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_sessions": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "edge_first_uid": pa.array([], type=pa.int64()),
+                    "edge_first_ts": pa.array([], type=pa.int64()),
+                    "edge_last_uid": pa.array([], type=pa.int64()),
+                    "edge_last_ts": pa.array([], type=pa.int64()),
+                }
+            )
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(n, dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+        start = new_user | gap
+        # per-user partials within the batch
+        tb = pa.table(
+            {
+                "user_id": pa.array(uid),
+                "s": pa.array(start.astype(np.int64)),
+                "one": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+        g = tb.group_by("user_id").aggregate([("s", "sum"), ("one", "sum")])
+        g = g.rename_columns(["user_id", "n_sessions", "n_events"])
+        pad = g.num_rows
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "n_sessions": g["n_sessions"],
+                "n_events": g["n_events"],
+                "edge_first_uid": pa.array(
+                    [int(uid[0])] + [-1] * (pad - 1), type=pa.int64()
+                ),
+                "edge_first_ts": pa.array(
+                    [int(ts[0])] + [-1] * (pad - 1), type=pa.int64()
+                ),
+                "edge_first_eid": pa.array(
+                    [int(t["event_id"][0].as_py())] + [-1] * (pad - 1), type=pa.int64()
+                ),
+                "edge_last_uid": pa.array(
+                    [int(uid[-1])] + [-1] * (pad - 1), type=pa.int64()
+                ),
+                "edge_last_ts": pa.array(
+                    [int(ts[-1])] + [-1] * (pad - 1), type=pa.int64()
+                ),
+            }
+        )
+
+    # Edge records are re-ordered by their (first_uid, first_ts,
+    # first_event_id) key below, so boundary pairing does NOT depend on
+    # the (unguaranteed, preserve_order=False) block arrival order.
+    parts = []
+    edges = []
+    for b in ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None).iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        if b.num_rows == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "n_sessions": b["n_sessions"],
+                    "n_events": b["n_events"],
+                }
+            )
+        )
+        edges.append(
+            (
+                int(b["edge_first_uid"][0].as_py()),
+                int(b["edge_first_ts"][0].as_py()),
+                int(b["edge_first_eid"][0].as_py()),
+                int(b["edge_last_uid"][0].as_py()),
+                int(b["edge_last_ts"][0].as_py()),
+            )
+        )
+
+    import pandas as pd
+
+    merged = (
+        pa.concat_tables(parts)
+        .to_pandas()
+        .groupby("user_id", as_index=False)
+        .sum()
+    )
+    # boundary repair: batch i+1's first row was counted as a session
+    # start; cancel it when batch i ends with the same user within gap.
+    # Blocks are re-ordered by first-row sort key (order-independent).
+    edges.sort(key=lambda e: (e[0], e[1], e[2]))
+    corrections: dict[int, int] = {}
+    for i in range(1, len(edges)):
+        fu, ft, _feid, _, _ = edges[i]
+        _, _, _, lu, lt = edges[i - 1]
+        if fu == lu and (ft - lt) <= gap_us:
+            corrections[fu] = corrections.get(fu, 0) + 1
+    if corrections:
+        cseries = merged["user_id"].map(corrections).fillna(0).astype(np.int64)
+        merged["n_sessions"] = merged["n_sessions"] - cseries
+    merged = merged.sort_values("user_id").reset_index(drop=True)
+    import ray.data
+
+    return ray.data.from_pandas(merged)
