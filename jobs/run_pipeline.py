@@ -30,6 +30,13 @@ def main() -> int:
     ap.add_argument("--config", help="runner config JSON path")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--output", help="write result parquet to this dir")
+    ap.add_argument(
+        "--checkpoint-dir",
+        help="checkpoint-resumable partitioned output (lineage + _SUCCESS "
+        "per partition; reruns skip completed partitions)",
+    )
+    ap.add_argument("--op-version", default="v1",
+                    help="kernel version recorded in lineage; changing it invalidates old partitions")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -63,7 +70,33 @@ def main() -> int:
                               "available": sorted(qs)}))
             return 2
         result = qs[args.query](args.sf_dir)
-        if args.output and hasattr(result, "write_parquet"):
+        if args.checkpoint_dir and hasattr(result, "map_batches"):
+            import numpy as np
+            import pyarrow as pa
+
+            from geografir_ray.state.checkpoint import checkpointed_write
+
+            def partition_fn(t: pa.Table):
+                # partition by hash of the first column (generic layout);
+                # spatial pipelines may pass tile/zone keys instead
+                col = t.column_names[0]
+                k = t[col].to_numpy(zero_copy_only=False)
+                try:
+                    kv = k.astype(np.int64)
+                except (TypeError, ValueError):
+                    kv = np.arange(t.num_rows, dtype=np.int64)
+                parts = {}
+                for pkey in np.unique(kv % 8):
+                    parts[str(pkey)] = t.filter(pa.array(kv % 8 == pkey))
+                return parts
+
+            report = checkpointed_write(
+                result, args.checkpoint_dir, partition_fn, args.op_version,
+                input_files=[args.sf_dir],
+            )
+            print(json.dumps({"checkpoint": report}), file=sys.stderr)
+            rows = None
+        elif args.output and hasattr(result, "write_parquet"):
             result.write_parquet(args.output)
             rows = None
         elif hasattr(result, "count"):
