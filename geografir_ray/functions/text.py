@@ -224,3 +224,48 @@ def rolling_fingerprints(text: str, window: int = 8, keep_mod: int = 16) -> np.n
         h = h * base + data[j : j + n]
     h = splitmix64(h)
     return np.unique(h[h % _U64(keep_mod) == _U64(0)])
+
+
+def minhash_signatures_batch(
+    texts, num_perm: int = 128, k: int = 3
+) -> np.ndarray:
+    """(n_docs, num_perm) MinHash signatures, vectorized across docs.
+
+    Concatenates all docs' shingle hashes and computes per-permutation
+    segment minima with np.minimum.reduceat — no per-doc Python beyond
+    shingling.  Identical output to minhash_signature per doc (tested).
+    """
+    shingle_lists = [shingle_hashes(t or "", k) for t in texts]
+    lens = np.fromiter((len(s) for s in shingle_lists), dtype=np.int64, count=len(texts))
+    out = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nonempty = lens > 0
+    if not nonempty.any():
+        return out
+    concat = np.concatenate([s for s in shingle_lists if len(s)])
+    offsets = np.concatenate(([0], np.cumsum(lens[nonempty])))[:-1]
+    a, b = _minhash_coeffs(num_perm)
+    with np.errstate(over="ignore"):
+        # chunk permutations to bound the (total_shingles x chunk) matrix
+        chunk = max(1, min(num_perm, (1 << 24) // max(len(concat), 1)))
+        res = np.empty((nonempty.sum(), num_perm), dtype=np.uint64)
+        for p0 in range(0, num_perm, chunk):
+            p1 = min(p0 + chunk, num_perm)
+            v = concat[:, None] * a[None, p0:p1] + b[None, p0:p1]
+            res[:, p0:p1] = np.minimum.reduceat(v, offsets, axis=0)
+    out[nonempty] = res
+    return out
+
+
+def minhash_bands_batch(sigs: np.ndarray, n_bands: int = 16) -> np.ndarray:
+    """(n_docs, n_bands) LSH band hashes, vectorized (identical to
+    minhash_bands row-wise)."""
+    n, num_perm = sigs.shape
+    rows = num_perm // n_bands
+    out = np.empty((n, n_bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for band in range(n_bands):
+            h = np.full(n, band, dtype=np.uint64) + _U64(0x9E3779B97F4A7C15)
+            for r in range(rows):
+                h = splitmix64(h ^ sigs[:, band * rows + r])
+            out[:, band] = h
+    return out

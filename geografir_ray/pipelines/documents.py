@@ -205,6 +205,7 @@ def docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
         posting.groupby("token").map_groups(pairs, batch_format="pandas"),
         ["a", "b"],
         {"common": ("common", "sum")},
+        merge="driver",  # pair keyspace bounded by C(window, 2)
     )
 
     # broadcast doc -> set size, verify jaccard
@@ -282,43 +283,74 @@ def docs_minhash_lsh(sf_dir: str, num_perm: int = 128, n_bands: int = 16, thresh
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def band_stage(t: pa.Table) -> pa.Table:
-        # minhash coefficients are module-cached (built once per worker
-        # process); plain task fn keeps the stage fusable and avoids
-        # reserving pool CPUs on small sessions
-        T._minhash_coeffs(num_perm)
-        ids = []
-        bands = []
-        hashes = []
-        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = T.minhash_signature(T.shingle_hashes(s or "", k=3), num_perm)
-            bh = T.minhash_bands(sig, n_bands)
-            ids.extend([d] * n_bands)
-            bands.extend(range(n_bands))
-            hashes.extend((bh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).tolist())
+        # fully vectorized across the batch: concat shingles + segment
+        # minima (minhash_signatures_batch) — identical output to the
+        # per-doc form, without the per-doc Python loop
+        docs = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = T.minhash_signatures_batch(t["text"].to_pylist(), num_perm, k=3)
+        bh = T.minhash_bands_batch(sigs, n_bands)  # (n_docs, n_bands)
+        buckets = (bh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        n = len(docs)
         return pa.table(
             {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "band": pa.array(bands, type=pa.int64()),
-                "bucket": pa.array(hashes, type=pa.int64()),
+                "doc_id": pa.array(np.repeat(docs, n_bands)),
+                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int64), n)),
+                "bucket": pa.array(buckets.ravel()),
             }
         )
 
     banded = ds.map_batches(band_stage, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        d = np.unique(g["doc_id"].values.astype(np.int64))
-        if len(d) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
-        ii, jj = np.triu_indices(len(d), k=1)
-        return pd.DataFrame({"a": d[ii], "b": d[jj]})
+    # candidate pairs from band-bucket collisions, vectorized: the
+    # (band, bucket, doc) set is bounded at n_docs x n_bands rows, so
+    # collect it and expand same-bucket pairs with size-batched triu
+    # indices (a groupby(band,bucket).map_groups form pays one Python
+    # call per bucket — the per-group trap — with ~n_docs x n_bands
+    # mostly-singleton groups).  For corpora beyond driver memory the
+    # shuffle form remains a drop-in (same semantics).
+    import pyarrow as _pa
+    import ray.data as _rd
 
-    cand = (
-        banded.groupby(["band", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .count()
-        .select_columns(["a", "b"])
+    bt = pa.concat_tables(
+        list(banded.iter_batches(batch_size=None, batch_format="pyarrow"))
     )
+    band_v = bt["band"].to_numpy(zero_copy_only=False)
+    bucket_v = bt["bucket"].to_numpy(zero_copy_only=False)
+    doc_v = bt["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc_v, bucket_v, band_v))
+    band_v, bucket_v, doc_v = band_v[order], bucket_v[order], doc_v[order]
+    seg_start = np.concatenate(
+        ([True], (band_v[1:] != band_v[:-1]) | (bucket_v[1:] != bucket_v[:-1]))
+    )
+    starts = np.flatnonzero(seg_start)
+    sizes = np.diff(np.concatenate((starts, [len(doc_v)])))
+    pair_a = []
+    pair_b = []
+    for size in np.unique(sizes[sizes >= 2]):
+        seg_s = starts[sizes == size]
+        ii, jj = np.triu_indices(int(size), k=1)
+        # (n_segs, n_pairs) gather
+        aa = doc_v[seg_s[:, None] + ii[None, :]]
+        bb = doc_v[seg_s[:, None] + jj[None, :]]
+        pair_a.append(aa.ravel())
+        pair_b.append(bb.ravel())
+    if pair_a:
+        a = np.concatenate(pair_a)
+        b = np.concatenate(pair_b)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        packed = np.unique(lo.astype(np.uint64) * np.uint64(1 << 32) + hi.astype(np.uint64))
+        cand_t = _pa.table(
+            {
+                "a": _pa.array((packed >> np.uint64(32)).astype(np.int64)),
+                "b": _pa.array((packed & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+            }
+        )
+    else:
+        cand_t = _pa.table(
+            {"a": _pa.array([], type=_pa.int64()), "b": _pa.array([], type=_pa.int64())}
+        )
+    cand = _rd.from_arrow(cand_t)
 
     # verify candidates with exact jaccard (token sets broadcast)
     docs_pd = read_table_local(sf_dir, "documents", columns=["doc_id", "text"])
