@@ -80,3 +80,48 @@ def test_extractor_counts_repeated_mentions():
     rows, names, lats, lons = x.extract(["springfield and springfield", "nothing here"])
     assert list(rows) == [0, 0]
     assert names == ["springfield", "springfield"]
+
+
+def test_pages_parquet_roundtrip_pipeline(ray_session, tmp_path):
+    """write_pages_parquet -> read_parquet -> full chain: the persisted
+    file path end-to-end (not just in-memory datasets)."""
+    import ray.data as rd
+
+    from geografir_ray.pipelines.pages import pages_zonal
+    from geografir_ray.sources.synth import pages_dataset, write_pages_parquet
+
+    out_dir = str(tmp_path / "pages")
+    write_pages_parquet(out_dir, 20_000)
+    ds = rd.read_parquet(out_dir)
+    assert ds.count() == 20_000
+    via_files = pages_zonal(rd.read_parquet(out_dir)).to_pandas()
+    via_memory = pages_zonal(pages_dataset(20_000)).to_pandas()
+    assert via_files.equals(via_memory)
+
+
+def test_task_retry_idempotency(ray_session, tmp_path):
+    """A stage that crashes on its first execution per flag-file is
+    retried by Ray and the pipeline still produces the exact result —
+    stages are pure batch fns, so retries are idempotent."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    flag = tmp_path / "crashed_once"
+
+    def flaky(t: pa.Table) -> pa.Table:
+        if not flag.exists():
+            flag.write_text("x")
+            raise RuntimeError("injected failure (first attempt)")
+        return t
+
+    # Ray retries system failures automatically; application-level
+    # exceptions need explicit opt-in (idempotent stages make this safe)
+    ds = rd.range(10_000).map_batches(
+        flaky,
+        batch_format="pyarrow",
+        batch_size=None,
+        retry_exceptions=True,
+        max_retries=3,
+    )
+    assert ds.count() == 10_000
+    assert flag.exists()
