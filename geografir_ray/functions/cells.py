@@ -436,3 +436,60 @@ def hex_k_ring(cell: int, k: int) -> np.ndarray:
         | ((qs + _HEX_OFFSET).astype(np.uint64) << _U64(29))
         | (rs + _HEX_OFFSET).astype(np.uint64)
     )
+
+
+def s2_children(cell: np.ndarray) -> np.ndarray:
+    """(n, 4) child ids one level finer (canonical id arithmetic:
+    child lsb l = lsb >> 2; children = c - lsb + (2i+1) * l)."""
+    c = np.asarray(cell, dtype=np.uint64)
+    lsb = c & (~c + _U64(1))
+    l = lsb >> _U64(2)
+    if np.any(l == 0):
+        raise ValueError("cannot take children of a level-30 cell")
+    base = c - lsb
+    offs = np.arange(1, 9, 2, dtype=np.uint64)  # 1,3,5,7
+    return base[:, None] + offs[None, :] * l[:, None]
+
+
+def grid_neighbors(cell: np.ndarray, bits: int, radius: int = 1) -> np.ndarray:
+    """(n, (2R+1)^2) neighboring grid cells (lat rows clamped at the
+    poles, lon columns wrap around the antimeridian)."""
+    n_axis = np.int64(1) << bits
+    row = (np.asarray(cell, dtype=np.uint64) >> _U64(32)).astype(np.int64)
+    col = (np.asarray(cell, dtype=np.uint64) & _U64(0xFFFFFFFF)).astype(np.int64)
+    offs = np.arange(-radius, radius + 1, dtype=np.int64)
+    rr = np.clip(row[:, None] + offs[None, :], 0, n_axis - 1)
+    cc = (col[:, None] + offs[None, :]) % n_axis
+    out = (rr[:, :, None].astype(np.uint64) << _U64(32)) | cc[:, None, :].astype(
+        np.uint64
+    )
+    return out.reshape(len(row), -1)
+
+
+def geohash_neighbors(code: np.ndarray, precision: int) -> np.ndarray:
+    """(n, 8) neighboring geohash ints (N, NE, E, SE, S, SW, W, NW) —
+    computed on the integer lat/lon grid (clamped lat, wrapped lon)."""
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    c = np.asarray(code, dtype=np.uint64)
+    if lon_bits > lat_bits:
+        lon_q = _compact_bits64(c).astype(np.int64)
+        lat_q = _compact_bits64(c >> _U64(1)).astype(np.int64)
+    else:
+        lon_q = _compact_bits64(c >> _U64(1)).astype(np.int64)
+        lat_q = _compact_bits64(c).astype(np.int64)
+    n_lat = np.int64(1) << lat_bits
+    n_lon = np.int64(1) << lon_bits
+    moves = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)]
+    out = np.empty((len(c), 8), dtype=np.uint64)
+    for i, (dlat, dlon) in enumerate(moves):
+        la = np.clip(lat_q + dlat, 0, n_lat - 1).astype(np.uint64)
+        lo = ((lon_q + dlon) % n_lon).astype(np.uint64)
+        s_lon = _spread_bits32(lo)
+        s_lat = _spread_bits32(la)
+        if lon_bits > lat_bits:
+            out[:, i] = s_lon | (s_lat << _U64(1))
+        else:
+            out[:, i] = (s_lon << _U64(1)) | s_lat
+    return out

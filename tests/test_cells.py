@@ -192,3 +192,59 @@ def test_hex_k_ring():
         assert len(ring) == 1 + 3 * k * (k + 1)  # hexagonal number
         assert cell in ring
         assert len(np.unique(ring)) == len(ring)
+
+
+def test_s2_children_parent_roundtrip():
+    rng = np.random.default_rng(67)
+    lat = rng.uniform(-80, 80, 500)
+    lon = rng.uniform(-179, 179, 500)
+    for level in (5, 12, 20):
+        parent = cells.s2_cell_id(lat, lon, level)
+        kids = cells.s2_children(parent)
+        assert kids.shape == (500, 4)
+        for j in range(4):
+            assert np.all(cells.s2_level(kids[:, j]) == level + 1)
+            np.testing.assert_array_equal(cells.s2_parent(kids[:, j], level), parent)
+        # all four children distinct
+        assert all(len(set(kids[i])) == 4 for i in range(0, 500, 50))
+
+
+def test_s2_children_of_leaf_raises():
+    leaf = cells.s2_cell_id(np.array([10.0]), np.array([20.0]), 30)
+    with pytest.raises(ValueError, match="level-30"):
+        cells.s2_children(leaf)
+
+
+def test_geohash_neighbors_are_adjacent():
+    rng = np.random.default_rng(71)
+    lat = rng.uniform(-80, 80, 200)
+    lon = rng.uniform(-170, 170, 200)
+    prec = 6
+    code = cells.geohash_int(lat, lon, prec)
+    nb = cells.geohash_neighbors(code, prec)
+    assert nb.shape == (200, 8)
+    clat, clon = cells.geohash_int_to_latlon(code, prec)
+    lat_bits = (5 * prec) // 2
+    lon_bits = (5 * prec + 1) // 2
+    dlat = 180.0 / (1 << lat_bits)
+    dlon = 360.0 / (1 << lon_bits)
+    for j in range(8):
+        nlat, nlon = cells.geohash_int_to_latlon(nb[:, j], prec)
+        assert np.all(np.abs(nlat - clat) <= dlat + 1e-9)
+        # lon may wrap; compare circular distance
+        dd = np.minimum(np.abs(nlon - clon), 360.0 - np.abs(nlon - clon))
+        assert np.all(dd <= dlon + 1e-9)
+    # neighbors distinct from the center
+    assert np.all(nb != code[:, None])
+
+
+def test_grid_neighbors_match_knn_internal():
+    from geografir_ray.stages.knn import _neighbor_cells
+
+    rng = np.random.default_rng(73)
+    lat = rng.uniform(-80, 80, 300)
+    lon = rng.uniform(-179, 179, 300)
+    cell = cells.grid_cell(lat, lon, 6)
+    np.testing.assert_array_equal(
+        cells.grid_neighbors(cell, 6, 1), _neighbor_cells(cell, 6, 1)
+    )
