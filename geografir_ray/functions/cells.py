@@ -493,3 +493,73 @@ def geohash_neighbors(code: np.ndarray, precision: int) -> np.ndarray:
         else:
             out[:, i] = (s_lon << _U64(1)) | s_lat
     return out
+
+
+def _ij_from_cell(cell: np.ndarray):
+    """(face, i, j) of each cell's center leaf (inverse Hilbert traversal
+    with the lookup_ij table — public ToFaceIJOrientation algorithm)."""
+    c = np.asarray(cell, dtype=np.uint64)
+    face = (c >> _U64(61)).astype(np.int64)
+    i = np.zeros(len(c), dtype=np.int64)
+    j = np.zeros(len(c), dtype=np.int64)
+    bits = face & _S2_SWAP_MASK
+    lk = _S2_LOOKUP_BITS
+    for k in range(7, -1, -1):
+        nbits = (_S2_MAX_LEVEL - 7 * lk) if k == 7 else lk
+        chunk = ((c >> _U64(k * 2 * lk + 1)) & _U64((1 << (2 * nbits)) - 1)).astype(
+            np.int64
+        )
+        bits += chunk << 2
+        bits = _S2_LOOKUP_IJ[bits]
+        i += (bits >> (lk + 2)) << (k * lk)
+        j += ((bits >> 2) & ((1 << lk) - 1)) << (k * lk)
+        bits &= _S2_SWAP_MASK | _S2_INVERT_MASK
+    return face, i, j
+
+
+def _uv_from_st(s: np.ndarray) -> np.ndarray:
+    """Inverse of the quadratic projection (_st_from_uv)."""
+    return np.where(
+        s >= 0.5,
+        (1.0 / 3.0) * (4.0 * s * s - 1.0),
+        (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)),
+    )
+
+
+def _xyz_from_face_uv(face: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Unit-sphere direction per face (public S2 face conventions,
+    inverse of _face_uv_from_xyz)."""
+    one = np.ones_like(u)
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    specs = [
+        (one, u, v),        # face 0: +x major
+        (-u, one, v),       # face 1: +y
+        (-u, -v, one),      # face 2: +z
+        (-one, -v, -u),     # face 3: -x
+        (v, -one, -u),      # face 4: -y
+        (v, u, -one),       # face 5: -z
+    ]
+    for f, (fx, fy, fz) in enumerate(specs):
+        m = face == f
+        if np.any(m):
+            x[m] = fx[m] if isinstance(fx, np.ndarray) else fx
+            y[m] = fy[m] if isinstance(fy, np.ndarray) else fy
+            z[m] = fz[m] if isinstance(fz, np.ndarray) else fz
+    n = np.sqrt(x * x + y * y + z * z)
+    return x / n, y / n, z / n
+
+
+def s2_to_latlon(cell: np.ndarray):
+    """(lat, lon) degrees of each cell's center."""
+    face, i, j = _ij_from_cell(cell)
+    # center leaf -> st at leaf center
+    s = (i.astype(np.float64) + 0.5) / (1 << _S2_MAX_LEVEL)
+    t = (j.astype(np.float64) + 0.5) / (1 << _S2_MAX_LEVEL)
+    u = _uv_from_st(s)
+    v = _uv_from_st(t)
+    x, y, z = _xyz_from_face_uv(face, u, v)
+    lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
+    lon = np.degrees(np.arctan2(y, x))
+    return lat, lon

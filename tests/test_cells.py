@@ -248,3 +248,21 @@ def test_grid_neighbors_match_knn_internal():
     np.testing.assert_array_equal(
         cells.grid_neighbors(cell, 6, 1), _neighbor_cells(cell, 6, 1)
     )
+
+
+def test_s2_to_latlon_roundtrip_all_levels():
+    rng = np.random.default_rng(79)
+    lat = rng.uniform(-89, 89, 2000)
+    lon = rng.uniform(-180, 180, 2000)
+    for level in (1, 5, 10, 15, 20, 30):
+        ids = cells.s2_cell_id(lat, lon, level)
+        clat, clon = cells.s2_to_latlon(ids)
+        np.testing.assert_array_equal(cells.s2_cell_id(clat, clon, level), ids)
+
+
+def test_s2_center_near_point_at_fine_level():
+    # level-20 cells are ~10m: center within ~0.001 deg of the point
+    ids = cells.s2_cell_id(np.array([40.7128]), np.array([-74.0060]), 20)
+    clat, clon = cells.s2_to_latlon(ids)
+    assert abs(clat[0] - 40.7128) < 1e-3
+    assert abs(clon[0] + 74.0060) < 1e-3
