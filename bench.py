@@ -190,13 +190,16 @@ def run_scaling() -> dict:
 
     lo, hi = 8, 32
     ceiling = _mp_ceiling(lo, hi)  # measured first, on a quiet host
-    # interleave the two levels (lo,hi,lo,hi) and take min per level:
-    # the shared host's external load varies on a minutes scale, so
-    # back-to-back single runs can sample different machines in effect
-    runs_lo = [run(lo)]
-    runs_hi = [run(hi)]
-    runs_lo.append(run(lo))
-    runs_hi.append(run(hi))
+    # interleave the two levels (lo,hi,lo,hi,...) and take min per
+    # level: the shared host's external load varies ~2x on a minutes
+    # scale, so back-to-back single runs can sample different machines
+    # in effect; best-of-N interleaved approximates quiet-box behavior
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
+    runs_lo = []
+    runs_hi = []
+    for _ in range(reps):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
     r_lo = min(runs_lo, key=lambda r: r["sec"])
     r_hi = min(runs_hi, key=lambda r: r["sec"])
     speedup = r_hi["rows_per_sec"] / r_lo["rows_per_sec"]
@@ -213,6 +216,8 @@ def run_scaling() -> dict:
         "speedup_8_to_32": round(speedup, 3),
         "hardware_ceiling_speedup": round(ceiling, 3),
         "efficiency_vs_hardware_ceiling": round(speedup / ceiling, 3),
+        "raw_sec_8": [r["sec"] for r in runs_lo],
+        "raw_sec_32": [r["sec"] for r in runs_hi],
     }
 
 
