@@ -162,14 +162,20 @@ def _zones_table() -> pa.Table:
     )
 
 
-def pip_join_partitioned(points, zones: pa.Table, bits: int = PIP_COVER_BITS):
-    """Generic cell-partitioned PIP join.
+def pip_join_partitioned(
+    points, zones: pa.Table, bits: int = PIP_COVER_BITS, n_buckets: int = 64
+):
+    """Generic partitioned PIP join — no broadcast assumption.
 
     points: Dataset with (point_id, lat, lon); zones: Arrow table with
-    (zone_id, xs, ys) rings.  Both sides are exploded/keyed by grid
-    cell and co-partitioned via a single groupby(cell) shuffle; each
-    group builds an STR-tree over its zone bboxes and raycast-verifies
-    candidates.  Scales with both sides (no broadcast assumption).
+    (zone_id, xs, ys) rings.  Both sides key by grid cell, then
+    co-partition on ``hash(cell) % n_buckets`` — B buckets, NOT one
+    group per cell: a groupby(cell).map_groups probe pays one Python
+    call per cell (the per-group trap), while B buckets make the merge
+    fn run once per bucket with a fully vectorized postings probe
+    (sorted cell → zone-run lookup + raycast pairs) inside.  Pairs are
+    exact: a point meets every zone whose cover includes its cell, in
+    exactly one bucket.
     """
     import ray.data
 
@@ -185,8 +191,12 @@ def pip_join_partitioned(points, zones: pa.Table, bits: int = PIP_COVER_BITS):
     )
     boxes = geom.bbox_of_rings(vertex_xy, ring_offsets)
     poly_idx, cell_ids = geom.cover_bboxes_with_grid(boxes, bits)
+    from ..functions.hashing import splitmix64 as _smx
+
+    zbucket = (_smx(cell_ids) % np.uint64(n_buckets)).astype(np.int64)
     zrows = pa.table(
         {
+            "bucket": pa.array(zbucket),
             "cell": pa.array(cell_ids),
             "side": pa.array(np.ones(len(poly_idx), dtype=np.int8)),
             "id": pa.array(zone_id[poly_idx]),
@@ -205,6 +215,7 @@ def pip_join_partitioned(points, zones: pa.Table, bits: int = PIP_COVER_BITS):
         n = len(lat)
         return pa.table(
             {
+                "bucket": pa.array((_smx(cell) % np.uint64(n_buckets)).astype(np.int64)),
                 "cell": pa.array(cell),
                 "side": pa.array(np.zeros(n, dtype=np.int8)),
                 "id": t["point_id"],
@@ -224,22 +235,44 @@ def pip_join_partitioned(points, zones: pa.Table, bits: int = PIP_COVER_BITS):
             return pd.DataFrame({"point_id": [], "zone_id": []}).astype(
                 {"point_id": np.int64, "zone_id": np.int64}
             )
+        # bucket-local postings: (cell -> zone rows), probed vectorized
+        zcell = g.loc[zmask, "cell"].values.astype(np.uint64)
+        zid = g.loc[zmask, "id"].values.astype(np.int64)
         zxs = [np.asarray(r) for r in g.loc[zmask, "xs"]]
         zys = [np.asarray(r) for r in g.loc[zmask, "ys"]]
-        zid = g.loc[zmask, "id"].values.astype(np.int64)
+        order = np.argsort(zcell, kind="stable")
+        zcell, zid = zcell[order], zid[order]
+        zxs = [zxs[i] for i in order]
+        zys = [zys[i] for i in order]
         offs = np.cumsum([0] + [len(r) for r in zxs])
         vxy = np.stack([np.concatenate(zxs), np.concatenate(zys)], axis=1)
-        tree = geom.STRtree(geom.bbox_of_rings(vxy, offs))
+        ucells, ustart = np.unique(zcell, return_index=True)
+        uend = np.concatenate((ustart[1:], [len(zcell)]))
+
         px = g.loc[~zmask, "lon"].values
         py = g.loc[~zmask, "lat"].values
         pid = g.loc[~zmask, "id"].values.astype(np.int64)
-        pi, zi = tree.query_points(px, py)
-        if len(pi):
-            ok = geom.points_in_polygons_pairs(px[pi], py[pi], zi, vxy, offs)
-            pi, zi = pi[ok], zi[ok]
-        return pd.DataFrame({"point_id": pid[pi], "zone_id": zid[zi]})
+        pcell = g.loc[~zmask, "cell"].values.astype(np.uint64)
+        loc = np.searchsorted(ucells, pcell)
+        loc_c = np.clip(loc, 0, max(len(ucells) - 1, 0))
+        valid = ucells[loc_c] == pcell
+        vpt = np.flatnonzero(valid)
+        starts = ustart[loc_c[vpt]]
+        counts = uend[loc_c[vpt]] - starts
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame({"point_id": [], "zone_id": []}).astype(
+                {"point_id": np.int64, "zone_id": np.int64}
+            )
+        run_pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        zrow = np.repeat(starts, counts) + run_pos  # candidate zone row
+        prow = np.repeat(vpt, counts)  # candidate point row
+        ok = geom.points_in_polygons_pairs(px[prow], py[prow], zrow, vxy, offs)
+        return pd.DataFrame({"point_id": pid[prow[ok]], "zone_id": zid[zrow[ok]]})
 
-    return unioned.groupby("cell").map_groups(probe, batch_format="pandas")
+    return unioned.groupby("bucket").map_groups(probe, batch_format="pandas")
 
 
 def pip_customer_zones(sf_dir: str):
