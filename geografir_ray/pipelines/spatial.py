@@ -499,23 +499,20 @@ def cell_assignment(sf_dir: str):
     )
 
     def cast_cells(t: pa.Table) -> pa.Table:
-        # driver compare path prefers signed ints; reinterpret u64 as i64
+        # bijective u64 -> i64 reinterpretation (two's complement view):
+        # masking the top bit would collide S2 faces 4-5 with 0-1
+        def as_i64(col):
+            return pa.array(
+                col.to_numpy(zero_copy_only=False).astype(np.uint64).view(np.int64)
+            )
+
         return pa.table(
             {
                 "point_id": t["point_id"],
                 "geohash": t["geohash"],
-                "cell_geohash": pc.cast(
-                    pc.bit_wise_and(t["cell_geohash"], pa.scalar(0x7FFFFFFFFFFFFFFF, type=pa.uint64())),
-                    pa.int64(),
-                ),
-                "cell_s2": pc.cast(
-                    pc.bit_wise_and(t["cell_s2"], pa.scalar(0x7FFFFFFFFFFFFFFF, type=pa.uint64())),
-                    pa.int64(),
-                ),
-                "cell_hex": pc.cast(
-                    pc.bit_wise_and(t["cell_hex"], pa.scalar(0x7FFFFFFFFFFFFFFF, type=pa.uint64())),
-                    pa.int64(),
-                ),
+                "cell_geohash": as_i64(t["cell_geohash"]),
+                "cell_s2": as_i64(t["cell_s2"]),
+                "cell_hex": as_i64(t["cell_hex"]),
             }
         )
 
