@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions_sorted": E.events_sessions_sorted,
         "events_asof_signup": E.events_asof_signup,
         "events_top_users": E.events_top_users,
+        "events_sliding": E.events_sliding,
         # documents (text analysis + dedup family)
         "docs_stats": D.docs_stats,
         "docs_term_topk": D.docs_term_topk,
@@ -116,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions_sorted": E.EVENTS_SESSIONS_SQL,
         "events_asof_signup": E.EVENTS_ASOF_SQL,
         "events_top_users": E.EVENTS_TOP_USERS_SQL,
+        "events_sliding": E.EVENTS_SLIDING_SQL,
         "docs_stats": D.DOCS_STATS_SQL,
         "docs_term_topk": D.DOCS_TERM_TOPK_SQL,
         "docs_exact_dedup": D.DOCS_EXACT_DEDUP_SQL,

@@ -416,3 +416,69 @@ def events_sessions_sorted(sf_dir: str):
     import ray.data
 
     return ray.data.from_pandas(merged)
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows: 2-hour windows advancing hourly — each event explodes
+# into size/step windows, then the usual two-phase aggregation
+# ---------------------------------------------------------------------------
+
+
+def events_sliding(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        hour = ts.astype("datetime64[h]")
+        win0 = hour.astype("datetime64[us]")
+        win1 = (hour - np.timedelta64(1, "h")).astype("datetime64[us]")
+        v_c = pc.cast(
+            pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        n = len(ts)
+        return pa.table(
+            {
+                "window_start": pa.array(np.concatenate([win0, win1])),
+                "event_type": pa.array(np.concatenate([et, et])),
+                "value_c": pa.array(np.concatenate([v_c, v_c])),
+                "one": pa.array(np.ones(2 * n, dtype=np.int64)),
+            }
+        )
+
+    ds = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_sum(
+        ds,
+        ["window_start", "event_type"],
+        {"n_events": ("one", "sum"), "sum_value_c": ("value_c", "sum")},
+        merge="driver",  # bounded: hours x event types
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": t["window_start"],
+                "event_type": t["event_type"],
+                "n_events": t["n_events"],
+                "sum_value": pc.divide(pc.cast(t["sum_value_c"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["window_start", "event_type"]
+    )
+
+
+EVENTS_SLIDING_SQL = """
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 100.0) AS BIGINT)) / 100.0 AS sum_value
+FROM (
+  SELECT unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+         event_type, value
+  FROM events
+)
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""

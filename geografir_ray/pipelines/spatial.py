@@ -145,8 +145,8 @@ LIMIT {k}
 
 # ---------------------------------------------------------------------------
 # Point-in-polygon join — partitioned machinery
-# (explode zones to covering cells; co-partition points and zones by
-# cell; per-group STR-tree probe + exact raycast)
+# (explode zones to covering cells; co-partition both sides on
+# hash(cell) % B; vectorized per-bucket postings probe + exact raycast)
 # ---------------------------------------------------------------------------
 
 
