@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_top_orders": R.q3_top_orders,
         "q5_nation_revenue": R.q5_nation_revenue,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
         "brand_revenue": R.brand_revenue,
         "set_ops_orders": R.set_ops_orders,
         # spatial
@@ -103,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": R.Q1_SQL,
         "q3_top_orders": R.Q3_SQL,
         "q5_nation_revenue": R.Q5_SQL,
+        "q6_forecast_revenue": R.Q6_SQL,
         "brand_revenue": R.BRAND_REVENUE_SQL,
         "set_ops_orders": R.SET_OPS_SQL,
         "geo_tile_assign": S.tile_assign_sql(),

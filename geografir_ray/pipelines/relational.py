@@ -511,3 +511,67 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# q6: forecast revenue change (pure filter + global sum — the simplest
+# full-scan shape; exact via integer cents)
+# ---------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(sf_dir: str):
+    import ray.data
+
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(np.datetime64("1996-01-01", "us"))),
+                pc.less(t["l_shipdate"], pa.scalar(np.datetime64("1997-01-01", "us"))),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(t["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t = t.filter(m)
+        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        return pa.table({"rev_c": floor_scale(rev), "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    agg = grouped_sum(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            lambda t: t.append_column("g", pa.array(np.zeros(t.num_rows, dtype=np.int64))),
+            batch_format="pyarrow",
+        ),
+        ["g"],
+        {"revenue_c": ("rev_c", "sum"), "n_items": ("one", "sum")},
+        merge="driver",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "revenue": pc.divide(pc.cast(t["revenue_c"], pa.float64()), 100.0),
+                "n_items": t["n_items"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q6_SQL = f"""
+SELECT sum({floor_scale_sql('l_extendedprice * l_discount')}) / 100.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+"""

@@ -74,6 +74,14 @@ def hash_join(
             int_cols.append(name)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
+        missing = [c for c in (*lnames, *rnames) if c not in g.columns]
+        if missing:
+            # a fully-empty side contributes no blocks to the union, so
+            # its columns never materialize — the inner join is empty
+            out_cols = {on: pd.Series([], dtype=np.int64)}
+            for c in (*lnames, *rnames):
+                out_cols[c] = pd.Series([], dtype=object)
+            return pd.DataFrame(out_cols)
         lmask = g["__side"].values == 0
         l = g.loc[lmask, [on, *lnames]]
         r = g.loc[~lmask, [on, *rnames]]

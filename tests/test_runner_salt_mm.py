@@ -171,3 +171,36 @@ def test_streaming_window_late_rows_counted():
     closed = w.flush()
     # window 0 emitted once with only the on-time row
     assert (1, 0, 1, 1.0) in closed
+
+
+def test_hash_join_empty_sides(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geografir_ray.stages.join import hash_join
+
+    left = rd.from_arrow(pa.table({"key": pa.array([1, 2], type=pa.int64()),
+                                   "lv": pa.array([10, 20], type=pa.int64())}))
+    empty = rd.from_arrow(pa.table({"key": pa.array([], type=pa.int64()),
+                                    "rv": pa.array([], type=pa.int64())}))
+    out = hash_join(left, empty, on="key", n_buckets=4).to_pandas()
+    assert len(out) == 0
+
+
+def test_range_join_no_matches(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geografir_ray.stages.join import range_join
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    l = rd.from_arrow(pa.table({"key": pa.array([1], type=pa.int64()),
+                                "ts": pa.array([base]),
+                                "rid": pa.array([100], type=pa.int64())}))
+    r = rd.from_arrow(pa.table({"key": pa.array([1], type=pa.int64()),
+                                "ts": pa.array([base + np.timedelta64(10, "h")]),
+                                "rid": pa.array([200], type=pa.int64())}))
+    out = range_join(l, r, key="key", left_ts="ts", right_ts="ts",
+                     tolerance_us=60_000_000).to_pandas()
+    assert len(out) == 0
