@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_locations": D.docs_locations,
         "docs_extract_zonal": D.docs_extract_zonal,
         "docs_sample": D.docs_sample,
+        "docs_top_terms_per_lang": D.docs_top_terms_per_lang,
+        "median_price_per_segment": R.median_price_per_segment,
         # large-large joins (native + explicit bucketed) and range join
         "join_orders_native": R.join_orders_native,
         "join_orders_bucketed": R.join_orders_bucketed,
@@ -134,6 +136,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_locations": D.docs_locations_sql(),
         "docs_extract_zonal": D.docs_extract_zonal_sql(),
         "docs_sample": D.docs_sample_sql(),
+        "docs_top_terms_per_lang": D.docs_top_terms_per_lang_sql(),
+        "median_price_per_segment": R.MEDIAN_PRICE_SQL,
         "join_orders_native": R.JOIN_ORDERS_SQL,
         "join_orders_bucketed": R.JOIN_ORDERS_SQL,
         "events_range_join": E.EVENTS_RANGE_JOIN_SQL,

@@ -692,3 +692,72 @@ SELECT doc_id, lang FROM documents
 WHERE ((doc_id * 2654435761 + 1013904223) % 4294967296) % 100 < {pct}
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k: 5 most frequent tokens per language (rank-within-group
+# via vectorized segment logic over the two-phase counts)
+# ---------------------------------------------------------------------------
+
+
+def docs_top_terms_per_lang(sf_dir: str, k: int = 5):
+    import ray.data
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for lang, s in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            if s:
+                for w in s.split(" "):
+                    if w:
+                        counts[(lang, w)] = counts.get((lang, w), 0) + 1
+        langs = [kk[0] for kk in counts]
+        toks = [kk[1] for kk in counts]
+        return pa.table(
+            {
+                "lang": pa.array(langs, type=pa.string()),
+                "token": pa.array(toks, type=pa.string()),
+                "n": pa.array(
+                    np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+                ),
+            }
+        )
+
+    agg = grouped_sum(
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "token"],
+        {"n": ("n", "sum")},
+        merge="driver",  # bounded: langs x vocabulary
+    ).to_pandas()
+
+    # vectorized rank within language: sort by (lang, -n, token), segment
+    order = np.lexsort(
+        (agg["token"].values, -agg["n"].values, agg["lang"].values)
+    )
+    agg = agg.iloc[order].reset_index(drop=True)
+    lv = agg["lang"].values
+    seg_start = np.concatenate(([True], lv[1:] != lv[:-1]))
+    pos = np.arange(len(agg)) - np.maximum.accumulate(
+        np.where(seg_start, np.arange(len(agg)), 0)
+    )
+    agg["rank"] = (pos + 1).astype(np.int64)
+    out = agg[agg["rank"] <= k].reset_index(drop=True)
+    return ray.data.from_pandas(out[["lang", "token", "n", "rank"]])
+
+
+def docs_top_terms_per_lang_sql(k: int = 5) -> str:
+    return f"""
+WITH counts AS (
+  SELECT lang, token, count(*)::BIGINT AS n
+  FROM (SELECT lang, unnest({_TOKENS_SQL}) AS token FROM documents)
+  GROUP BY lang, token
+),
+ranked AS (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+  FROM counts
+)
+SELECT lang, token, n, rank FROM ranked WHERE rank <= {k}
+ORDER BY lang, rank
+"""

@@ -575,3 +575,70 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24.0
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact median (percentile_cont 0.5 semantics) per market segment —
+# computed on integer cents so the interpolated midpoint is exact
+# ---------------------------------------------------------------------------
+
+
+def median_price_per_segment(sf_dir: str):
+    import pandas as pd
+    import ray
+    import ray.data
+
+    cust = read_table_local(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    keys = np.sort(cust["c_custkey"].values.astype(np.int64))
+    segs = cust.sort_values("c_custkey")["c_mktsegment"].values
+    ref = ray.put((keys, segs))
+
+    from ..stages.broadcast import with_broadcast
+
+    def tag(state, t: pa.Table) -> pa.Table:
+        k, sg = state
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(k, ck), 0, len(k) - 1)
+        price_c = pc.cast(
+            pc.floor(pc.multiply(t["o_totalprice"], pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table({"segment": pa.array(sg[pos]), "price_c": price_c})
+
+    tagged = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        with_broadcast(ref, tag, "segment_tag"), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def per_segment(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["price_c"].values.astype(np.int64))
+        n = len(v)
+        # median in doubled cents: odd n -> 2*middle, even n -> sum of the
+        # two middles; /200.0 reproduces percentile_cont interpolation
+        # exactly in integer space
+        if n % 2 == 1:
+            med_c2 = 2 * int(v[n // 2])
+        else:
+            med_c2 = int(v[n // 2 - 1]) + int(v[n // 2])
+        return pd.DataFrame(
+            {
+                "segment": [g["segment"].iloc[0]],
+                "median_price": [med_c2 / 200.0],
+                "n_orders": [np.int64(n)],
+            }
+        )
+
+    return (
+        tagged.groupby("segment")
+        .map_groups(per_segment, batch_format="pandas")
+        .sort("segment")
+    )
+
+
+MEDIAN_PRICE_SQL = """
+SELECT c_mktsegment AS segment,
+       median(CAST(floor(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS median_price,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
