@@ -53,3 +53,41 @@ def salt_keys(keys: np.ndarray, row_hash: np.ndarray, n_salts: int) -> np.ndarra
     """
     salt = (np.asarray(row_hash).astype(np.uint64)) % _U64(n_salts)
     return splitmix64(np.asarray(keys).astype(np.uint64) * _U64(1000003) + salt)
+
+
+class BloomFilter:
+    """Numpy bit-array Bloom filter (k hash functions via splitmix64
+    with distinct seeds).  Broadcast a compact filter of a large key
+    set when exact broadcast is too big: a semi-join prefilters batches
+    with it (no false negatives) and an exact join verifies survivors
+    (ray_guide "Semi / anti join").
+    """
+
+    def __init__(self, capacity: int, fp_rate: float = 0.01):
+        n_bits = max(64, int(-capacity * np.log(fp_rate) / (np.log(2) ** 2)))
+        self.n_bits = int(2 ** np.ceil(np.log2(n_bits)))  # power of two
+        self.k = max(1, int(round(self.n_bits / max(capacity, 1) * np.log(2))))
+        self.bits = np.zeros(self.n_bits // 64, dtype=np.uint64)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        k64 = np.asarray(keys).astype(np.uint64)
+        mask = np.uint64(self.n_bits - 1)
+        pos = np.empty((len(k64), self.k), dtype=np.uint64)
+        h = k64
+        for i in range(self.k):
+            h = splitmix64(h ^ np.uint64(0x9E3779B97F4A7C15 * (i + 1) & 0xFFFFFFFFFFFFFFFF))
+            pos[:, i] = h & mask
+        return pos
+
+    def add(self, keys: np.ndarray) -> None:
+        pos = self._positions(keys).ravel()
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        np.bitwise_or.at(self.bits, word, bit)
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        pos = self._positions(keys)
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        hits = (self.bits[word] & bit) != 0
+        return hits.all(axis=1)

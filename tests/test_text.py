@@ -104,3 +104,17 @@ def test_langid_deterministic_signals():
     assert out[0] == "en"
     assert out[3] == "zh"
     assert out[4] == "und"
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp():
+    from geografir_ray.functions.hashing import BloomFilter
+
+    rng = np.random.default_rng(83)
+    members = rng.integers(0, 2**62, 50_000).astype(np.uint64)
+    others = rng.integers(0, 2**62, 50_000).astype(np.uint64)
+    others = np.setdiff1d(others, members)
+    bf = BloomFilter(capacity=len(members), fp_rate=0.01)
+    bf.add(members)
+    assert bf.contains(members).all()  # NO false negatives, ever
+    fp = bf.contains(others).mean()
+    assert fp < 0.03, fp  # near the configured rate
