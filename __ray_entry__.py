@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample": D.docs_sample,
         "docs_top_terms_per_lang": D.docs_top_terms_per_lang,
         "median_price_per_segment": R.median_price_per_segment,
+        "approx_distinct_parts": R.approx_distinct_parts,  # rows-only: HLL sketch
         # large-large joins (native + explicit bucketed) and range join
         "join_orders_native": R.join_orders_native,
         "join_orders_bucketed": R.join_orders_bucketed,

@@ -642,3 +642,44 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct via HyperLogLog sketches (rows-only: the sketch
+# is deterministic and partition-invariant, but not SQL-expressible) —
+# the per-batch-sketch -> tiny-merge pattern for 100TB-scale distincts
+# ---------------------------------------------------------------------------
+
+
+def approx_distinct_parts(sf_dir: str):
+    import ray.data
+
+    from ..functions.hashing import splitmix64
+    from ..functions.sketch import HyperLogLog
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey"])
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        hll = HyperLogLog(p=12)
+        hll.add_hashes(
+            splitmix64(t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        )
+        return pa.table({"sketch": pa.array([hll.serialize()], type=pa.binary())})
+
+    sketches = ds.map_batches(sketch_batch, batch_format="pyarrow", zero_copy_batch=True)
+    merged = HyperLogLog(p=12)
+    for b in sketches.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for blob in b["sketch"].to_pylist():
+            merged = merged.merge(HyperLogLog.deserialize(blob))
+
+    exact = int(
+        read_table_local(sf_dir, "lineitem", columns=["l_partkey"])["l_partkey"].nunique()
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "approx_distinct": pa.array([int(round(merged.estimate()))], type=pa.int64()),
+                "exact_distinct": pa.array([exact], type=pa.int64()),
+            }
+        )
+    )

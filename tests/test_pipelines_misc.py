@@ -177,3 +177,14 @@ def test_partition_invariance(ray_session, sf_small):
             base_dd = got
         else:
             assert got == base_dd
+
+
+def test_approx_distinct_parts(ray_session, sf_small):
+    from geografir_ray.pipelines.relational import approx_distinct_parts
+
+    df = approx_distinct_parts(sf_small).to_pandas()
+    a, e = int(df["approx_distinct"][0]), int(df["exact_distinct"][0])
+    assert abs(a - e) / e < 0.05
+    # deterministic across runs/partitionings
+    df2 = approx_distinct_parts(sf_small).to_pandas()
+    assert int(df2["approx_distinct"][0]) == a

@@ -118,3 +118,40 @@ def test_bloom_filter_no_false_negatives_and_low_fp():
     assert bf.contains(members).all()  # NO false negatives, ever
     fp = bf.contains(others).mean()
     assert fp < 0.03, fp  # near the configured rate
+
+
+def test_hyperloglog_accuracy_and_merge_invariance():
+    from geografir_ray.functions.hashing import splitmix64
+    from geografir_ray.functions.sketch import HyperLogLog
+
+    rng = np.random.default_rng(89)
+    keys = rng.integers(0, 2**62, 200_000).astype(np.uint64)
+    true_n = len(np.unique(keys))
+
+    # single sketch
+    one = HyperLogLog(p=12)
+    one.add_hashes(keys)
+    est = one.estimate()
+    assert abs(est - true_n) / true_n < 0.05  # ~1.6% expected stderr
+
+    # partition-invariant merge: 7 arbitrary splits -> identical registers
+    merged = HyperLogLog(p=12)
+    for chunk in np.array_split(keys, 7):
+        part = HyperLogLog(p=12)
+        part.add_hashes(chunk)
+        merged = merged.merge(part)
+    np.testing.assert_array_equal(merged.registers, one.registers)
+
+    # serialization roundtrip
+    back = HyperLogLog.deserialize(one.serialize())
+    np.testing.assert_array_equal(back.registers, one.registers)
+    assert back.estimate() == est
+
+
+def test_hyperloglog_small_range_linear_counting():
+    from geografir_ray.functions.sketch import HyperLogLog
+
+    hll = HyperLogLog(p=12)
+    keys = np.arange(100, dtype=np.uint64)
+    hll.add_hashes(keys)
+    assert abs(hll.estimate() - 100) < 3
