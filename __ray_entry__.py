@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_locations": D.docs_locations,
         "docs_extract_zonal": D.docs_extract_zonal,
         "docs_sample": D.docs_sample,
+        "docs_clean_corpus": D.docs_clean_corpus,
         "docs_top_terms_per_lang": D.docs_top_terms_per_lang,
         "median_price_per_segment": R.median_price_per_segment,
         "approx_distinct_parts": R.approx_distinct_parts,  # rows-only: HLL sketch
@@ -137,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_locations": D.docs_locations_sql(),
         "docs_extract_zonal": D.docs_extract_zonal_sql(),
         "docs_sample": D.docs_sample_sql(),
+        "docs_clean_corpus": D.docs_clean_corpus_sql(),
         "docs_top_terms_per_lang": D.docs_top_terms_per_lang_sql(),
         "median_price_per_segment": R.MEDIAN_PRICE_SQL,
         "join_orders_native": R.JOIN_ORDERS_SQL,

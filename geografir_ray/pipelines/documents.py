@@ -761,3 +761,73 @@ ranked AS (
 SELECT lang, token, n, rank FROM ranked WHERE rank <= {k}
 ORDER BY lang, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Composed cleaning pipeline: quality filter -> exact dedup -> hash
+# sample — the chained training-data shape, each stage reusing the
+# engine's operators, with one exact SQL twin for the whole chain
+# ---------------------------------------------------------------------------
+
+
+def docs_clean_corpus(sf_dir: str, min_distinct_pct: int = 40, sample_pct: int = 50):
+    from ..functions.hashing import hash_strings
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def filter_quality(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_tok = T.token_counts(texts)
+        n_dis = T.distinct_token_counts(texts)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pct = np.floor(
+                np.where(n_tok > 0, n_dis / np.maximum(n_tok, 1), 0.0) * 100.0
+            ).astype(np.int64)
+        return t.filter(pa.array(pct >= min_distinct_pct))
+
+    def content_hash(t: pa.Table) -> pa.Table:
+        h = hash_strings(t["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "text_hash": pa.array(
+                    (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+                ),
+            }
+        )
+
+    hashed = ds.map_batches(filter_quality, batch_format="pyarrow", zero_copy_batch=True
+                            ).map_batches(content_hash, batch_format="pyarrow")
+    winners = grouped_sum(
+        hashed.map_batches(
+            lambda t: pa.table({"text_hash": t["text_hash"], "doc_id": t["doc_id"]}),
+            batch_format="pyarrow",
+        ),
+        ["text_hash"],
+        {"doc_id": ("doc_id", "min")},
+    )
+
+    def sample(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (k * 2654435761 + 1013904223) % 4294967296
+        return pa.table({"doc_id": pa.array(k)}).filter(pa.array(h % 100 < sample_pct))
+
+    return winners.map_batches(sample, batch_format="pyarrow").sort("doc_id")
+
+
+def docs_clean_corpus_sql(min_distinct_pct: int = 40, sample_pct: int = 50) -> str:
+    return f"""
+WITH quality AS (
+  SELECT doc_id, text FROM documents
+  WHERE CAST(floor(CASE WHEN len({_TOKENS_SQL}) > 0
+             THEN len(list_distinct({_TOKENS_SQL})) / greatest(len({_TOKENS_SQL}), 1) * 100.0
+             ELSE 0.0 END) AS BIGINT) >= {min_distinct_pct}
+),
+deduped AS (
+  SELECT min(doc_id) AS doc_id FROM quality GROUP BY text
+)
+SELECT doc_id FROM deduped
+WHERE ((doc_id * 2654435761 + 1013904223) % 4294967296) % 100 < {sample_pct}
+ORDER BY doc_id
+"""
