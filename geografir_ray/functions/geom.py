@@ -338,3 +338,32 @@ class GridZoneIndex:
             )
             pi, zi = pi[ok], zi[ok]
         return pi, zi
+
+
+def points_in_polygon_with_holes(
+    px: np.ndarray,
+    py: np.ndarray,
+    vertex_xy: np.ndarray,
+    ring_offsets: np.ndarray,
+) -> np.ndarray:
+    """Even-odd PIP over a polygon made of MULTIPLE rings (shell +
+    holes, or a multipolygon): crossings are counted across all rings,
+    so a point inside the shell but inside a hole has an even total.
+
+    vertex_xy: (total, 2); ring_offsets: (n_rings+1,) — all rings
+    belong to the ONE polygon being tested.
+    """
+    total = np.zeros(len(px), dtype=np.int64)
+    for r in range(len(ring_offsets) - 1):
+        ring = vertex_xy[ring_offsets[r] : ring_offsets[r + 1]]
+        x1 = ring[:, 0]
+        y1 = ring[:, 1]
+        x2 = np.roll(x1, -1)
+        y2 = np.roll(y1, -1)
+        crosses = (y1[None, :] <= py[:, None]) != (y2[None, :] <= py[:, None])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1[None, :] + (py[:, None] - y1[None, :]) / (
+                y2[None, :] - y1[None, :]
+            ) * (x2[None, :] - x1[None, :])
+        total += (crosses & (px[:, None] < xint)).sum(axis=1)
+    return (total % 2).astype(bool)

@@ -191,3 +191,29 @@ def test_grid_zone_index_empty():
     idx = geom.GridZoneIndex(np.empty((0, 2)), np.array([0]), bits=6)
     pi, zi = idx.contains_pairs(np.array([1.0]), np.array([2.0]))
     assert len(pi) == 0 and len(zi) == 0
+
+
+def test_pip_with_holes_even_odd():
+    # 10x10 shell with a 4x4 hole in the middle
+    shell = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
+    hole = np.array([[3, 3], [7, 3], [7, 7], [3, 7]], dtype=float)
+    vxy = np.vstack([shell, hole])
+    offs = np.array([0, 4, 8])
+    px = np.array([5.0, 1.0, 5.0, 11.0, 3.5])
+    py = np.array([5.0, 1.0, 2.0, 5.0, 3.5])
+    got = geom.points_in_polygon_with_holes(px, py, vxy, offs)
+    # center -> in hole (False); (1,1) in shell (True); (5,2) in shell
+    # below hole (True); (11,5) outside (False); (3.5,3.5) in hole (False)
+    np.testing.assert_array_equal(got, [False, True, True, False, False])
+
+
+def test_pip_with_holes_matches_single_ring_when_no_holes():
+    rng = np.random.default_rng(97)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, 9))
+    rad = rng.uniform(0.5, 2.0, 9)
+    ring = np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=1)
+    px = rng.uniform(-2.2, 2.2, 500)
+    py = rng.uniform(-2.2, 2.2, 500)
+    single = geom.points_in_polygon(px, py, ring)
+    multi = geom.points_in_polygon_with_holes(px, py, ring, np.array([0, len(ring)]))
+    np.testing.assert_array_equal(single, multi)
