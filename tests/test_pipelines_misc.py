@@ -188,3 +188,42 @@ def test_approx_distinct_parts(ray_session, sf_small):
     # deterministic across runs/partitionings
     df2 = approx_distinct_parts(sf_small).to_pandas()
     assert int(df2["approx_distinct"][0]) == a
+
+
+def test_knn_partitioned_retry_and_poles(ray_session):
+    """Sparse far-away targets force the sentinel + doubled-radius
+    retry rounds; polar queries exercise the spherical ring-edge
+    bound and neighborhood clipping."""
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from geografir_ray.functions import geom
+    from geografir_ray.stages.knn import knn_partitioned
+
+    rng = np.random.default_rng(7)
+    # 12 targets clustered in one tiny patch -> almost every query's
+    # radius-1 ring is empty (sentinel rows, multiple retry rounds)
+    tk = np.arange(12, dtype=np.int64)
+    tlat = 10.0 + rng.uniform(0, 1, 12)
+    tlon = 20.0 + rng.uniform(0, 1, 12)
+    # queries spread globally, including near-pole latitudes
+    qk = np.arange(40, dtype=np.int64)
+    qlat = np.concatenate([rng.uniform(-85, 85, 36), [89.5, -89.5, 88.0, -88.0]])
+    qlon = rng.uniform(-180, 180, 40)
+
+    queries = rd.from_arrow(_pa.table({"query_id": qk, "lat": qlat, "lon": qlon}))
+    targets = rd.from_arrow(_pa.table({"target_id": tk, "lat": tlat, "lon": tlon}))
+    k = 3
+    got = knn_partitioned(queries, targets, k=k, bits=6, radius=1).to_pandas()
+
+    d = geom.haversine_km(qlat[:, None], qlon[:, None], tlat[None, :], tlon[None, :])
+    order = np.lexsort((np.broadcast_to(tk, d.shape), d), axis=1)[:, :k]
+    expect = {
+        (int(q), r + 1): int(tk[order[i, r]])
+        for i, q in enumerate(qk)
+        for r in range(k)
+    }
+    got_map = {
+        (int(r.query_id), int(r.rank)): int(r.neighbor_id) for r in got.itertuples()
+    }
+    assert got_map == expect
