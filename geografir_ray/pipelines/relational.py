@@ -112,9 +112,19 @@ _Q3_DATE = "1995-03-15"
 
 
 def q3_top_orders(sf_dir: str):
+    """Scale design: customer (a dimension) is the ONLY driver-side
+    table — its segment custkey set broadcasts into a Ray-side
+    semi-join filter over the orders FACT table; the surviving
+    (orderkey, orderdate) rows meet the shipdate-filtered lineitem
+    rows in a bucketed large-large hash join (stages/join.py), with a
+    per-batch revenue pre-aggregation on the lineitem side so the join
+    exchange moves one row per (batch, orderkey), not per lineitem."""
     import ray
 
-    # small sides on the driver: customer keys in segment, order dates
+    from ..stages.broadcast import with_broadcast
+    from ..stages.join import hash_join
+    from .common import partial_groupby
+
     cust = (
         read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
         .map_batches(
@@ -125,58 +135,58 @@ def q3_top_orders(sf_dir: str):
         )
         .to_pandas()
     )
-    cust_keys = set(cust["c_custkey"].tolist())
-    orders = read_table_local(
-        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    )
+    cust_keys_ref = ray.put(np.sort(cust["c_custkey"].values.astype(np.int64)))
     cutoff = np.datetime64(_Q3_DATE, "us")
-    orders = orders[
-        orders["o_custkey"].isin(cust_keys) & (orders["o_orderdate"].values < cutoff)
-    ]
-    order_map_ref = ray.put(
-        {
-            "keys": np.sort(orders["o_orderkey"].values.astype(np.int64)),
-            "dates": orders.sort_values("o_orderkey")["o_orderdate"].values,
-        }
-    )
 
-    from ..stages.broadcast import with_broadcast
-
-    def join_orders(m: dict, t: pa.Table) -> pa.Table:
-        keys, dates = m["keys"], m["dates"]
-        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, ok)
-        pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
-        hit = (keys[pos_c] == ok) if len(keys) else np.zeros(len(ok), dtype=bool)
-        ship_ok = t["l_shipdate"].to_numpy(zero_copy_only=False) > np.datetime64(
-            _Q3_DATE, "us"
-        )
-        keep = hit & ship_ok
-        t2 = t.filter(pa.array(keep))
-        rev = pc.multiply(
-            t2["l_extendedprice"], pc.subtract(pa.scalar(1.0), t2["l_discount"])
-        )
-        odate = dates[pos_c[keep]] if len(keys) else dates[:0]
+    def filter_orders(keys: np.ndarray, t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(keys, ck), 0, max(len(keys) - 1, 0))
+        hit = (keys[pos] == ck) if len(keys) else np.zeros(len(ck), dtype=bool)
+        date_ok = t["o_orderdate"].to_numpy(zero_copy_only=False) < cutoff
+        t2 = t.filter(pa.array(hit & date_ok))
         return pa.table(
-            {
-                "l_orderkey": t2["l_orderkey"],
-                "o_orderdate": pa.array(odate),
-                "rev_c": floor_scale(rev),
-            }
+            {"l_orderkey": t2["o_orderkey"], "o_orderdate": t2["o_orderdate"]}
         )
 
-    li = read_table(
-        sf_dir,
-        "lineitem",
-        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    orders_f = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(
-        with_broadcast(order_map_ref, join_orders, "join_orders"),
+        with_broadcast(cust_keys_ref, filter_orders, "semi_join_orders"),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
 
-    agg = grouped_sum(
+    def li_rev(t: pa.Table) -> pa.Table:
+        keep = t["l_shipdate"].to_numpy(zero_copy_only=False) > cutoff
+        t2 = t.filter(pa.array(keep))
+        rev = pc.multiply(
+            t2["l_extendedprice"], pc.subtract(pa.scalar(1.0), t2["l_discount"])
+        )
+        return pa.table({"l_orderkey": t2["l_orderkey"], "rev_c": floor_scale(rev)})
+
+    li = (
+        read_table(
+            sf_dir,
+            "lineitem",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(li_rev, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            partial_groupby(["l_orderkey"], {"rev_c": ("rev_c", "sum")}),
+            batch_format="pyarrow",
+        )
+    )
+
+    joined = hash_join(
         li,
+        orders_f,
+        on="l_orderkey",
+        left_cols=["l_orderkey", "rev_c"],
+        right_cols=["l_orderkey", "o_orderdate"],
+    )
+
+    agg = grouped_sum(
+        joined,
         ["l_orderkey", "o_orderdate"],
         {"revenue_c": ("rev_c", "sum")},
     )
@@ -609,29 +619,46 @@ def median_price_per_segment(sf_dir: str):
         zero_copy_batch=True,
     )
 
-    def per_segment(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["price_c"].values.astype(np.int64))
-        n = len(v)
-        # median in doubled cents: odd n -> 2*middle, even n -> sum of the
-        # two middles; /200.0 reproduces percentile_cont interpolation
-        # exactly in integer space
-        if n % 2 == 1:
-            med_c2 = 2 * int(v[n // 2])
-        else:
-            med_c2 = int(v[n // 2 - 1]) + int(v[n // 2])
-        return pd.DataFrame(
-            {
-                "segment": [g["segment"].iloc[0]],
-                "median_price": [med_c2 / 200.0],
-                "n_orders": [np.int64(n)],
-            }
-        )
+    # Exact median via an integer-cents HISTOGRAM, not a per-segment
+    # sort: each batch collapses to (segment, price_c, n) partial
+    # counts, the shuffle moves O(distinct prices) rows instead of the
+    # fact table, and the CDF walk over the (bounded) merged histogram
+    # is a vectorized driver step — no Python group ever materializes
+    # a fifth of the orders table (the old map_groups-on-5-keys shape).
+    def with_one(t: pa.Table) -> pa.Table:
+        return t.append_column("one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
 
-    return (
-        tagged.groupby("segment")
-        .map_groups(per_segment, batch_format="pandas")
-        .sort("segment")
+    hist = grouped_sum(
+        tagged.map_batches(with_one, batch_format="pyarrow"),
+        ["segment", "price_c"],
+        {"n": ("one", "sum")},
     )
+    h = hist.to_pandas().sort_values(["segment", "price_c"]).reset_index(drop=True)
+    seg = h["segment"].values
+    price = h["price_c"].values.astype(np.int64)
+    cnt = h["n"].values.astype(np.int64)
+    seg_start = np.empty(len(h), dtype=bool)
+    if len(h):
+        seg_start[0] = True
+        seg_start[1:] = seg[1:] != seg[:-1]
+    firsts = np.flatnonzero(seg_start)
+    rows = []
+    for i, f in enumerate(firsts):
+        e = firsts[i + 1] if i + 1 < len(firsts) else len(h)
+        lc = np.cumsum(cnt[f:e])  # within-segment CDF
+        n = int(lc[-1])
+        # percentile_cont(0.5): positions n//2-1 and n//2 (0-indexed)
+        # for even n, position n//2 twice for odd n — found by
+        # searchsorted over the within-segment CDF
+        lo_pos = (n - 1) // 2
+        hi_pos = n // 2
+        lo_v = int(price[f + np.searchsorted(lc, lo_pos + 1)])
+        hi_v = int(price[f + np.searchsorted(lc, hi_pos + 1)])
+        rows.append((seg[f], (lo_v + hi_v) / 200.0, np.int64(n)))
+    out = pd.DataFrame(rows, columns=["segment", "median_price", "n_orders"])
+    out = out.sort_values("segment").reset_index(drop=True)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return ray.data.from_pandas(out)
 
 
 MEDIAN_PRICE_SQL = """

@@ -163,7 +163,8 @@ def _zones_table() -> pa.Table:
 
 
 def pip_join_partitioned(
-    points, zones: pa.Table, bits: int = PIP_COVER_BITS, n_buckets: int = 64
+    points, zones: pa.Table, bits: int = PIP_COVER_BITS, n_buckets: int = 64,
+    payload_cols: tuple = (),
 ):
     """Generic partitioned PIP join — no broadcast assumption.
 
@@ -176,8 +177,21 @@ def pip_join_partitioned(
     (sorted cell → zone-run lookup + raycast pairs) inside.  Pairs are
     exact: a point meets every zone whose cover includes its cell, in
     exactly one bucket.
+
+    ``payload_cols``: point-side columns carried through the shuffle
+    and emitted on matched pairs — the scale-correct way to join fact
+    payloads back to the result (one extra column in the same exchange
+    instead of a second join or a driver-side broadcast).
     """
     import ray.data
+
+    payload_cols = tuple(payload_cols)
+    if payload_cols:
+        sch = points.schema()
+        base = getattr(sch, "base_schema", sch)
+        payload_types = {c: base.field(c).type for c in payload_cols}
+    else:
+        payload_types = {}
 
     # zone side: explode to covering cells (driver-side: zone table is a
     # Dataset in the general case; here it is already collected/compact)
@@ -194,47 +208,53 @@ def pip_join_partitioned(
     from ..functions.hashing import splitmix64 as _smx
 
     zbucket = (_smx(cell_ids) % np.uint64(n_buckets)).astype(np.int64)
-    zrows = pa.table(
-        {
-            "bucket": pa.array(zbucket),
-            "cell": pa.array(cell_ids),
-            "side": pa.array(np.ones(len(poly_idx), dtype=np.int8)),
-            "id": pa.array(zone_id[poly_idx]),
-            "lon": pa.array(np.full(len(poly_idx), np.nan)),
-            "lat": pa.array(np.full(len(poly_idx), np.nan)),
-            "xs": pa.array([xs[p] for p in poly_idx]),
-            "ys": pa.array([ys[p] for p in poly_idx]),
-        }
-    )
-    zones_ds = ray.data.from_arrow(zrows)
+    zcols = {
+        "bucket": pa.array(zbucket),
+        "cell": pa.array(cell_ids),
+        "side": pa.array(np.ones(len(poly_idx), dtype=np.int8)),
+        "id": pa.array(zone_id[poly_idx]),
+        "lon": pa.array(np.full(len(poly_idx), np.nan)),
+        "lat": pa.array(np.full(len(poly_idx), np.nan)),
+        "xs": pa.array([xs[p] for p in poly_idx]),
+        "ys": pa.array([ys[p] for p in poly_idx]),
+    }
+    for c, typ in payload_types.items():
+        zcols[c] = pa.nulls(len(poly_idx), type=typ)
+    zones_ds = ray.data.from_arrow(pa.table(zcols))
 
     def point_rows(t: pa.Table) -> pa.Table:
         lat = t["lat"].to_numpy(zero_copy_only=False)
         lon = t["lon"].to_numpy(zero_copy_only=False)
         cell = cells.grid_cell(lat, lon, bits)
         n = len(lat)
-        return pa.table(
-            {
-                "bucket": pa.array((_smx(cell) % np.uint64(n_buckets)).astype(np.int64)),
-                "cell": pa.array(cell),
-                "side": pa.array(np.zeros(n, dtype=np.int8)),
-                "id": t["point_id"],
-                "lon": t["lon"],
-                "lat": t["lat"],
-                "xs": pa.array([None] * n, type=pa.list_(pa.float64())),
-                "ys": pa.array([None] * n, type=pa.list_(pa.float64())),
-            }
-        )
+        cols = {
+            "bucket": pa.array((_smx(cell) % np.uint64(n_buckets)).astype(np.int64)),
+            "cell": pa.array(cell),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "id": t["point_id"],
+            "lon": t["lon"],
+            "lat": t["lat"],
+            "xs": pa.array([None] * n, type=pa.list_(pa.float64())),
+            "ys": pa.array([None] * n, type=pa.list_(pa.float64())),
+        }
+        for c in payload_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
 
     pts = points.map_batches(point_rows, batch_format="pyarrow", zero_copy_batch=True)
     unioned = pts.union(zones_ds)
 
+    def _empty_pairs() -> pd.DataFrame:
+        cols = {"point_id": pd.Series([], dtype=np.int64),
+                "zone_id": pd.Series([], dtype=np.int64)}
+        for c, typ in payload_types.items():
+            cols[c] = pd.Series([], dtype=typ.to_pandas_dtype())
+        return pd.DataFrame(cols)
+
     def probe(g: pd.DataFrame) -> pd.DataFrame:
         zmask = g["side"].values == 1
         if not zmask.any() or zmask.all():
-            return pd.DataFrame({"point_id": [], "zone_id": []}).astype(
-                {"point_id": np.int64, "zone_id": np.int64}
-            )
+            return _empty_pairs()
         # bucket-local postings: (cell -> zone rows), probed vectorized
         zcell = g.loc[zmask, "cell"].values.astype(np.uint64)
         zid = g.loc[zmask, "id"].values.astype(np.int64)
@@ -261,16 +281,17 @@ def pip_join_partitioned(
         counts = uend[loc_c[vpt]] - starts
         total = int(counts.sum())
         if total == 0:
-            return pd.DataFrame({"point_id": [], "zone_id": []}).astype(
-                {"point_id": np.int64, "zone_id": np.int64}
-            )
+            return _empty_pairs()
         run_pos = np.arange(total, dtype=np.int64) - np.repeat(
             np.cumsum(counts) - counts, counts
         )
         zrow = np.repeat(starts, counts) + run_pos  # candidate zone row
         prow = np.repeat(vpt, counts)  # candidate point row
         ok = geom.points_in_polygons_pairs(px[prow], py[prow], zrow, vxy, offs)
-        return pd.DataFrame({"point_id": pid[prow[ok]], "zone_id": zid[zrow[ok]]})
+        out = {"point_id": pid[prow[ok]], "zone_id": zid[zrow[ok]]}
+        for c in payload_cols:
+            out[c] = g.loc[~zmask, c].values[prow[ok]]
+        return pd.DataFrame(out)
 
     return unioned.groupby("bucket").map_groups(probe, batch_format="pandas")
 
@@ -301,35 +322,28 @@ ORDER BY point_id, zone_id
 
 
 def pip_zonal_stats(sf_dir: str):
-    """Zonal aggregate: count + total acctbal (cents) per zone."""
+    """Zonal aggregate: count + total acctbal (cents) per zone.
+
+    Scale design: ``c_acctbal`` rides through the partitioned PIP
+    exchange as a carried payload column (one extra float per point in
+    the same shuffle) — no second join and no driver-side
+    materialization of the fact-table payload.
+    """
     pts = _points_ds(sf_dir, "customer", "c_custkey", extra_cols=("c_acctbal",))
-    pairs = pip_join_partitioned(pts, _zones_table())
-    # join pairs back to acctbal via broadcast of the (small) point payload
-    import ray
+    pairs = pip_join_partitioned(pts, _zones_table(), payload_cols=("c_acctbal",))
 
-    pdf = pts.select_columns(["point_id", "c_acctbal"]).to_pandas()
-    keys = np.sort(pdf["point_id"].values.astype(np.int64))
-    bal = pdf.sort_values("point_id")["c_acctbal"].values
-    ref = ray.put((keys, bal))
-
-    from ..stages.broadcast import with_broadcast
-
-    def attach_bal(state, t: pa.Table) -> pa.Table:
-        keys, bal = state
-        pid = t["point_id"].to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(keys, pid), 0, len(keys) - 1)
-        bal_c = np.floor(bal[pos] * 100.0).astype(np.int64)
+    def to_cents(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        bal_c = np.floor(bal * 100.0).astype(np.int64)
         return pa.table(
             {
                 "zone_id": t["zone_id"],
                 "bal_c": pa.array(bal_c),
-                "one": pa.array(np.ones(len(pid), dtype=np.int64)),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }
         )
 
-    tagged = pairs.map_batches(
-        with_broadcast(ref, attach_bal, "attach_bal"), batch_format="pyarrow"
-    )
+    tagged = pairs.map_batches(to_cents, batch_format="pyarrow")
     agg = grouped_sum(
         tagged, ["zone_id"], {"n_points": ("one", "sum"), "sum_bal_c": ("bal_c", "sum")},
         merge="driver",  # <=25 zones
