@@ -272,14 +272,23 @@ ORDER BY a, b
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup candidates (rows-only: minhash seeds are not
-# SQL-expressible).  Candidates from band-bucket collisions, verified
-# with exact token-set jaccard via broadcast token sets.
+# SQL-expressible).  Fully distributed shuffle form: band-bucket rows
+# stay in Ray, candidate pairs expand inside B hash-bucketed groups
+# (vectorized triu, one merge call per group — not one per (band,
+# bucket), which is the per-group-Python trap on mostly-singleton
+# keys), duplicates collapse via the two-phase grouped count, and
+# verification fetches the two texts through bucketed hash joins and
+# computes EXACT token-set jaccard per candidate — identical output to
+# a broadcast verify, with nothing ever collected on the driver.
 # ---------------------------------------------------------------------------
 
 
 def docs_minhash_lsh(sf_dir: str, num_perm: int = 128, n_bands: int = 16, threshold: float = 0.5):
-    import ray
+    from ..functions.hashing import splitmix64
+    from ..stages.join import hash_join
+    from .common import grouped_sum
 
+    n_groups = 64  # pair-expansion parallelism (a few x cluster cores)
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def band_stage(t: pa.Table) -> pa.Table:
@@ -291,103 +300,117 @@ def docs_minhash_lsh(sf_dir: str, num_perm: int = 128, n_bands: int = 16, thresh
         bh = T.minhash_bands_batch(sigs, n_bands)  # (n_docs, n_bands)
         buckets = (bh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         n = len(docs)
+        band = np.tile(np.arange(n_bands, dtype=np.int64), n)
+        flat_bucket = buckets.ravel()
+        grp = (
+            splitmix64(flat_bucket.astype(np.uint64) ^ (band.astype(np.uint64) << np.uint64(48)))
+            % np.uint64(n_groups)
+        ).astype(np.int64)
         return pa.table(
             {
+                "grp": pa.array(grp),
                 "doc_id": pa.array(np.repeat(docs, n_bands)),
-                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int64), n)),
-                "bucket": pa.array(buckets.ravel()),
+                "band": pa.array(band),
+                "bucket": pa.array(flat_bucket),
             }
         )
 
     banded = ds.map_batches(band_stage, batch_format="pyarrow")
 
-    # candidate pairs from band-bucket collisions, vectorized: the
-    # (band, bucket, doc) set is bounded at n_docs x n_bands rows, so
-    # collect it and expand same-bucket pairs with size-batched triu
-    # indices (a groupby(band,bucket).map_groups form pays one Python
-    # call per bucket — the per-group trap — with ~n_docs x n_bands
-    # mostly-singleton groups).  For corpora beyond driver memory the
-    # shuffle form remains a drop-in (same semantics).
-    import pyarrow as _pa
-    import ray.data as _rd
-
-    bt = pa.concat_tables(
-        list(banded.iter_batches(batch_size=None, batch_format="pyarrow"))
-    )
-    band_v = bt["band"].to_numpy(zero_copy_only=False)
-    bucket_v = bt["bucket"].to_numpy(zero_copy_only=False)
-    doc_v = bt["doc_id"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((doc_v, bucket_v, band_v))
-    band_v, bucket_v, doc_v = band_v[order], bucket_v[order], doc_v[order]
-    seg_start = np.concatenate(
-        ([True], (band_v[1:] != band_v[:-1]) | (bucket_v[1:] != bucket_v[:-1]))
-    )
-    starts = np.flatnonzero(seg_start)
-    sizes = np.diff(np.concatenate((starts, [len(doc_v)])))
-    pair_a = []
-    pair_b = []
-    for size in np.unique(sizes[sizes >= 2]):
-        seg_s = starts[sizes == size]
-        ii, jj = np.triu_indices(int(size), k=1)
-        # (n_segs, n_pairs) gather
-        aa = doc_v[seg_s[:, None] + ii[None, :]]
-        bb = doc_v[seg_s[:, None] + jj[None, :]]
-        pair_a.append(aa.ravel())
-        pair_b.append(bb.ravel())
-    if pair_a:
+    def expand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Same-bucket pair expansion, vectorized with size-batched
+        triu gathers over sorted (band, bucket) segments."""
+        band_v = g["band"].values.astype(np.int64)
+        bucket_v = g["bucket"].values.astype(np.int64)
+        doc_v = g["doc_id"].values.astype(np.int64)
+        order = np.lexsort((doc_v, bucket_v, band_v))
+        band_v, bucket_v, doc_v = band_v[order], bucket_v[order], doc_v[order]
+        seg_start = np.concatenate(
+            ([True], (band_v[1:] != band_v[:-1]) | (bucket_v[1:] != bucket_v[:-1]))
+        ) if len(band_v) else np.array([], dtype=bool)
+        starts = np.flatnonzero(seg_start)
+        sizes = np.diff(np.concatenate((starts, [len(doc_v)])))
+        pair_a, pair_b = [], []
+        for size in np.unique(sizes[sizes >= 2]):
+            seg_s = starts[sizes == size]
+            ii, jj = np.triu_indices(int(size), k=1)
+            pair_a.append(doc_v[seg_s[:, None] + ii[None, :]].ravel())
+            pair_b.append(doc_v[seg_s[:, None] + jj[None, :]].ravel())
+        if not pair_a:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=np.int64),
+                 "b": pd.Series([], dtype=np.int64),
+                 "one": pd.Series([], dtype=np.int64)}
+            )
         a = np.concatenate(pair_a)
         b = np.concatenate(pair_b)
-        lo = np.minimum(a, b)
-        hi = np.maximum(a, b)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        # within-group dedup (same pair can collide in several bands
+        # that hash to the same grp); the cross-group dedup is the
+        # grouped count below
         packed = np.unique(lo.astype(np.uint64) * np.uint64(1 << 32) + hi.astype(np.uint64))
-        cand_t = _pa.table(
+        return pd.DataFrame(
             {
-                "a": _pa.array((packed >> np.uint64(32)).astype(np.int64)),
-                "b": _pa.array((packed & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                "a": (packed >> np.uint64(32)).astype(np.int64),
+                "b": (packed & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                "one": np.ones(len(packed), dtype=np.int64),
             }
         )
-    else:
-        cand_t = _pa.table(
-            {"a": _pa.array([], type=_pa.int64()), "b": _pa.array([], type=_pa.int64())}
-        )
-    cand = _rd.from_arrow(cand_t)
 
-    # verify candidates with exact jaccard (token sets broadcast)
-    docs_pd = read_table_local(sf_dir, "documents", columns=["doc_id", "text"])
-    token_sets = {
-        int(d): set(T.tokenize(s or "")) for d, s in zip(docs_pd["doc_id"], docs_pd["text"])
-    }
-    ref = ray.put(token_sets)
+    cand = grouped_sum(
+        banded.groupby("grp").map_groups(expand_pairs, batch_format="pandas"),
+        ["a", "b"],
+        {"n": ("one", "sum")},
+    )
 
-    _cache: dict = {}
+    # verify with EXACT token-set jaccard: fetch each side's text via
+    # a bucketed hash join (candidates are rare, so the joins move
+    # O(candidates + corpus) rows once — no whole-corpus broadcast)
+    docs_int = ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    cand_a = cand.map_batches(
+        lambda t: pa.table({"doc_id": t["a"], "b": t["b"]}), batch_format="pyarrow"
+    )
+    with_a = hash_join(
+        cand_a, docs_int, on="doc_id",
+        left_cols=["doc_id", "b"], right_cols=["doc_id", "text"],
+    ).map_batches(
+        lambda t: pa.table(
+            {"a": t["doc_id"], "doc_id": t["b"], "text_a": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    with_ab = hash_join(
+        with_a, docs_int, on="doc_id",
+        left_cols=["doc_id", "a", "text_a"], right_cols=["doc_id", "text"],
+    )
 
     def verify_jac(t: pa.Table) -> pa.Table:
-        if "sets" not in _cache:
-            _cache["sets"] = ray.get(ref)
-        sets = _cache["sets"]
-        a = t["a"].to_pylist()
-        b = t["b"].to_pylist()
-        keep = []
-        for x, y in zip(a, b):
-            sa, sb = sets[x], sets[y]
+        out_a, out_b, out_j = [], [], []
+        for x, y, sa_txt, sb_txt in zip(
+            t["a"].to_pylist(), t["doc_id"].to_pylist(),
+            t["text_a"].to_pylist(), t["text"].to_pylist(),
+        ):
+            sa = set(T.tokenize(sa_txt or ""))
+            sb = set(T.tokenize(sb_txt or ""))
             j = len(sa & sb) / max(len(sa | sb), 1)
             if j >= threshold:
-                keep.append((x, y, j))
-        if not keep:
-            return pa.table(
-                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
-                 "jaccard_pct": pa.array([], type=pa.int64())}
-            )
-        aa, bb, jj = zip(*keep)
+                out_a.append(x)
+                out_b.append(y)
+                out_j.append(int(j * 100))
         return pa.table(
             {
-                "a": pa.array(aa, type=pa.int64()),
-                "b": pa.array(bb, type=pa.int64()),
-                "jaccard_pct": pa.array([int(x * 100) for x in jj], type=pa.int64()),
+                "a": pa.array(out_a, type=pa.int64()),
+                "b": pa.array(out_b, type=pa.int64()),
+                "jaccard_pct": pa.array(out_j, type=pa.int64()),
             }
         )
 
-    return cand.map_batches(verify_jac, batch_format="pyarrow").sort(["a", "b"])
+    return with_ab.map_batches(verify_jac, batch_format="pyarrow").sort(["a", "b"])
 
 
 # ---------------------------------------------------------------------------

@@ -289,15 +289,22 @@ ORDER BY purchase_id, error_id
 # groupby(user).map_groups costs one Python call per user (the
 # per-group trap measured in pages dedup); this variant instead sorts
 # globally by (user_id, ts, event_id), computes session starts with a
-# single vectorized diff per batch, and repairs block boundaries with
-# per-batch edge records merged on the driver: a batch's first row is
-# counted as a session start, so if the previous batch ends with the
-# same user within the gap, that start is subtracted.
+# single vectorized diff per batch, and merges the per-user partials
+# IN THE SHUFFLE (grouped_sum) — the driver only ever sees the
+# per-block edge records (one explicit row per block, O(blocks)),
+# which produce a tiny correction map broadcast back into a final
+# vectorized subtraction stage.  Edge records are dedicated rows with
+# their own kind tag (not row-0 positional encoding), so they survive
+# any block splitting/coalescing between stages.
 # ---------------------------------------------------------------------------
 
 
 def events_sessions_sorted(sf_dir: str):
     import ray
+    import ray.data
+
+    from ..stages.broadcast import with_broadcast
+    from .common import grouped_sum
 
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"]).sort(
         ["user_id", "ts", "event_id"]
@@ -305,22 +312,26 @@ def events_sessions_sorted(sf_dir: str):
 
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
 
+    _SCHEMA = pa.schema(
+        [
+            ("kind", pa.int8()),  # 0 = per-user partial, 1 = block edge record
+            ("user_id", pa.int64()),
+            ("n_sessions", pa.int64()),
+            ("n_events", pa.int64()),
+            ("first_uid", pa.int64()),
+            ("first_ts", pa.int64()),
+            ("first_eid", pa.int64()),
+            ("last_uid", pa.int64()),
+            ("last_ts", pa.int64()),
+        ]
+    )
+
     def per_batch(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         n = len(uid)
         if n == 0:
-            return pa.table(
-                {
-                    "user_id": pa.array([], type=pa.int64()),
-                    "n_sessions": pa.array([], type=pa.int64()),
-                    "n_events": pa.array([], type=pa.int64()),
-                    "edge_first_uid": pa.array([], type=pa.int64()),
-                    "edge_first_ts": pa.array([], type=pa.int64()),
-                    "edge_last_uid": pa.array([], type=pa.int64()),
-                    "edge_last_ts": pa.array([], type=pa.int64()),
-                }
-            )
+            return _SCHEMA.empty_table()
         new_user = np.empty(n, dtype=bool)
         new_user[0] = True
         new_user[1:] = uid[1:] != uid[:-1]
@@ -337,85 +348,98 @@ def events_sessions_sorted(sf_dir: str):
             }
         )
         g = tb.group_by("user_id").aggregate([("s", "sum"), ("one", "sum")])
-        g = g.rename_columns(["user_id", "n_sessions", "n_events"])
-        pad = g.num_rows
-        return pa.table(
+        m = g.num_rows
+        neg1 = pa.array(np.full(m, -1, dtype=np.int64))
+        partials = pa.table(
             {
+                "kind": pa.array(np.zeros(m, dtype=np.int8)),
                 "user_id": g["user_id"],
-                "n_sessions": g["n_sessions"],
-                "n_events": g["n_events"],
-                "edge_first_uid": pa.array(
-                    [int(uid[0])] + [-1] * (pad - 1), type=pa.int64()
-                ),
-                "edge_first_ts": pa.array(
-                    [int(ts[0])] + [-1] * (pad - 1), type=pa.int64()
-                ),
-                "edge_first_eid": pa.array(
-                    [int(t["event_id"][0].as_py())] + [-1] * (pad - 1), type=pa.int64()
-                ),
-                "edge_last_uid": pa.array(
-                    [int(uid[-1])] + [-1] * (pad - 1), type=pa.int64()
-                ),
-                "edge_last_ts": pa.array(
-                    [int(ts[-1])] + [-1] * (pad - 1), type=pa.int64()
-                ),
-            }
+                "n_sessions": g["s_sum"],
+                "n_events": g["one_sum"],
+                "first_uid": neg1,
+                "first_ts": neg1,
+                "first_eid": neg1,
+                "last_uid": neg1,
+                "last_ts": neg1,
+            },
+            schema=_SCHEMA,
         )
-
-    # Edge records are re-ordered by their (first_uid, first_ts,
-    # first_event_id) key below, so boundary pairing does NOT depend on
-    # the (unguaranteed, preserve_order=False) block arrival order.
-    parts = []
-    edges = []
-    for b in ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None).iter_batches(
-        batch_size=None, batch_format="pyarrow"
-    ):
-        if b.num_rows == 0:
-            continue
-        parts.append(
-            pa.table(
-                {
-                    "user_id": b["user_id"],
-                    "n_sessions": b["n_sessions"],
-                    "n_events": b["n_events"],
-                }
-            )
+        edge = pa.table(
+            {
+                "kind": pa.array(np.array([1], dtype=np.int8)),
+                "user_id": pa.array([-1], type=pa.int64()),
+                "n_sessions": pa.array([0], type=pa.int64()),
+                "n_events": pa.array([0], type=pa.int64()),
+                "first_uid": pa.array([int(uid[0])], type=pa.int64()),
+                "first_ts": pa.array([int(ts[0])], type=pa.int64()),
+                "first_eid": pa.array([int(t["event_id"][0].as_py())], type=pa.int64()),
+                "last_uid": pa.array([int(uid[-1])], type=pa.int64()),
+                "last_ts": pa.array([int(ts[-1])], type=pa.int64()),
+            },
+            schema=_SCHEMA,
         )
-        edges.append(
-            (
-                int(b["edge_first_uid"][0].as_py()),
-                int(b["edge_first_ts"][0].as_py()),
-                int(b["edge_first_eid"][0].as_py()),
-                int(b["edge_last_uid"][0].as_py()),
-                int(b["edge_last_ts"][0].as_py()),
-            )
-        )
+        return pa.concat_tables([partials, edge])
 
-    import pandas as pd
+    tagged = ds.map_batches(
+        per_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()  # O(users x blocks + blocks) rows, never the input size
 
-    merged = (
-        pa.concat_tables(parts)
-        .to_pandas()
-        .groupby("user_id", as_index=False)
-        .sum()
+    def only(kind: int, cols):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["kind"], kind)).select(cols)
+
+        return f
+
+    base = grouped_sum(
+        tagged.map_batches(
+            only(0, ["user_id", "n_sessions", "n_events"]), batch_format="pyarrow"
+        ),
+        ["user_id"],
+        {"n_sessions": ("n_sessions", "sum"), "n_events": ("n_events", "sum")},
     )
-    # boundary repair: batch i+1's first row was counted as a session
-    # start; cancel it when batch i ends with the same user within gap.
-    # Blocks are re-ordered by first-row sort key (order-independent).
-    edges.sort(key=lambda e: (e[0], e[1], e[2]))
+
+    # Edge records: one per input block — tiny, bounded by block count.
+    # Re-ordered by (first_uid, first_ts, first_eid) so boundary pairing
+    # does NOT depend on block arrival order; batch i+1's first row was
+    # counted as a session start, cancel it when batch i ends with the
+    # same user within the gap.
+    edges = tagged.map_batches(
+        only(1, ["first_uid", "first_ts", "first_eid", "last_uid", "last_ts"]),
+        batch_format="pyarrow",
+    ).take_all()
+    edges.sort(key=lambda e: (e["first_uid"], e["first_ts"], e["first_eid"]))
     corrections: dict[int, int] = {}
     for i in range(1, len(edges)):
-        fu, ft, _feid, _, _ = edges[i]
-        _, _, _, lu, lt = edges[i - 1]
+        fu, ft = edges[i]["first_uid"], edges[i]["first_ts"]
+        lu, lt = edges[i - 1]["last_uid"], edges[i - 1]["last_ts"]
         if fu == lu and (ft - lt) <= gap_us:
             corrections[fu] = corrections.get(fu, 0) + 1
-    if corrections:
-        cseries = merged["user_id"].map(corrections).fillna(0).astype(np.int64)
-        merged["n_sessions"] = merged["n_sessions"] - cseries
-    merged = merged.sort_values("user_id").reset_index(drop=True)
-    import ray.data
 
-    return ray.data.from_pandas(merged)
+    if corrections:
+        ckeys = np.array(sorted(corrections), dtype=np.int64)
+        cvals = np.array([corrections[k] for k in sorted(corrections)], dtype=np.int64)
+        ref = ray.put((ckeys, cvals))
+
+        def apply_corr(state, t: pa.Table) -> pa.Table:
+            ckeys, cvals = state
+            u = t["user_id"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ckeys, u), 0, len(ckeys) - 1)
+            sub = np.where(ckeys[pos] == u, cvals[pos], 0)
+            return pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "n_sessions": pa.array(
+                        t["n_sessions"].to_numpy(zero_copy_only=False) - sub
+                    ),
+                    "n_events": t["n_events"],
+                }
+            )
+
+        base = base.map_batches(
+            with_broadcast(ref, apply_corr, "session_boundary_fix"),
+            batch_format="pyarrow",
+        )
+    return base.sort("user_id")
 
 
 # ---------------------------------------------------------------------------

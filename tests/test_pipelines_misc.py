@@ -17,6 +17,30 @@ def test_minhash_lsh_pairs_verified_and_deterministic(ray_session, sf_small):
     assert (a["a"] < a["b"]).all()
 
 
+# Pinned golden output of the shuffle-form MinHash-LSH at sf0.001
+# (num_perm=128, n_bands=16, threshold=0.5, exact-jaccard verify).
+# Any change to shingling, seeding, banding, or verification semantics
+# shows up here as a diff, not just a row-count drift.
+_MINHASH_GOLDEN_SF0001 = [
+    (0, 50, 94), (0, 82, 100), (5, 450, 96), (8, 12, 100), (8, 120, 96),
+    (8, 360, 100), (12, 120, 96), (12, 360, 100), (16, 369, 96),
+    (26, 176, 96), (33, 436, 88), (45, 487, 95), (50, 82, 94),
+    (56, 157, 96), (77, 459, 96), (89, 114, 92), (99, 174, 96),
+    (110, 467, 96), (119, 425, 95), (120, 360, 96), (144, 161, 96),
+    (211, 404, 96), (229, 263, 95), (260, 391, 96), (270, 329, 96),
+    (328, 428, 95), (349, 411, 96), (474, 498, 96),
+]
+
+
+def test_minhash_lsh_golden_sf0001(ray_session, sf_small):
+    from geografir_ray.pipelines.documents import docs_minhash_lsh
+
+    got = docs_minhash_lsh(sf_small).to_pandas()
+    rows = list(zip(got["a"].astype(int), got["b"].astype(int),
+                    got["jaccard_pct"].astype(int)))
+    assert rows == _MINHASH_GOLDEN_SF0001
+
+
 def test_ivf_knn_recall_vs_brute_force(ray_session, sf_small):
     from geografir_ray.pipelines.embeddings import emb_ivf_knn, emb_knn
 
