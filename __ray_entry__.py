@@ -76,7 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # raster (tile tables / masked stats / burn / conform)
         "raster_tile_stats": RQ.raster_tile_stats,
         "raster_burn": RQ.raster_burn,
-        "raster_conform": RQ.raster_conform,  # rows-only: warp kernel pinned in tests
+        "raster_conform": RQ.raster_conform,
         # large-large partitioned kNN + multimodal plumbing
         "geo_knn_partitioned": S.knn_partitioned_query,
         "mm_features": D.docs_media_features,  # rows-only: fake codec
@@ -134,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup": M.EMB_NEARDUP_SQL,
         "raster_tile_stats": RQ.RASTER_TILE_STATS_SQL,
         "raster_burn": RQ.raster_burn_sql(),
+        "raster_conform": RQ.RASTER_CONFORM_SQL,
         "geo_knn_partitioned": S.knn_partitioned_sql(),
         "docs_locations": D.docs_locations_sql(),
         "docs_extract_zonal": D.docs_extract_zonal_sql(),
@@ -147,5 +148,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_parts_per_flag": R.DISTINCT_PARTS_SQL,
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_simhash, docs_langid_quality, docs_fingerprints,
-        # emb_label_stats, emb_ivf_knn
+        # emb_label_stats, emb_ivf_knn, mm_features,
+        # approx_distinct_parts — each has a pinned-golden or
+        # property test in tests/ (see test_pipelines_misc.py,
+        # test_goldens.py)
     }

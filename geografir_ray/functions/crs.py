@@ -122,13 +122,111 @@ def _build_registry() -> dict[int, CRSDef]:
 _REGISTRY = _build_registry()
 
 
-def ensure_crs(crs) -> CRSDef:
-    """Normalize int / "EPSG:x" / CRSDef to a CRSDef.
+def _parse_proj4(s: str) -> CRSDef | None:
+    """Resolve a PROJ4 string to a registry CRSDef (the projection
+    families the registry supports: longlat, web mercator, UTM/tmerc,
+    Albers).  Returns None when the string is not one of them."""
+    kv: dict[str, str] = {}
+    flags: set[str] = set()
+    for p in s.split():
+        if not p.startswith("+"):
+            return None
+        body = p[1:]
+        if "=" in body:
+            k, v = body.split("=", 1)
+            kv[k] = v
+        else:
+            flags.add(body)
+    proj = kv.get("proj")
+    datum = kv.get("datum", "").upper()
+    ellps = kv.get("ellps", "").upper()
+    nad83 = datum == "NAD83" or (not datum and ellps == "GRS80")
 
-    Same contract as the reference ensure_crs (crs.py:46-146): CRSDef
-    pass-through is identity; unknown specs raise
-    ``CRSError("Invalid target CRS specification: ...")`` with the
-    reference's exact message prefix.
+    def f(key: str, default: float = 0.0) -> float:
+        try:
+            return float(kv.get(key, default))
+        except ValueError:
+            return float("nan")
+
+    if proj == "longlat":
+        if nad83:
+            return _REGISTRY.get(4269)
+        if datum in ("", "WGS84") and ellps in ("", "WGS84"):
+            return _REGISTRY.get(4326)
+        return None
+    if proj == "merc":
+        # the canonical web-mercator spelling: spherical radius 6378137
+        # (+a=+b) or +ellps=WGS84 with +nadgrids=@null, lat_ts 0
+        spherical = kv.get("a") == "6378137" and kv.get("b", kv.get("a")) == "6378137"
+        if (spherical or "nadgrids" in kv) and f("lat_ts") == 0.0 and f("lon_0") == 0.0:
+            return _REGISTRY.get(3857)
+        return None
+    if proj == "utm":
+        try:
+            zone = int(kv["zone"])
+        except (KeyError, ValueError):
+            return None
+        south = "south" in flags
+        if nad83:
+            return None if south else _REGISTRY.get(26900 + zone)
+        return _REGISTRY.get((32700 if south else 32600) + zone)
+    if proj == "tmerc":
+        # match against the UTM registry entries
+        if f("lat_0") == 0.0 and abs(f("k", 1.0) - 0.9996) < 1e-12 and f("x_0") == 500000.0:
+            zone = (f("lon_0") + 183.0) / 6.0
+            if zone == int(zone) and 1 <= int(zone) <= 60:
+                zone = int(zone)
+                if nad83:
+                    return None if f("y_0") != 0.0 else _REGISTRY.get(26900 + zone)
+                if f("y_0") == 10000000.0:
+                    return _REGISTRY.get(32700 + zone)
+                if f("y_0") == 0.0:
+                    return _REGISTRY.get(32600 + zone)
+        return None
+    if proj == "aea":
+        for code in (5070, 3310):
+            c = _REGISTRY[code]
+            if (
+                f("lat_1") == c.lat1
+                and f("lat_2") == c.lat2
+                and f("lat_0") == c.lat0
+                and f("lon_0") == c.lon0
+                and f("x_0") == c.x0
+                and f("y_0") == c.y0
+            ):
+                return c
+        return None
+    return None
+
+
+_WKT_HEADS = (
+    "GEOGCRS", "GEOGCS", "PROJCRS", "PROJCS", "GEODCRS", "COMPOUNDCRS",
+    "BOUNDCRS", "GEOCCS",
+)
+
+
+def _parse_wkt(s: str) -> CRSDef | None:
+    """Resolve a WKT1/WKT2 CRS string via its (outermost, i.e. last)
+    EPSG authority/id clause."""
+    import re
+
+    codes = re.findall(r'(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?', s)
+    if codes:
+        return _REGISTRY.get(int(codes[-1]))
+    return None
+
+
+def ensure_crs(crs) -> CRSDef:
+    """Normalize int / "EPSG:x" / PROJ4 string / WKT string / CRSDef
+    to a CRSDef.
+
+    Same contract as the reference ensure_crs (crs.py:46-146, which
+    delegates to pyproj CRS.from_user_input): CRSDef pass-through is
+    identity (crs.py:140-141); EPSG ints and strings, PROJ4 strings
+    ("+proj=..." — geometry/tests/test_crs.py:31-37) and WKT strings
+    (test_crs.py:40-48) resolve to registry entries; anything else
+    raises ``CRSError("Invalid target CRS specification: ...")`` with
+    the reference's exact message prefix (crs.py:145-146).
     """
     if isinstance(crs, CRSDef):
         return crs
@@ -143,6 +241,14 @@ def ensure_crs(crs) -> CRSDef:
                 code = int(tail)
         elif s.isdigit():
             code = int(s)
+        elif s.startswith("+"):
+            found = _parse_proj4(s)
+            if found is not None:
+                return found
+        elif s.upper().startswith(_WKT_HEADS) and "[" in s:
+            found = _parse_wkt(s)
+            if found is not None:
+                return found
     if code is not None and code in _REGISTRY:
         return _REGISTRY[code]
     raise CRSError(f"Invalid target CRS specification: {crs}")

@@ -222,3 +222,22 @@ def raster_conform(sf_dir: str):
     return tiles.map_batches(conform, batch_format="pyarrow", zero_copy_batch=True).sort(
         "tile_id"
     )
+
+# Exact DuckDB twin of raster_conform: the source/reference grids have
+# identical RELATIVE geometry for every tile (quarter-degree shift,
+# half resolution, north-up affines), so nearest-neighbor conform maps
+# ref pixel (r, c) to src pixel (2r-3, 2c+5) — verified against the
+# RasterArray.conform_to kernel — and the pixel values regenerate with
+# generate_series exactly as in RASTER_TILE_STATS_SQL.
+RASTER_CONFORM_SQL = f"""
+SELECT p_partkey AS tile_id,
+       CAST(coalesce(sum(v) FILTER (WHERE v % {NODATA_MOD} <> 0), 0) AS BIGINT) AS conform_sum,
+       CAST(count(*) FILTER (WHERE v % {NODATA_MOD} <> 0) AS BIGINT) AS conform_valid
+FROM (
+  SELECT p_partkey,
+         p_partkey * {TILE_PX * TILE_PX} + (2*r - 3) * {TILE_PX} + (2*c + 5) AS v
+  FROM part, generate_series(2, 7) AS t1(r), generate_series(0, 5) AS t2(c)
+)
+GROUP BY p_partkey
+ORDER BY tile_id
+"""

@@ -266,3 +266,94 @@ def test_s2_center_near_point_at_fine_level():
     clat, clon = cells.s2_to_latlon(ids)
     assert abs(clat[0] - 40.7128) < 1e-3
     assert abs(clon[0] + 74.0060) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# S2 canonical-vector validation: an INDEPENDENT bit-by-bit reference
+# implementation built directly from the published s2geometry
+# constants (kIJtoPos / kPosToOrientation / ValidFaceXYZtoUV / the
+# quadratic UVtoST), with no shared code with functions/cells.py
+# (which uses the 4-bit lookup-table acceleration).  Agreement across
+# random points and levels proves the ST projection, face/UV
+# conventions, Hilbert orientation chain, and id bit-packing all match
+# the canonical algorithm — a wrong orientation or projection in
+# either implementation would diverge immediately.
+# ---------------------------------------------------------------------------
+
+_KIJ_TO_POS = [[0, 1, 3, 2], [0, 3, 1, 2], [2, 3, 1, 0], [2, 1, 3, 0]]
+_KPOS_TO_ORIENT = [1, 0, 0, 3]  # kSwapMask, 0, 0, kInvertMask|kSwapMask
+
+
+def _ref_s2_id(lat_deg: float, lon_deg: float, level: int) -> int:
+    import math
+
+    phi, lam = math.radians(lat_deg), math.radians(lon_deg)
+    x = math.cos(phi) * math.cos(lam)
+    y = math.cos(phi) * math.sin(lam)
+    z = math.sin(phi)
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax >= ay and ax >= az:
+        face = 0 if x >= 0 else 3
+    elif ay >= az:
+        face = 1 if y >= 0 else 4
+    else:
+        face = 2 if z >= 0 else 5
+    u, v = {
+        0: lambda: (y / x, z / x),
+        1: lambda: (-x / y, z / y),
+        2: lambda: (-x / z, -y / z),
+        3: lambda: (z / x, y / x),
+        4: lambda: (z / y, -x / y),
+        5: lambda: (-y / z, -x / z),
+    }[face]()
+
+    def st(w: float) -> float:
+        return 0.5 * math.sqrt(1 + 3 * w) if w >= 0 else 1 - 0.5 * math.sqrt(1 - 3 * w)
+
+    def ij(s: float) -> int:
+        return min(max(int(math.floor(s * (1 << 30))), 0), (1 << 30) - 1)
+
+    i, j = ij(st(u)), ij(st(v))
+    orient = face & 1
+    pos = 0
+    for k in range(29, -1, -1):
+        q = (((i >> k) & 1) << 1) | ((j >> k) & 1)
+        p = _KIJ_TO_POS[orient][q]
+        pos = (pos << 2) | p
+        orient ^= _KPOS_TO_ORIENT[p]
+    cell = (face << 61) | (pos << 1) | 1
+    if level < 30:
+        lsb = 1 << (2 * (30 - level))
+        cell = (cell & ~(lsb - 1)) | lsb
+    return cell
+
+
+def test_s2_matches_independent_reference():
+    rng = np.random.default_rng(1729)
+    lat = rng.uniform(-89.9, 89.9, 300)
+    lon = rng.uniform(-180.0, 180.0, 300)
+    for level in (1, 4, 9, 17, 30):
+        got = cells.s2_cell_id(lat, lon, level)
+        expect = np.array(
+            [_ref_s2_id(float(a), float(o), level) for a, o in zip(lat, lon)],
+            dtype=np.uint64,
+        )
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_s2_pinned_level1_vectors():
+    """Hand-derived level-1 ids on face 0 (orientation chain pinned):
+    (10N, 20E) has u=tan(20)>0 (i MSB 1), v=tan(10)>0 (j MSB 1) =>
+    q=(i<<1)|j=3 => kIJtoPos[0][3] = 2 => id = (2<<59)|(1<<58) =
+    0x1400...; the other three quadrants follow the same published
+    table row (level-1 id = face<<61 | pos<<59 | 1<<58)."""
+    cases = [
+        # (lat, lon) -> ij-quadrant -> hilbert pos via kIJtoPos[0]
+        ((-10.0, -20.0), 0x0400000000000000),  # i=0,j=0 -> pos 0
+        ((+10.0, -20.0), 0x0C00000000000000),  # i=0,j=1 -> pos 1
+        ((+10.0, +20.0), 0x1400000000000000),  # i=1,j=1 -> pos 2
+        ((-10.0, +20.0), 0x1C00000000000000),  # i=1,j=0 -> pos 3
+    ]
+    for (la, lo), expect in cases:
+        got = int(cells.s2_cell_id(np.array([la]), np.array([lo]), 1)[0])
+        assert got == expect, (la, lo, hex(got), hex(expect))

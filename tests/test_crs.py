@@ -96,3 +96,73 @@ def test_webmercator_golden():
     x, y = crs.wgs84_to_webmercator(np.array([0.0]), np.array([180.0]))
     assert abs(x[0] - 20037508.342789244) < 1e-6
     assert abs(y[0]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# PROJ4 / WKT spellings — ported from the reference's own test cases
+# (geometry/tests/test_crs.py:31-48, 95-113): "+proj=..." strings and
+# WKT must resolve exactly like pyproj CRS.from_user_input for the
+# registry's projection families.
+# ---------------------------------------------------------------------------
+
+
+def test_proj4_longlat_is_4326():
+    assert crs.ensure_crs("+proj=longlat +datum=WGS84 +no_defs").epsg == 4326
+    assert crs.ensure_crs("+proj=longlat +ellps=WGS84 +no_defs").epsg == 4326
+    assert crs.ensure_crs("+proj=longlat +datum=NAD83 +no_defs").epsg == 4269
+
+
+def test_proj4_webmercator():
+    s = ("+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 "
+         "+y_0=0 +k=1 +units=m +nadgrids=@null +wktext +no_defs")
+    assert crs.ensure_crs(s).epsg == 3857
+
+
+def test_proj4_utm_spellings():
+    assert crs.ensure_crs("+proj=utm +zone=33 +datum=WGS84 +units=m +no_defs").epsg == 32633
+    assert crs.ensure_crs("+proj=utm +zone=56 +south +datum=WGS84 +no_defs").epsg == 32756
+    assert crs.ensure_crs("+proj=utm +zone=10 +datum=NAD83 +units=m +no_defs").epsg == 26910
+    # expanded tmerc spelling of UTM 33N
+    s = ("+proj=tmerc +lat_0=0 +lon_0=15 +k=0.9996 +x_0=500000 +y_0=0 "
+         "+datum=WGS84 +units=m +no_defs")
+    assert crs.ensure_crs(s).epsg == 32633
+
+
+def test_proj4_albers():
+    s = ("+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 +x_0=0 "
+         "+y_0=0 +datum=NAD83 +units=m +no_defs")
+    assert crs.ensure_crs(s).epsg == 5070
+    s310 = ("+proj=aea +lat_0=0 +lon_0=-120 +lat_1=34 +lat_2=40.5 +x_0=0 "
+            "+y_0=-4000000 +datum=NAD83 +units=m +no_defs")
+    assert crs.ensure_crs(s310).epsg == 3310
+
+
+def test_wkt_strings():
+    # WKT1 (AUTHORITY clause last = whole-CRS authority)
+    wkt1_4326 = (
+        'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+        '298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
+        'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],UNIT["degree",'
+        '0.0174532925199433,AUTHORITY["EPSG","9122"]],AUTHORITY["EPSG","4326"]]'
+    )
+    assert crs.ensure_crs(wkt1_4326).epsg == 4326
+    # WKT2 (ID clause last)
+    wkt2_3857 = (
+        'PROJCRS["WGS 84 / Pseudo-Mercator",BASEGEOGCRS["WGS 84",'
+        'DATUM["World Geodetic System 1984",ELLIPSOID["WGS 84",6378137,'
+        '298.257223563]],ID["EPSG",4326]],CONVERSION["Popular Visualisation '
+        'Pseudo-Mercator",METHOD["Popular Visualisation Pseudo Mercator",'
+        'ID["EPSG",1024]]],CS[Cartesian,2],ID["EPSG",3857]]'
+    )
+    assert crs.ensure_crs(wkt2_3857).epsg == 3857
+
+
+def test_proj4_invalid_still_raises():
+    import pytest
+
+    with pytest.raises(crs.CRSError, match="Invalid target CRS specification"):
+        crs.ensure_crs("+proj=sinu +lon_0=0")  # unsupported family
+    with pytest.raises(crs.CRSError, match="Invalid target CRS specification"):
+        crs.ensure_crs("invalid_crs_string")
+    with pytest.raises(crs.CRSError, match="Invalid target CRS specification"):
+        crs.ensure_crs("")

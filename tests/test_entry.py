@@ -30,7 +30,6 @@ def test_queries_have_oracles_or_are_documented(ray_session):
         "docs_fingerprints",
         "emb_label_stats",
         "emb_ivf_knn",
-        "raster_conform",
         "mm_features",
         "approx_distinct_parts",
     }

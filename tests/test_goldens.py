@@ -1,0 +1,37 @@
+"""Value-pinned goldens for the rows-only queries (VERDICT r1 item 6).
+
+These queries have no SQL oracle (hash seeds / heuristic models /
+cell-id bit layouts are not SQL-expressible), but their outputs are
+fully deterministic — so the whole result is pinned as a sha256 over
+the column-sorted, row-sorted CSV at sf0.001.  Any change to seeds,
+bit layouts, rounding, or partitioning-sensitive logic fails here
+loudly instead of drifting silently under a bare row-count check.
+"""
+
+import hashlib
+
+import pytest
+
+_GOLDEN = {
+    # name -> (rows, sha256 of sorted csv)
+    "docs_simhash": (500, "f89d7b6d51960c20c9fc166f1cf315fd9dd52f8da5fe9e4ebe9882ef371ba9ea"),
+    "docs_fingerprints": (7888, "e79d043cc08e88e191684bacafe156391ffb683ef11838507f82b522cbd62897"),
+    "geo_cells": (150, "79332936dfcd613fbeda749e79412c8b70c606d96d86709962f53f525537b5c9"),
+    "emb_label_stats": (10, "5477897f8f5631e948f5fdd6e62d5e23650c78d0ebe87dcf9fa19544e2124066"),
+}
+
+
+def _result_hash(df) -> str:
+    df = df[sorted(df.columns)].sort_values(sorted(df.columns)).reset_index(drop=True)
+    return hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", sorted(_GOLDEN))
+def test_rows_only_golden(ray_session, sf_small, name):
+    import __ray_entry__ as E
+
+    res = E.queries()[name](sf_small)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    rows, digest = _GOLDEN[name]
+    assert len(df) == rows
+    assert _result_hash(df) == digest
