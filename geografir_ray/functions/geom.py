@@ -53,6 +53,30 @@ def haversine_km(lat1, lon1, lat2, lon2) -> np.ndarray:
     return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(a))
 
 
+def unit_xyz(lat, lon) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Unit-sphere Cartesian coordinates (degrees in).
+
+    Distance ranking trick: the squared CHORD length between two unit
+    vectors, |p1-p2|^2 = 4 sin^2(d/2), is strictly monotonic in the
+    great-circle distance d — so top-k selection can run on chord^2
+    (8 cheap flops per pair, no transcendentals) and only the selected
+    rows pay the asin to convert to km.  chord^2/4 equals haversine's
+    ``a`` term exactly, so :func:`chord2_to_km` reproduces
+    :func:`haversine_km` to fp rounding.
+    """
+    p = np.radians(np.asarray(lat, dtype=np.float64))
+    l = np.radians(np.asarray(lon, dtype=np.float64))
+    cp = np.cos(p)
+    return cp * np.cos(l), cp * np.sin(l), np.sin(p)
+
+
+def chord2_to_km(c2) -> np.ndarray:
+    """Squared unit-sphere chord -> great-circle km (haversine-equal)."""
+    return 2.0 * EARTH_RADIUS_KM * np.arcsin(
+        np.minimum(np.sqrt(np.maximum(c2, 0.0)) * 0.5, 1.0)
+    )
+
+
 def haversine_km_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     """DuckDB expression matching :func:`haversine_km` op-for-op.
 

@@ -450,33 +450,34 @@ def docs_simhash(sf_dir: str):
 
 
 def docs_langid_quality(sf_dir: str):
+    # Plain task fn, NOT an actor pool: the marker tables are
+    # featherweight module globals (already resident in every worker
+    # process), and a task fn keeps Ray Data operator fusion with the
+    # read — the repo's measured rule (CLAUDE.md #3; actor pools
+    # reserve CPUs and were 1.85x slower for light state).
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
-    class Score:
-        """Actor-pool stage: marker tables loaded once per actor."""
+    def score(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        q = T.quality_stats(texts)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "lang_pred": pa.array(T.langid(texts)),
+                "n_tokens": pa.array(q["n_tokens"]),
+                "distinct_pct": pa.array(
+                    np.floor(q["distinct_ratio"] * 100.0).astype(np.int64)
+                ),
+                "stopword_pct": pa.array(
+                    np.floor(q["stopword_ratio"] * 100.0).astype(np.int64)
+                ),
+            }
+        )
 
-        def __init__(self):
-            self.markers = T._LANG_MARKERS
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            texts = t["text"].to_pylist()
-            q = T.quality_stats(texts)
-            return pa.table(
-                {
-                    "doc_id": t["doc_id"],
-                    "lang": t["lang"],
-                    "lang_pred": pa.array(T.langid(texts)),
-                    "n_tokens": pa.array(q["n_tokens"]),
-                    "distinct_pct": pa.array(
-                        np.floor(q["distinct_ratio"] * 100.0).astype(np.int64)
-                    ),
-                    "stopword_pct": pa.array(
-                        np.floor(q["stopword_ratio"] * 100.0).astype(np.int64)
-                    ),
-                }
-            )
-
-    return ds.map_batches(Score, batch_format="pyarrow", concurrency=2).sort("doc_id")
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
 
 
 # ---------------------------------------------------------------------------

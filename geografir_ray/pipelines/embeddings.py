@@ -210,6 +210,14 @@ def emb_label_stats(sf_dir: str):
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:  # typed empty block (CLAUDE.md rule 8)
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                    "centroid_norm_pct": pd.Series([], dtype=np.int64),
+                }
+            )
         n = int(g["n"].sum())
         vsum = np.sum(np.stack([np.asarray(v) for v in g["vec_sum"]]), axis=0)
         centroid = vsum / n

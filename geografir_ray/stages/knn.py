@@ -1,38 +1,50 @@
 """Partitioned spatial kNN — the large-large path (no broadcast side).
 
-Algorithm (SURVEY.md §2.2 "kNN via cell-ring expansion"):
+Algorithm (SURVEY.md §2.2 "kNN via cell-ring expansion"), fully
+distributed and density-adaptive.  The key inversion vs the textbook
+plan: TARGETS replicate into their radius-R cell neighborhood and
+QUERIES stay in their home cell, so every query meets its entire ring
+candidate set inside ONE bucket and resolves there — one all-to-all
+exchange per round, k output rows per resolved query, and NO global
+candidate sort / edge-repair pass at all (replicating queries instead
+costs an O(queries * ring * k) multi-key sort, which measured as the
+dominant stage).
 
-1. Targets are assigned to grid cells at ``bits`` resolution; both
-   sides co-partition on ``hash(cell) % n_buckets`` (B buckets, not one
-   group per cell — avoids the per-group-Python trap at high cell
-   cardinality; the per-bucket probe is a vectorized postings
-   expansion, same shape as the PIP probe).
-2. Queries emit candidate rows for every cell in their (2R+1)^2
-   neighborhood (ring radius R); the home-cell row is flagged so every
-   query is guaranteed at least one row in the candidate stream (a
-   sentinel with dist=+inf when its home cell holds no targets).
-3. Per bucket: vectorized pair expansion (query-cell row -> target run
-   of the same cell) + haversine + per-(query,cell) top-k.
-4. Global merge is FULLY DISTRIBUTED: sort(["query_id","dist",
-   "neighbor_id"]) then vectorized segment logic inside map_batches.
-   Segments that touch a block boundary (first/last query of each
-   block) are emitted as tiny edge records and repaired in one
-   driver-side pass — O(blocks * ring * k) rows, bounded by block
-   count, never by dataset size.
-5. **Correctness guarantee**: a query's result is provably exact when
-   its k-th distance <= a true spherical lower bound on the distance
-   to the outside of its ring-R neighborhood (lat term: R full cell
-   extents; lon term: Re*asin(sin(min(R*dlon, 90deg))*cos(lat)) — the
-   exact point-to-meridian great-circle distance, a valid lower bound
-   at every latitude).  Queries that fail the bound (or found < k
-   targets) are retried DISTRIBUTED at a doubled ring radius; once the
-   ring covers the whole grid the round is exact by construction, so
-   the loop always terminates.
+Per round (grid level ``bits``, radius R):
 
-All distances in km (haversine); ties broken by target id — fully
-deterministic output.  No stage materializes an unbounded dataset on
-the driver: the only driver-side rows are the per-block-boundary edge
-records.
+1. Targets key by every cell within R of their own cell (m=(2R+1)^2
+   rows each; R=0 -> 1 row); queries key by home cell; both sides
+   co-partition on hash(cell) % B (B buckets, NOT one group per cell
+   — the per-group-Python trap).
+2. In-bucket kernel: targets sort by (cell, id); each query's run =
+   its home cell's (replicated) targets = its whole ring.  Ranking
+   runs on squared unit-sphere CHORD lengths (monotonic in
+   great-circle distance, 8 flops/pair, no transcendentals — measured
+   ~20x over per-pair haversine here), selected with count-class
+   batched argsort matrices (no giant lexsort); only the k kept rows
+   pay the asin to km.
+3. **Exactness**: a query is done when found >= k and its k-th
+   distance <= its POSITION-AWARE lower bound on the distance to
+   anything outside the ring (actual offsets to the four ring
+   boundaries; lon boundary via the exact point-to-meridian distance
+   Re*asin(sin(min(dlon,90deg))*cos(lat)); boundaries clipped at the
+   poles / full wrap drop out).  Ties break by target id (stable
+   argsort over (cell,id)-sorted runs) — output equals ranking by
+   (haversine_km, target_id), fully deterministic.
+4. **Ladder**: round (bits, R=0) resolves the density-matched bulk
+   with zero replication; (bits, R=1) catches cell-boundary queries;
+   then (bits-2, R=2), (bits-4, R=2), ... — the edge bound grows ~4x
+   per rung so sparse-region queries resolve before cluster-dumping
+   levels, and only still-unresolved queries re-enter each round.
+5. **Distributed brute force** finishes the (by now tiny) remainder:
+   unresolved queries go to the object store once, every target block
+   computes a local top-k (BLAS matmul on unit vectors), and a
+   sorted-segment merge with block-boundary edge repair completes —
+   no driver-side target materialization, ever.
+
+The only driver-side rows in the whole operator are the final
+brute-force remainder (O(stragglers)) and its per-block edge records
+(O(blocks * k)).
 """
 
 from __future__ import annotations
@@ -42,11 +54,21 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions import cells, geom
+from ..functions import cells
+from ..functions.geom import EARTH_RADIUS_KM, chord2_to_km, unit_xyz
 from ..functions.hashing import splitmix64 as _smx
 
-_EARTH_R_KM = 6371.0088
-_KM_PER_DEG = 111.19492664455873  # 2*pi*R/360
+_KM_PER_DEG = 2.0 * np.pi * EARTH_RADIUS_KM / 360.0
+_PAIR_CHUNK = 8_000_000  # max gathered pair cells per matrix chunk
+_MIN_BITS = 3  # below this, finish with the distributed brute force
+
+def _neighbor_cells(cell: np.ndarray, bits: int, radius: int) -> np.ndarray:
+    """(n, (2R+1)^2) radius-R cell neighborhood — lat rows clamp at the
+    poles, lon columns wrap (delegates to :func:`cells.grid_neighbors`;
+    kept as a named seam so tests can cross-validate the replication
+    geometry against the cell-index API)."""
+    return cells.grid_neighbors(cell, bits, radius)
+
 
 _OUT_SCHEMA = pa.schema(
     [
@@ -64,141 +86,137 @@ _FINAL_SCHEMA = pa.schema(
     [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("rank", pa.int64())]
 )
 
-
-def _neighbor_cells(cell: np.ndarray, bits: int, radius: int) -> np.ndarray:
-    """(n, (2R+1)^2) neighbor cell ids (clipped at grid edges, lon wraps)."""
-    n_axis = np.int64(1) << bits
-    row = (cell >> np.uint64(32)).astype(np.int64)
-    col = (cell & np.uint64(0xFFFFFFFF)).astype(np.int64)
-    offs = np.arange(-radius, radius + 1, dtype=np.int64)
-    rr = np.clip(row[:, None] + offs[None, :], 0, n_axis - 1)  # (n, 2R+1)
-    cc = (col[:, None] + offs[None, :]) % n_axis  # lon wraps
-    out = (
-        rr[:, :, None].astype(np.uint64) << np.uint64(32)
-    ) | cc[:, None, :].astype(np.uint64)
-    return out.reshape(len(cell), -1)
+_CAND_COLS = ["query_id", "neighbor_id", "dist", "qlat", "qlon"]
 
 
-def _ring_edge_km(lat: np.ndarray, bits: int, radius: int) -> np.ndarray:
-    """True spherical lower bound on the distance from a point to any
-    point OUTSIDE its ring-R cell neighborhood.
+# ---------------------------------------------------------------------------
+# geometry bounds
+# ---------------------------------------------------------------------------
 
-    lat term: an outside-by-lat point differs by >= R full cell extents
-    in latitude, and great-circle distance >= latitude difference.
-    lon term: an outside-by-lon point has wrapped lon offset
-    dl >= R*cell_lon (< 180 deg whenever the ring does not cover every
-    column); the min distance from (lat, *) to the meridian at offset
-    dl is Re*asin(sin(min(dl, 90deg))*cos(lat)) — exact for dl <= 90,
-    and for dl > 90 the pole distance 90-|lat| = asin(cos lat) is the
-    binding case, which the clamp reproduces.
-    """
-    n_axis = 1 << bits
-    cell_lat_deg = 180.0 / n_axis
-    cell_lon_deg = 360.0 / n_axis
-    lat_km = radius * cell_lat_deg * _KM_PER_DEG
-    if 2 * radius + 1 >= n_axis:
-        # every column covered: only the lat boundary exists
-        return np.full_like(np.asarray(lat, dtype=np.float64), lat_km)
-    dl = np.minimum(np.radians(radius * cell_lon_deg), np.pi / 2.0)
-    lon_km = _EARTH_R_KM * np.arcsin(
-        np.sin(dl) * np.cos(np.radians(np.abs(lat)))
-    )
+
+def _lon_edge_km(dlon_deg: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """Min great-circle distance from a point at ``lat`` to the
+    meridian at lon offset ``dlon_deg`` — exact for offsets <= 90 deg,
+    and the pole distance (the binding case) beyond."""
+    dl = np.minimum(np.radians(np.maximum(dlon_deg, 0.0)), np.pi / 2.0)
+    return EARTH_RADIUS_KM * np.arcsin(np.sin(dl) * np.cos(np.radians(np.abs(lat))))
+
+
+def _ring_edge_km_pos(
+    lat: np.ndarray, lon: np.ndarray, bits: int, radius: int
+) -> np.ndarray:
+    """Per-query lower bound on the distance to anything OUTSIDE its
+    radius-R cell neighborhood, from the query's ACTUAL offsets to the
+    four ring boundaries (tighter than a whole-cell-extent bound).
+
+    Boundaries that don't exist drop out: a ring clipped at a pole has
+    no lat boundary on that side; a ring covering every column has no
+    lon boundary."""
+    n = 1 << bits
+    cl_lat = 180.0 / n
+    cl_lon = 360.0 / n
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    row = np.clip(np.floor((lat + 90.0) / cl_lat), 0, n - 1)
+    col = np.clip(np.floor((lon + 180.0) / cl_lon), 0, n - 1)
+    inf = np.inf
+    # lat boundaries (clipped rings reach the pole -> no boundary)
+    lat_lo = (row - radius) * cl_lat - 90.0
+    lat_hi = (row + radius + 1) * cl_lat - 90.0
+    d_south = np.where(row - radius <= 0, inf, np.maximum(lat - lat_lo, 0.0))
+    d_north = np.where(row + radius >= n - 1, inf, np.maximum(lat_hi - lat, 0.0))
+    lat_km = np.minimum(d_south, d_north) * _KM_PER_DEG
+    if 2 * radius + 1 >= n:
+        return lat_km  # every column covered: no lon boundary
+    lon_lo = (col - radius) * cl_lon - 180.0  # may extend past +-180 (wraps)
+    lon_hi = (col + radius + 1) * cl_lon - 180.0
+    d_west = np.maximum(lon - lon_lo, 0.0)
+    d_east = np.maximum(lon_hi - lon, 0.0)
+    lon_km = _lon_edge_km(np.minimum(d_west, d_east), lat)
     return np.minimum(lat_km, lon_km)
 
 
-def _empty_final() -> pa.Table:
-    return _FINAL_SCHEMA.empty_table()
+# ---------------------------------------------------------------------------
+# count-class batched top-k over target runs (the hot kernel)
+# ---------------------------------------------------------------------------
 
 
-def _resolve_segments(
-    qv: np.ndarray,
-    nv: np.ndarray,
-    dv: np.ndarray,
-    qlat: np.ndarray,
-    qlon: np.ndarray,
-    k: int,
-    bits: int,
-    radius: int,
-    full_cover: bool,
-):
-    """Vectorized per-query-segment merge over candidate rows.
+def _class_topk_iter(starts, counts, pq, txyz, qxyz, k: int):
+    """Iterate per-run top-k for probe rows ``pq`` whose target run is
+    (starts[i], counts[i]) into the (cell,id)-sorted target arrays.
 
-    Rows may arrive in any order; sentinels are neighbor_id == -1
-    (dist=+inf).  Returns (finals pa.Table[query_id, neighbor_id,
-    rank], unresolved pa.Table[query_id, qlat, qlon]).
-    """
-    empty_un = pa.table(
-        {
-            "query_id": pa.array([], type=pa.int64()),
-            "qlat": pa.array([], type=pa.float64()),
-            "qlon": pa.array([], type=pa.float64()),
-        }
-    )
-    if len(qv) == 0:
-        return _empty_final(), empty_un
-    order = np.lexsort((nv, dv, qv))
-    qv, nv, dv = qv[order], nv[order], dv[order]
-    qlat, qlon = qlat[order], qlon[order]
-    # drop duplicate (query, neighbor) pairs (ring clipping at poles
-    # can route the same target to a query via two neighborhood slots)
-    dup = np.zeros(len(qv), dtype=bool)
-    dup[1:] = (qv[1:] == qv[:-1]) & (nv[1:] == nv[:-1])
-    qv, nv, dv = qv[~dup], nv[~dup], dv[~dup]
-    qlat, qlon = qlat[~dup], qlon[~dup]
-
-    seg_start = np.empty(len(qv), dtype=bool)
-    seg_start[0] = True
-    seg_start[1:] = qv[1:] != qv[:-1]
-    seg_idx = np.cumsum(seg_start) - 1
-    n_seg = seg_idx[-1] + 1
-    seg_first = np.flatnonzero(seg_start)
-    real = nv >= 0  # non-sentinel candidate rows
-    found = np.bincount(seg_idx[real], minlength=n_seg)
-
-    # rank within segment (sentinels sort last: dist=+inf)
-    pos = np.arange(len(qv)) - seg_first[seg_idx]
-    rank = pos + 1
-
-    if full_cover:
-        seg_exact = np.ones(n_seg, dtype=bool)
-    else:
-        kth_rank = np.minimum(found, k)
-        kth_row = seg_first + np.maximum(kth_rank - 1, 0)
-        kth_dist = dv[kth_row]
-        edge = _ring_edge_km(qlat[seg_first], bits, radius)
-        seg_exact = (found >= k) & (kth_dist <= edge)
-
-    row_exact = seg_exact[seg_idx]
-    keep = row_exact & real & (rank <= k)
-    finals = pa.table(
-        {
-            "query_id": pa.array(qv[keep], type=pa.int64()),
-            "neighbor_id": pa.array(nv[keep], type=pa.int64()),
-            "rank": pa.array(rank[keep], type=pa.int64()),
-        }
-    )
-    un = ~seg_exact
-    unresolved = pa.table(
-        {
-            "query_id": pa.array(qv[seg_first][un], type=pa.int64()),
-            "qlat": pa.array(qlat[seg_first][un], type=pa.float64()),
-            "qlon": pa.array(qlon[seg_first][un], type=pa.float64()),
-        }
-    )
-    return finals, unresolved
+    Yields (probe_rows, found, topk_idx (m, ks), topk_c2 (m, ks)) —
+    one chunk per (count class, row chunk), every step a dense
+    vectorized matrix op.  Stable argsort preserves the within-run
+    ascending target-id order for exact chord ties."""
+    tx, ty, tz = txyz
+    qx, qy, qz = qxyz
+    for c in np.unique(counts):
+        c = int(c)
+        sel = np.flatnonzero(counts == c)
+        rows_per = max(1, _PAIR_CHUNK // c)
+        for off in range(0, len(sel), rows_per):
+            sub = sel[off : off + rows_per]
+            ss = starts[sub]
+            qq = pq[sub]
+            idx = ss[:, None] + np.arange(c, dtype=np.int64)[None, :]
+            c2 = (
+                (qx[qq][:, None] - tx[idx]) ** 2
+                + (qy[qq][:, None] - ty[idx]) ** 2
+                + (qz[qq][:, None] - tz[idx]) ** 2
+            )
+            ks = min(k, c)
+            order = np.argsort(c2, axis=1, kind="stable")[:, :ks]
+            yield (
+                qq,
+                np.full(len(qq), c, dtype=np.int64),
+                np.take_along_axis(idx, order, axis=1),
+                np.take_along_axis(c2, order, axis=1),
+            )
 
 
-def _knn_round(qds, targets, k: int, bits: int, radius: int, full_cover: bool,
-               n_buckets: int = 64):
-    """One distributed ring-expansion round.  Returns a MATERIALIZED
-    Dataset with _OUT_SCHEMA rows (finals / unresolved markers / edge
-    records).  The materialized size is O(queries * k), never the
-    input size."""
-    import ray.data
+# ---------------------------------------------------------------------------
+# one resolve round (radius-R target replication, in-bucket resolution)
+# ---------------------------------------------------------------------------
 
+
+def _resolve_round(qds, targets, k: int, bits: int, radius: int,
+                   n_buckets: int = 64):
+    """One distributed round: targets replicate to their radius-R cell
+    neighborhood, queries key by home cell, and every query resolves
+    (or emits an unresolved marker) inside its bucket.  Returns a
+    MATERIALIZED Dataset of _OUT_SCHEMA rows (statuses 1/2 only) —
+    O(queries * k), never the input size."""
     nb = np.uint64(n_buckets)
+    m = (2 * radius + 1) ** 2
 
     def target_rows(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        cell = cells.grid_cell(lat, lon, bits)
+        if radius == 0:
+            flat = cell
+            reps = 1
+        else:
+            flat = _neighbor_cells(cell, bits, radius).reshape(-1)
+            reps = m
+        return pa.table(
+            {
+                "bucket": pa.array((_smx(flat) % nb).astype(np.int64)),
+                "cell": pa.array(flat),
+                "side": pa.array(np.ones(t.num_rows * reps, dtype=np.int8)),
+                "id": pa.array(
+                    np.repeat(
+                        t["target_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                        reps,
+                    )
+                ),
+                "lat": pa.array(np.repeat(lat, reps)),
+                "lon": pa.array(np.repeat(lon, reps)),
+            }
+        )
+
+    def query_rows(t: pa.Table) -> pa.Table:
         lat = t["lat"].to_numpy(zero_copy_only=False)
         lon = t["lon"].to_numpy(zero_copy_only=False)
         cell = cells.grid_cell(lat, lon, bits)
@@ -206,38 +224,12 @@ def _knn_round(qds, targets, k: int, bits: int, radius: int, full_cover: bool,
             {
                 "bucket": pa.array((_smx(cell) % nb).astype(np.int64)),
                 "cell": pa.array(cell),
-                "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
-                "home": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
-                "id": pc.cast(t["target_id"], pa.int64()),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "id": pa.array(
+                    t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
                 "lat": t["lat"],
                 "lon": t["lon"],
-            }
-        )
-
-    m = (2 * radius + 1) ** 2
-    home_slot = radius * (2 * radius + 1) + radius  # offset (0,0) in ravel order
-
-    def query_rows(t: pa.Table) -> pa.Table:
-        lat = t["lat"].to_numpy(zero_copy_only=False)
-        lon = t["lon"].to_numpy(zero_copy_only=False)
-        home = cells.grid_cell(lat, lon, bits)
-        neigh = _neighbor_cells(home, bits, radius)  # (n, m)
-        hflag = np.zeros((t.num_rows, m), dtype=np.int8)
-        hflag[:, home_slot] = 1
-        flat = neigh.ravel()
-        return pa.table(
-            {
-                "bucket": pa.array((_smx(flat) % nb).astype(np.int64)),
-                "cell": pa.array(flat),
-                "side": pa.array(np.zeros(t.num_rows * m, dtype=np.int8)),
-                "home": pa.array(hflag.ravel()),
-                "id": pa.array(
-                    np.repeat(
-                        t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64), m
-                    )
-                ),
-                "lat": pa.array(np.repeat(lat, m)),
-                "lon": pa.array(np.repeat(lon, m)),
             }
         )
 
@@ -245,175 +237,250 @@ def _knn_round(qds, targets, k: int, bits: int, radius: int, full_cover: bool,
     qset = qds.map_batches(query_rows, batch_format="pyarrow")
     unioned = qset.union(tset)
 
-    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized postings probe (as in the PIP join): sort targets
-        by cell, expand (query-cell row x target run) pairs, one
-        haversine over all pairs, per-probe-row top-k by lexsort."""
-        empty = pd.DataFrame(
-            {
-                "query_id": pd.Series([], dtype=np.int64),
-                "neighbor_id": pd.Series([], dtype=np.int64),
-                "dist": pd.Series([], dtype=np.float64),
-                "qlat": pd.Series([], dtype=np.float64),
-                "qlon": pd.Series([], dtype=np.float64),
-            }
-        )
+    def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
         tmask = g["side"].values == 1
         qmask = ~tmask
-        if not qmask.any():
-            return empty
+        nq = int(qmask.sum())
+        if nq == 0:
+            return _OUT_SCHEMA.empty_table().to_pandas()
         qcell = g.loc[qmask, "cell"].values.astype(np.uint64)
         qid = g.loc[qmask, "id"].values.astype(np.int64)
         qlat = g.loc[qmask, "lat"].values
         qlon = g.loc[qmask, "lon"].values
-        qhome = g.loc[qmask, "home"].values.astype(np.int8)
-
-        parts = []
+        pieces = []
+        resolved = np.zeros(nq, dtype=bool)
         if tmask.any():
             tcell = g.loc[tmask, "cell"].values.astype(np.uint64)
             tid = g.loc[tmask, "id"].values.astype(np.int64)
             tlat = g.loc[tmask, "lat"].values
             tlon = g.loc[tmask, "lon"].values
-            t_order = np.argsort(tcell, kind="stable")
-            tcell, tid = tcell[t_order], tid[t_order]
-            tlat, tlon = tlat[t_order], tlon[t_order]
+            order = np.lexsort((tid, tcell))  # ascending id within cell
+            tcell, tid = tcell[order], tid[order]
+            tlat, tlon = tlat[order], tlon[order]
+            # pole-clipped neighborhoods can replicate a target into the
+            # same cell twice: drop exact (cell, id) duplicates
+            dup = np.zeros(len(tcell), dtype=bool)
+            dup[1:] = (tcell[1:] == tcell[:-1]) & (tid[1:] == tid[:-1])
+            if dup.any():
+                keep = ~dup
+                tcell, tid = tcell[keep], tid[keep]
+                tlat, tlon = tlat[keep], tlon[keep]
             ucells, ustart = np.unique(tcell, return_index=True)
             uend = np.concatenate((ustart[1:], [len(tcell)]))
             loc = np.searchsorted(ucells, qcell)
             loc_c = np.clip(loc, 0, max(len(ucells) - 1, 0))
-            valid = (ucells[loc_c] == qcell) if len(ucells) else np.zeros(len(qcell), bool)
-        else:
-            valid = np.zeros(len(qcell), dtype=bool)
-
-        if valid.any():
+            valid = (
+                (ucells[loc_c] == qcell) if len(ucells) else np.zeros(nq, bool)
+            )
             vq = np.flatnonzero(valid)
-            starts = ustart[loc_c[vq]]
-            counts = uend[loc_c[vq]] - starts
-            total = int(counts.sum())
-            run_pos = np.arange(total, dtype=np.int64) - np.repeat(
-                np.cumsum(counts) - counts, counts
-            )
-            trow = np.repeat(starts, counts) + run_pos
-            prow = np.repeat(vq, counts)
-            d = geom.haversine_km(qlat[prow], qlon[prow], tlat[trow], tlon[trow])
-            # per probe-row top-k: sort by (probe row, dist, target id)
-            order = np.lexsort((tid[trow], d, prow))
-            ps = prow[order]
-            seg_start = np.empty(total, dtype=bool)
-            seg_start[0] = True
-            seg_start[1:] = ps[1:] != ps[:-1]
-            seg_first = np.maximum.accumulate(np.where(seg_start, np.arange(total), 0))
-            rank = np.arange(total) - seg_first
-            keep = order[rank < k]
-            parts.append(
+            if len(vq):
+                starts = ustart[loc_c[vq]]
+                counts = uend[loc_c[vq]] - starts
+                bound = _ring_edge_km_pos(qlat, qlon, bits, radius)
+                qxyz = unit_xyz(qlat, qlon)
+                txyz = unit_xyz(tlat, tlon)
+                for qq, found, idx, c2 in _class_topk_iter(
+                    starts, counts, vq, txyz, qxyz, k
+                ):
+                    ks = idx.shape[1]
+                    kth_km = chord2_to_km(c2[:, ks - 1])
+                    exact = (found >= k) & (kth_km <= bound[qq])
+                    resolved[qq[exact]] = True
+                    nvr = int(exact.sum())
+                    if nvr:
+                        pieces.append(
+                            pd.DataFrame(
+                                {
+                                    "query_id": np.repeat(qid[qq[exact]], ks),
+                                    "neighbor_id": tid[idx[exact]].ravel(),
+                                    "rank": np.tile(
+                                        np.arange(1, ks + 1, dtype=np.int64), nvr
+                                    ),
+                                    "dist": np.zeros(nvr * ks),
+                                    "qlat": np.zeros(nvr * ks),
+                                    "qlon": np.zeros(nvr * ks),
+                                    "status": np.ones(nvr * ks, dtype=np.int8),
+                                }
+                            )
+                        )
+        un = ~resolved
+        if un.any():
+            nu = int(un.sum())
+            pieces.append(
                 pd.DataFrame(
                     {
-                        "query_id": qid[prow[keep]],
-                        "neighbor_id": tid[trow[keep]],
-                        "dist": d[keep],
-                        "qlat": qlat[prow[keep]],
-                        "qlon": qlon[prow[keep]],
+                        "query_id": qid[un],
+                        "neighbor_id": np.full(nu, -1, dtype=np.int64),
+                        "rank": np.zeros(nu, dtype=np.int64),
+                        "dist": np.zeros(nu),
+                        "qlat": qlat[un],
+                        "qlon": qlon[un],
+                        "status": np.full(nu, 2, dtype=np.int8),
                     }
-                )
-            )
-        # sentinel for home-cell probe rows with no targets: guarantees
-        # every query appears in the candidate stream
-        sent = qhome.astype(bool) & ~valid
-        if sent.any():
-            ns = int(sent.sum())
-            parts.append(
-                pd.DataFrame(
-                    {
-                        "query_id": qid[sent],
-                        "neighbor_id": np.full(ns, -1, dtype=np.int64),
-                        "dist": np.full(ns, np.inf),
-                        "qlat": qlat[sent],
-                        "qlon": qlon[sent],
-                    }
-                )
-            )
-        if not parts:
-            return empty
-        out = pd.concat(parts, ignore_index=True)
-        return out.astype(
-            {"query_id": np.int64, "neighbor_id": np.int64, "dist": np.float64}
-        )
-
-    local = unioned.groupby("bucket").map_groups(bucket_topk, batch_format="pandas")
-    srt = local.sort(["query_id", "dist", "neighbor_id"])
-
-    def segment_stage(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _OUT_SCHEMA.empty_table()
-        qv = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nv = t["neighbor_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dv = t["dist"].to_numpy(zero_copy_only=False)
-        qa = t["qlat"].to_numpy(zero_copy_only=False)
-        qo = t["qlon"].to_numpy(zero_copy_only=False)
-        # first/last query of the block may continue in a neighbor
-        # block: ship those raw as edge records (status 0)
-        edge_mask = (qv == qv[0]) | (qv == qv[-1])
-        pieces = []
-        fin, unres = _resolve_segments(
-            qv[~edge_mask], nv[~edge_mask], dv[~edge_mask],
-            qa[~edge_mask], qo[~edge_mask], k, bits, radius, full_cover,
-        )
-        nf = fin.num_rows
-        if nf:
-            pieces.append(
-                pa.table(
-                    {
-                        "query_id": fin["query_id"],
-                        "neighbor_id": fin["neighbor_id"],
-                        "rank": fin["rank"],
-                        "dist": pa.array(np.zeros(nf)),
-                        "qlat": pa.array(np.zeros(nf)),
-                        "qlon": pa.array(np.zeros(nf)),
-                        "status": pa.array(np.ones(nf, dtype=np.int8)),
-                    },
-                    schema=_OUT_SCHEMA,
-                )
-            )
-        nu = unres.num_rows
-        if nu:
-            pieces.append(
-                pa.table(
-                    {
-                        "query_id": unres["query_id"],
-                        "neighbor_id": pa.array(np.full(nu, -1, dtype=np.int64)),
-                        "rank": pa.array(np.zeros(nu, dtype=np.int64)),
-                        "dist": pa.array(np.zeros(nu)),
-                        "qlat": unres["qlat"],
-                        "qlon": unres["qlon"],
-                        "status": pa.array(np.full(nu, 2, dtype=np.int8)),
-                    },
-                    schema=_OUT_SCHEMA,
-                )
-            )
-        ne = int(edge_mask.sum())
-        if ne:
-            pieces.append(
-                pa.table(
-                    {
-                        "query_id": pa.array(qv[edge_mask]),
-                        "neighbor_id": pa.array(nv[edge_mask]),
-                        "rank": pa.array(np.zeros(ne, dtype=np.int64)),
-                        "dist": pa.array(dv[edge_mask]),
-                        "qlat": pa.array(qa[edge_mask]),
-                        "qlon": pa.array(qo[edge_mask]),
-                        "status": pa.array(np.zeros(ne, dtype=np.int8)),
-                    },
-                    schema=_OUT_SCHEMA,
                 )
             )
         if not pieces:
-            return _OUT_SCHEMA.empty_table()
-        return pa.concat_tables(pieces)
+            return _OUT_SCHEMA.empty_table().to_pandas()
+        out = pd.concat(pieces, ignore_index=True)
+        return out.astype(
+            {
+                "query_id": np.int64, "neighbor_id": np.int64, "rank": np.int64,
+                "dist": np.float64, "qlat": np.float64, "qlon": np.float64,
+                "status": np.int8,
+            }
+        )
 
-    resolved = srt.map_batches(
-        segment_stage, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    return (
+        unioned.groupby("bucket")
+        .map_groups(resolve_bucket, batch_format="pandas")
+        .materialize()
     )
-    return resolved.materialize()
+
+
+# ---------------------------------------------------------------------------
+# final distributed brute force (tiny unresolved remainder) + its merge
+# ---------------------------------------------------------------------------
+
+
+def _resolve_segments(qv, nv, dv, k):
+    """Vectorized per-query-segment top-k over brute-force candidate
+    rows (any order; full coverage, so every segment is exact).
+    Returns a finals arrow table."""
+    if len(qv) == 0:
+        return _FINAL_SCHEMA.empty_table()
+    order = np.lexsort((nv, dv, qv))
+    qv, nv = qv[order], nv[order]
+    seg_start = np.empty(len(qv), dtype=bool)
+    seg_start[0] = True
+    seg_start[1:] = qv[1:] != qv[:-1]
+    seg_first = np.maximum.accumulate(
+        np.where(seg_start, np.arange(len(qv)), 0)
+    )
+    rank = np.arange(len(qv)) - seg_first + 1
+    keep = rank <= k
+    return pa.table(
+        {
+            "query_id": pa.array(qv[keep], type=pa.int64()),
+            "neighbor_id": pa.array(nv[keep], type=pa.int64()),
+            "rank": pa.array(rank[keep], type=pa.int64()),
+        }
+    )
+
+
+def _brute_round(q_table: pa.Table, targets, k: int):
+    """Queries broadcast via the object store once; each target block
+    computes its local per-query top-k with a BLAS matmul on unit
+    vectors; a sorted-segment merge (block-boundary segments shipped
+    as tiny edge records and repaired driver-side) finishes — no
+    driver-side target materialization."""
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    qid = q_table["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qlat = q_table["qlat"].to_numpy(zero_copy_only=False)
+    qlon = q_table["qlon"].to_numpy(zero_copy_only=False)
+    qx, qy, qz = unit_xyz(qlat, qlon)
+    Q = np.stack([qx, qy, qz], axis=1)
+    ref = ray.put((qid, Q))
+
+    def local_topk(state, t: pa.Table) -> pa.Table:
+        qid, Q = state
+        tid = t["target_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nq, nt = len(qid), len(tid)
+        if nq == 0 or nt == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "dist": pa.array([], type=pa.float64()),
+                }
+            )
+        t_order = np.argsort(tid, kind="stable")  # id order for ties
+        tid = tid[t_order]
+        tx, ty, tz = unit_xyz(
+            t["lat"].to_numpy(zero_copy_only=False)[t_order],
+            t["lon"].to_numpy(zero_copy_only=False)[t_order],
+        )
+        T = np.stack([tx, ty, tz], axis=0)  # (3, nt)
+        step = max(1, _PAIR_CHUNK // max(nt, 1))
+        kk = min(k, nt)
+        parts = []
+        for s in range(0, nq, step):
+            e = min(s + step, nq)
+            c2 = 2.0 - 2.0 * (Q[s:e] @ T)  # (m, nt), monotonic in dist
+            order = np.argsort(c2, axis=1, kind="stable")[:, :kk]
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qid[s:e], kk),
+                        "neighbor_id": tid[order].ravel(),
+                        "dist": chord2_to_km(
+                            np.take_along_axis(c2, order, axis=1)
+                        ).ravel(),
+                    }
+                )
+            )
+        return pa.Table.from_pandas(pd.concat(parts, ignore_index=True))
+
+    cand = targets.map_batches(
+        with_broadcast(ref, local_topk, "brute_knn"), batch_format="pyarrow"
+    )
+    srt = cand.sort(["query_id", "dist", "neighbor_id"])
+
+    def segment_stage(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("query_id", pa.int64()),
+                    ("neighbor_id", pa.int64()),
+                    ("rank", pa.int64()),
+                    ("dist", pa.float64()),
+                    ("edge", pa.int8()),
+                ]
+            ).empty_table()
+        qv = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = t["neighbor_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = t["dist"].to_numpy(zero_copy_only=False)
+        edge_mask = (qv == qv[0]) | (qv == qv[-1])
+        fin = _resolve_segments(qv[~edge_mask], nv[~edge_mask], dv[~edge_mask], k)
+        nf = fin.num_rows
+        ne = int(edge_mask.sum())
+        return pa.table(
+            {
+                "query_id": pa.concat_arrays(
+                    [fin["query_id"].combine_chunks(), pa.array(qv[edge_mask])]
+                ),
+                "neighbor_id": pa.concat_arrays(
+                    [fin["neighbor_id"].combine_chunks(), pa.array(nv[edge_mask])]
+                ),
+                "rank": pa.concat_arrays(
+                    [
+                        fin["rank"].combine_chunks(),
+                        pa.array(np.zeros(ne, dtype=np.int64)),
+                    ]
+                ),
+                "dist": pa.concat_arrays(
+                    [pa.array(np.zeros(nf)), pa.array(dv[edge_mask])]
+                ),
+                "edge": pa.concat_arrays(
+                    [
+                        pa.array(np.zeros(nf, dtype=np.int8)),
+                        pa.array(np.ones(ne, dtype=np.int8)),
+                    ]
+                ),
+            }
+        )
+
+    out = srt.map_batches(
+        segment_stage, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
 
 
 def _filter_status(ds, status: int, cols):
@@ -432,77 +499,73 @@ def knn_partitioned(
     radius: int = 1,
 ):
     """Exact k nearest targets per query, cell-partitioned, fully
-    distributed (see module docstring).
+    distributed and density-adaptive (see module docstring).
 
     queries: Dataset (query_id, lat, lon); targets: Dataset
     (target_id, lat, lon).  Returns Dataset (query_id, neighbor_id,
-    rank) — rank 1..k by (distance, target_id).
+    rank) — rank 1..k by (distance, target_id).  ``bits`` sets the
+    starting grid level (match cell size to the DENSEST regions);
+    ``radius`` the first ring radius.
     """
     import ray.data
 
-    n_axis = 1 << bits
     final_parts = []
     qds = queries
-    r = radius
-    while True:
-        full_cover = r >= n_axis - 1
-        out = _knn_round(qds, targets, k, bits, r, full_cover)
+    # ladder: (bits, 0) -> (bits, radius) -> (bits-2, 2) -> (bits-4, 2) ...
+    rungs = [(bits, 0), (bits, max(radius, 1))]
+    b = bits - 2
+    while b >= _MIN_BITS:
+        rungs.append((b, 2))
+        b -= 2
+
+    pending = True
+    for rb, rr in rungs:
+        out = _resolve_round(qds, targets, k, rb, rr)
         final_parts.append(
             _filter_status(out, 1, ["query_id", "neighbor_id", "rank"])
         )
-        # edge records: bounded by O(sorted blocks * 2 segments * ring*k)
-        edge = _filter_status(
-            out, 0, ["query_id", "neighbor_id", "dist", "qlat", "qlon"]
-        ).take_all()
-        retry_tables = []
-        if edge:
-            et = pa.Table.from_pylist(edge)
-            efin, eun = _resolve_segments(
-                et["query_id"].to_numpy(zero_copy_only=False).astype(np.int64),
-                et["neighbor_id"].to_numpy(zero_copy_only=False).astype(np.int64),
-                et["dist"].to_numpy(zero_copy_only=False),
-                et["qlat"].to_numpy(zero_copy_only=False),
-                et["qlon"].to_numpy(zero_copy_only=False),
-                k, bits, r, full_cover,
-            )
-            if efin.num_rows:
-                final_parts.append(ray.data.from_arrow(efin))
-            if eun.num_rows:
-                retry_tables.append(eun)
         markers = _filter_status(out, 2, ["query_id", "qlat", "qlon"])
-        n_markers = markers.count()
-        if n_markers == 0 and not retry_tables:
+        if markers.count() == 0:
+            pending = False
             break
-        # distributed retry at a doubled radius: unresolved interior
-        # markers stay a Dataset; edge-derived retries are tiny tables
+
         def to_query(t: pa.Table) -> pa.Table:
             return pa.table(
-                {
-                    "query_id": t["query_id"],
-                    "lat": t["qlat"],
-                    "lon": t["qlon"],
-                }
+                {"query_id": t["query_id"], "lat": t["qlat"], "lon": t["qlon"]}
             )
 
-        retry_ds = markers.map_batches(to_query, batch_format="pyarrow")
-        if retry_tables:
-            extra = ray.data.from_arrow(
-                pa.concat_tables(
-                    [
-                        pa.table(
-                            {
-                                "query_id": tt["query_id"],
-                                "lat": tt["qlat"],
-                                "lon": tt["qlon"],
-                            }
-                        )
-                        for tt in retry_tables
-                    ]
+        qds = markers.map_batches(to_query, batch_format="pyarrow")
+
+    if pending:
+        # tiny remainder -> distributed brute force (the marker set
+        # transits the driver once to enter the object store)
+        qt = pa.Table.from_pylist(markers.take_all())
+        if qt.num_rows:
+            bout = _brute_round(qt, targets, k)
+
+            def non_edge(t: pa.Table) -> pa.Table:
+                return t.filter(pc.equal(t["edge"], 0)).select(
+                    ["query_id", "neighbor_id", "rank"]
                 )
-            )
-            retry_ds = retry_ds.union(extra) if n_markers else extra
-        qds = retry_ds
-        r = min(max(2 * r, r + 1), n_axis - 1)
+
+            final_parts.append(bout.map_batches(non_edge, batch_format="pyarrow"))
+
+            def edge_rows(t: pa.Table) -> pa.Table:
+                return t.filter(pc.equal(t["edge"], 1)).select(
+                    ["query_id", "neighbor_id", "dist"]
+                )
+
+            er = bout.map_batches(edge_rows, batch_format="pyarrow").take_all()
+            if er:
+                et = pa.Table.from_pylist(er)
+                efin = _resolve_segments(
+                    et["query_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    et["neighbor_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    et["dist"].to_numpy(zero_copy_only=False),
+                    k,
+                )
+                if efin.num_rows:
+                    final_parts.append(ray.data.from_arrow(efin))
 
     result = final_parts[0]
     for p in final_parts[1:]:
