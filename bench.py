@@ -82,10 +82,49 @@ def bench_suite() -> dict[str, float]:
         )
         return pip_join_partitioned(pts, _zones_table())
 
+    def knn_partitioned_1m(_sf_dir: str):
+        # exact large-large kNN (1M queries x 1M targets, k=5): the
+        # replicate-targets ring ladder with chord-distance ranking and
+        # the needed-cells semi-join prefilter — no broadcast side
+        import pyarrow as pa
+        import ray.data as rd
+
+        from geografir_ray.functions import synthgeo
+        from geografir_ray.stages.knn import knn_partitioned
+
+        def derive_q(t):
+            kk = t["id"].to_numpy()
+            return pa.table(
+                {
+                    "query_id": pa.array(kk),
+                    "lat": pa.array(synthgeo.synth_lat(kk)),
+                    "lon": pa.array(synthgeo.synth_lon(kk)),
+                }
+            )
+
+        def derive_t(t):
+            kk = t["id"].to_numpy()
+            return pa.table(
+                {
+                    "target_id": pa.array(kk),
+                    "lat": pa.array(synthgeo.synth_lat(kk + 7)),
+                    "lon": pa.array(synthgeo.synth_lon(kk + 7)),
+                }
+            )
+
+        q = rd.range(1_000_000, override_num_blocks=64).map_batches(
+            derive_q, batch_format="pyarrow", batch_size=None
+        )
+        t = rd.range(1_000_000, override_num_blocks=64).map_batches(
+            derive_t, batch_format="pyarrow", batch_size=None
+        )
+        return knn_partitioned(q, t, k=5, bits=11, radius=1)
+
     suite = {
         "flagship_pip_zonal": flagship,
         "pages_e2e_1m": pages_e2e,
         "pip_partitioned_4m": pip_partitioned_4m,
+        "knn_partitioned_1m": knn_partitioned_1m,
         "q1_pricing_summary": R.q1_pricing_summary,
         "q5_nation_revenue": R.q5_nation_revenue,
         "geo_tile_assign": S.tile_assign,
