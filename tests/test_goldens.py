@@ -18,6 +18,8 @@ _GOLDEN = {
     "docs_fingerprints": (7888, "e79d043cc08e88e191684bacafe156391ffb683ef11838507f82b522cbd62897"),
     "geo_cells": (150, "79332936dfcd613fbeda749e79412c8b70c606d96d86709962f53f525537b5c9"),
     "emb_label_stats": (10, "5477897f8f5631e948f5fdd6e62d5e23650c78d0ebe87dcf9fa19544e2124066"),
+    "docs_langid_quality": (500, "c567c6ace04993eda2fcd5431b432c6d7d9e3326aacad34f9785d0e91d578fe9"),
+    "mm_features": (500, "606ec6e062b9d31da89c195018d0a3723cb5f8f03cfc264f92daed5a1f07657c"),
 }
 
 
