@@ -244,22 +244,30 @@ def pip_join_partitioned(
     pts = points.map_batches(point_rows, batch_format="pyarrow", zero_copy_batch=True)
     unioned = pts.union(zones_ds)
 
-    def _empty_pairs() -> pd.DataFrame:
-        cols = {"point_id": pd.Series([], dtype=np.int64),
-                "zone_id": pd.Series([], dtype=np.int64)}
-        for c, typ in payload_types.items():
-            cols[c] = pd.Series([], dtype=typ.to_pandas_dtype())
-        return pd.DataFrame(cols)
+    def _empty_pairs() -> pa.Table:
+        fields = [("point_id", pa.int64()), ("zone_id", pa.int64())]
+        fields += [(c, typ) for c, typ in payload_types.items()]
+        return pa.schema(fields).empty_table()
 
-    def probe(g: pd.DataFrame) -> pd.DataFrame:
-        zmask = g["side"].values == 1
+    def probe(g: pa.Table) -> pa.Table:
+        # pyarrow group format on purpose: a pandas group would
+        # materialize a Python list object PER ROW for the (all-null on
+        # the point side) xs/ys ring columns — measured as the dominant
+        # cost at 4M points.  Here only the few zone rows ever touch
+        # Python; point columns stay numpy.
+        side = g["side"].to_numpy(zero_copy_only=False)
+        zmask = side == 1
         if not zmask.any() or zmask.all():
             return _empty_pairs()
+        cellv = g["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        idv = g["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        zrows = np.flatnonzero(zmask)
         # bucket-local postings: (cell -> zone rows), probed vectorized
-        zcell = g.loc[zmask, "cell"].values.astype(np.uint64)
-        zid = g.loc[zmask, "id"].values.astype(np.int64)
-        zxs = [np.asarray(r) for r in g.loc[zmask, "xs"]]
-        zys = [np.asarray(r) for r in g.loc[zmask, "ys"]]
+        zcell = cellv[zrows]
+        zid = idv[zrows]
+        ztab = g.select(["xs", "ys"]).take(pa.array(zrows))
+        zxs = [np.asarray(r) for r in ztab["xs"].to_pylist()]
+        zys = [np.asarray(r) for r in ztab["ys"].to_pylist()]
         order = np.argsort(zcell, kind="stable")
         zcell, zid = zcell[order], zid[order]
         zxs = [zxs[i] for i in order]
@@ -269,10 +277,11 @@ def pip_join_partitioned(
         ucells, ustart = np.unique(zcell, return_index=True)
         uend = np.concatenate((ustart[1:], [len(zcell)]))
 
-        px = g.loc[~zmask, "lon"].values
-        py = g.loc[~zmask, "lat"].values
-        pid = g.loc[~zmask, "id"].values.astype(np.int64)
-        pcell = g.loc[~zmask, "cell"].values.astype(np.uint64)
+        pmask = ~zmask
+        px = g["lon"].to_numpy(zero_copy_only=False)[pmask]
+        py = g["lat"].to_numpy(zero_copy_only=False)[pmask]
+        pid = idv[pmask]
+        pcell = cellv[pmask]
         loc = np.searchsorted(ucells, pcell)
         loc_c = np.clip(loc, 0, max(len(ucells) - 1, 0))
         valid = ucells[loc_c] == pcell
@@ -288,12 +297,17 @@ def pip_join_partitioned(
         zrow = np.repeat(starts, counts) + run_pos  # candidate zone row
         prow = np.repeat(vpt, counts)  # candidate point row
         ok = geom.points_in_polygons_pairs(px[prow], py[prow], zrow, vxy, offs)
-        out = {"point_id": pid[prow[ok]], "zone_id": zid[zrow[ok]]}
-        for c in payload_cols:
-            out[c] = g.loc[~zmask, c].values[prow[ok]]
-        return pd.DataFrame(out)
+        out = {
+            "point_id": pa.array(pid[prow[ok]]),
+            "zone_id": pa.array(zid[zrow[ok]]),
+        }
+        if payload_cols:
+            pt_idx = np.flatnonzero(pmask)[prow[ok]]
+            for c in payload_cols:
+                out[c] = g[c].take(pa.array(pt_idx)).combine_chunks()
+        return pa.table(out)
 
-    return unioned.groupby("bucket").map_groups(probe, batch_format="pandas")
+    return unioned.groupby("bucket").map_groups(probe, batch_format="pyarrow")
 
 
 def pip_customer_zones(sf_dir: str):
