@@ -255,23 +255,30 @@ def _resolve_round(qds, targets, k: int, bits: int, radius: int,
     qset = qds.map_batches(query_rows, batch_format="pyarrow")
     unioned = qset.union(tset)
 
-    def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        tmask = g["side"].values == 1
+    def resolve_bucket(g: pa.Table) -> pa.Table:
+        # pyarrow group format: scalar columns come out as zero-ish-copy
+        # numpy views instead of a full pandas conversion per bucket
+        side = g["side"].to_numpy(zero_copy_only=False)
+        cellv = g["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        idv = g["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        latv = g["lat"].to_numpy(zero_copy_only=False)
+        lonv = g["lon"].to_numpy(zero_copy_only=False)
+        tmask = side == 1
         qmask = ~tmask
         nq = int(qmask.sum())
         if nq == 0:
-            return _OUT_SCHEMA.empty_table().to_pandas()
-        qcell = g.loc[qmask, "cell"].values.astype(np.uint64)
-        qid = g.loc[qmask, "id"].values.astype(np.int64)
-        qlat = g.loc[qmask, "lat"].values
-        qlon = g.loc[qmask, "lon"].values
+            return _OUT_SCHEMA.empty_table()
+        qcell = cellv[qmask]
+        qid = idv[qmask]
+        qlat = latv[qmask]
+        qlon = lonv[qmask]
         pieces = []
         resolved = np.zeros(nq, dtype=bool)
         if tmask.any():
-            tcell = g.loc[tmask, "cell"].values.astype(np.uint64)
-            tid = g.loc[tmask, "id"].values.astype(np.int64)
-            tlat = g.loc[tmask, "lat"].values
-            tlon = g.loc[tmask, "lon"].values
+            tcell = cellv[tmask]
+            tid = idv[tmask]
+            tlat = latv[tmask]
+            tlon = lonv[tmask]
             order = np.lexsort((tid, tcell))  # ascending id within cell
             tcell, tid = tcell[order], tid[order]
             tlat, tlon = tlat[order], tlon[order]
@@ -307,50 +314,48 @@ def _resolve_round(qds, targets, k: int, bits: int, radius: int,
                     nvr = int(exact.sum())
                     if nvr:
                         pieces.append(
-                            pd.DataFrame(
-                                {
-                                    "query_id": np.repeat(qid[qq[exact]], ks),
-                                    "neighbor_id": tid[idx[exact]].ravel(),
-                                    "rank": np.tile(
-                                        np.arange(1, ks + 1, dtype=np.int64), nvr
-                                    ),
-                                    "dist": np.zeros(nvr * ks),
-                                    "qlat": np.zeros(nvr * ks),
-                                    "qlon": np.zeros(nvr * ks),
-                                    "status": np.ones(nvr * ks, dtype=np.int8),
-                                }
+                            (
+                                np.repeat(qid[qq[exact]], ks),
+                                tid[idx[exact]].ravel(),
+                                np.tile(
+                                    np.arange(1, ks + 1, dtype=np.int64), nvr
+                                ),
+                                np.zeros(nvr * ks),
+                                np.zeros(nvr * ks),
+                                np.ones(nvr * ks, dtype=np.int8),
                             )
                         )
         un = ~resolved
         if un.any():
             nu = int(un.sum())
             pieces.append(
-                pd.DataFrame(
-                    {
-                        "query_id": qid[un],
-                        "neighbor_id": np.full(nu, -1, dtype=np.int64),
-                        "rank": np.zeros(nu, dtype=np.int64),
-                        "dist": np.zeros(nu),
-                        "qlat": qlat[un],
-                        "qlon": qlon[un],
-                        "status": np.full(nu, 2, dtype=np.int8),
-                    }
+                (
+                    qid[un],
+                    np.full(nu, -1, dtype=np.int64),
+                    np.zeros(nu, dtype=np.int64),
+                    qlat[un],
+                    qlon[un],
+                    np.full(nu, 2, dtype=np.int8),
                 )
             )
         if not pieces:
-            return _OUT_SCHEMA.empty_table().to_pandas()
-        out = pd.concat(pieces, ignore_index=True)
-        return out.astype(
+            return _OUT_SCHEMA.empty_table()
+        cols = [np.concatenate(c) for c in zip(*pieces)]
+        return pa.table(
             {
-                "query_id": np.int64, "neighbor_id": np.int64, "rank": np.int64,
-                "dist": np.float64, "qlat": np.float64, "qlon": np.float64,
-                "status": np.int8,
+                "query_id": pa.array(cols[0].astype(np.int64)),
+                "neighbor_id": pa.array(cols[1].astype(np.int64)),
+                "rank": pa.array(cols[2].astype(np.int64)),
+                "dist": pa.array(np.zeros(len(cols[0]))),
+                "qlat": pa.array(cols[3].astype(np.float64)),
+                "qlon": pa.array(cols[4].astype(np.float64)),
+                "status": pa.array(cols[5]),
             }
         )
 
     return (
         unioned.groupby("bucket")
-        .map_groups(resolve_bucket, batch_format="pandas")
+        .map_groups(resolve_bucket, batch_format="pyarrow")
         .materialize()
     )
 
