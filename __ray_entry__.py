@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_signup": E.events_asof_signup,
         "events_top_users": E.events_top_users,
         "events_sliding": E.events_sliding,
+        "events_running_total": E.events_running_total,
         # documents (text analysis + dedup family)
         "docs_stats": D.docs_stats,
         "docs_term_topk": D.docs_term_topk,
@@ -84,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_locations": D.docs_locations,
         "docs_extract_zonal": D.docs_extract_zonal,
         "docs_sample": D.docs_sample,
+        "docs_stratified_sample": D.docs_stratified_sample,
         "docs_clean_corpus": D.docs_clean_corpus,
         "docs_top_terms_per_lang": D.docs_top_terms_per_lang,
         "median_price_per_segment": R.median_price_per_segment,
@@ -124,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_signup": E.EVENTS_ASOF_SQL,
         "events_top_users": E.EVENTS_TOP_USERS_SQL,
         "events_sliding": E.EVENTS_SLIDING_SQL,
+        "events_running_total": E.EVENTS_RUNNING_TOTAL_SQL,
         "docs_stats": D.DOCS_STATS_SQL,
         "docs_term_topk": D.DOCS_TERM_TOPK_SQL,
         "docs_exact_dedup": D.DOCS_EXACT_DEDUP_SQL,
@@ -139,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_locations": D.docs_locations_sql(),
         "docs_extract_zonal": D.docs_extract_zonal_sql(),
         "docs_sample": D.docs_sample_sql(),
+        "docs_stratified_sample": D.docs_stratified_sample_sql(),
         "docs_clean_corpus": D.docs_clean_corpus_sql(),
         "docs_top_terms_per_lang": D.docs_top_terms_per_lang_sql(),
         "median_price_per_segment": R.MEDIAN_PRICE_SQL,

@@ -718,6 +718,36 @@ ORDER BY doc_id
 """
 
 
+def docs_stratified_sample(sf_dir: str, major_pct: int = 5, minor_pct: int = 20):
+    """Per-stratum (language) hash sampling — downsample the dominant
+    language hard, keep the long tail denser (the standard corpus
+    rebalancing op for training-data mixes).  Same deterministic
+    doc_id hash as :func:`docs_sample`, so the pick is reproducible
+    across runs and partitionings; the per-row rate is a vectorized
+    lookup, zero extra exchange over the plain sampler."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (k * 2654435761 + 1013904223) % 4294967296
+        is_major = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        rate = np.where(is_major, major_pct, minor_pct)
+        return t.filter(pa.array(h % 100 < rate))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+def docs_stratified_sample_sql(major_pct: int = 5, minor_pct: int = 20) -> str:
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id * 2654435761 + 1013904223) % 4294967296) % 100
+      < CASE WHEN lang = 'en' THEN {major_pct} ELSE {minor_pct} END
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Grouped top-k: 5 most frequent tokens per language (rank-within-group
 # via vectorized segment logic over the two-phase counts)

@@ -506,3 +506,98 @@ FROM (
 GROUP BY window_start, event_type
 ORDER BY window_start, event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Running (cumulative) per-user total — the UNBOUNDED PRECEDING window
+# aggregate.  Scale design: hash-partition users into B buckets so each
+# user's rows land WHOLLY in one bucket (no cross-block boundary repair
+# needed, unlike the global-sort sessionization above), then ONE
+# vectorized lexsort + segmented cumsum per bucket — B Python calls
+# total, never one per user, and the only exchange is the groupby.
+# ---------------------------------------------------------------------------
+
+
+def events_running_total(sf_dir: str, n_buckets: int = 64):
+    from ..functions.hashing import splitmix64
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(uid.astype(np.uint64)) % np.uint64(n_buckets)).astype(
+                        np.int64
+                    )
+                ),
+                "event_id": t["event_id"],
+                "ts_us": pa.array(
+                    t["ts"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .astype(np.int64)
+                ),
+                "user_id": pa.array(uid),
+                "value_c": pc.cast(
+                    pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
+                ),
+            }
+        )
+
+    _OUT = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("running_value", pa.float64()),
+        ]
+    )
+
+    def bucket_running(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return _OUT.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vc = g["value_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))  # = PARTITION BY user ORDER BY ts, id
+        uid, eid, vc = uid[order], eid[order], vc[order]
+        cum = np.cumsum(vc)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        # prefix-exclusive cumsum at each segment start, broadcast down
+        # via segment-start INDICES (monotonic regardless of value sign)
+        seg_first = np.maximum.accumulate(np.where(new_user, np.arange(n), 0))
+        run_c = cum - (cum - vc)[seg_first]
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(uid),
+                "running_value": pa.array(run_c.astype(np.float64) / 100.0),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_running, batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
+EVENTS_RUNNING_TOTAL_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(floor(value * 100.0) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+       AS running_value
+FROM events
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""

@@ -251,3 +251,45 @@ def test_knn_partitioned_retry_and_poles(ray_session):
         (int(r.query_id), int(r.rank)): int(r.neighbor_id) for r in got.itertuples()
     }
     assert got_map == expect
+
+
+def test_events_running_total_matches_per_user_sums(ray_session, sf_small):
+    """Last running value per user == user's total; counts match the
+    purchase filter; monotone nondecreasing within user (values >= 0)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.events import events_running_total
+
+    df = events_running_total(sf_small).to_pandas()
+    ev = pq.read_table(
+        f"{sf_small}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).to_pandas()
+    ev = ev[ev["event_type"] == "purchase"]
+    assert len(df) == len(ev)
+    cents = np.floor(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    ev = ev.assign(c=cents)
+    totals = ev.groupby("user_id")["c"].sum()
+    last = (
+        df.merge(ev[["event_id", "ts"]], on="event_id")
+        .sort_values(["user_id", "ts", "event_id"])
+        .groupby("user_id")["running_value"]
+        .last()
+    )
+    for uid, tot in totals.items():
+        assert abs(last[uid] - tot / 100.0) < 1e-9
+
+
+def test_docs_stratified_sample_rates(ray_session, sf_small):
+    """Majority stratum sampled at the low rate, tail at the high rate;
+    deterministic across calls."""
+    from geografir_ray.pipelines.documents import docs_stratified_sample
+
+    a = docs_stratified_sample(sf_small).to_pandas()
+    b = docs_stratified_sample(sf_small).to_pandas()
+    assert a.equals(b)
+    assert set(a.columns) == {"doc_id", "lang"}
+    # every sampled doc satisfies its stratum's hash-rate predicate
+    h = (a["doc_id"].to_numpy().astype(np.int64) * 2654435761 + 1013904223) % 4294967296 % 100
+    rate = np.where(a["lang"].to_numpy() == "en", 5, 20)
+    assert (h < rate).all()
