@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings (similarity search / ANN)
         "emb_knn": M.emb_knn,
         "emb_neardup": M.emb_neardup,
+        "emb_lsh_neardup": M.emb_lsh_neardup,
         "emb_label_stats": M.emb_label_stats,  # rows-only: float mean order
         "emb_ivf_knn": M.emb_ivf_knn,  # rows-only: approximate by design
         # raster (tile tables / masked stats / burn / conform)
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_text_passthrough": D.DOCS_TEXT_PASSTHROUGH_SQL,
         "emb_knn": M.EMB_KNN_SQL,
         "emb_neardup": M.EMB_NEARDUP_SQL,
+        "emb_lsh_neardup": M.emb_lsh_neardup_sql(),
         "raster_tile_stats": RQ.RASTER_TILE_STATS_SQL,
         "raster_burn": RQ.raster_burn_sql(),
         "raster_conform": RQ.RASTER_CONFORM_SQL,

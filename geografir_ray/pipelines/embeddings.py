@@ -301,3 +301,138 @@ def emb_ivf_knn(sf_dir: str, n_cells: int = 8, nprobe: int = 3):
         .map_groups(topk, batch_format="pandas")
         .sort(["query_id", "rank"])
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed cosine near-dup — the documented scale path for
+# emb_neardup (no broadcast of the full matrix, no all-pairs).
+#
+# Random-hyperplane signatures, made EXACTLY reproducible in SQL:
+# embeddings quantize to integer milli-units (floor(x*1000), identical
+# in numpy float64 and DuckDB DOUBLE) and the hyperplane weights derive
+# from the same integer LCG formula both sides, so every dot product —
+# and therefore every sign bit and bucket id — is integer-exact in both
+# engines.  Banding: N_BANDS bands of PLANES_PER_BAND sign bits; a pair
+# is a candidate if ANY band bucket matches; candidates verify with
+# full cosine >= threshold inside the bucket (pairwise only within
+# buckets), then dedup across bands in the shuffle.  This mirrors the
+# text-side MinHash-LSH shape (documents.py) on the embedding column.
+# ---------------------------------------------------------------------------
+
+N_LSH_PLANES = 16
+LSH_PLANES_PER_BAND = 2  # 8 bands x 2 bits: ~98% recall at cos 0.4
+EMB_DIM = 64
+
+
+def _lsh_planes() -> np.ndarray:
+    """(N_LSH_PLANES, EMB_DIM) int64 hyperplane weights from the shared
+    integer LCG (same formula inlined in the SQL twin)."""
+    idx = np.arange(N_LSH_PLANES * EMB_DIM, dtype=np.int64)
+    w = (idx * 2654435761 + 1013904223) % 4294967296 - 2147483648
+    return w.reshape(N_LSH_PLANES, EMB_DIM)
+
+
+def emb_lsh_neardup(sf_dir: str):
+    from .common import grouped_sum
+
+    W = _lsh_planes()
+    n_bands = N_LSH_PLANES // LSH_PLANES_PER_BAND
+    bitw = (np.int64(1) << np.arange(LSH_PLANES_PER_BAND, dtype=np.int64))
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        n = len(m)
+        q = np.floor(m * 1000.0).astype(np.int64)
+        dots = q @ W.T  # (n, N_LSH_PLANES), integer-exact
+        bits = (dots >= 0).astype(np.int64)
+        buckets = (
+            bits.reshape(n, n_bands, LSH_PLANES_PER_BAND) * bitw[None, None, :]
+        ).sum(axis=2)
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_bands))
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int64), n)),
+                "bucket": pa.array(buckets.ravel()),
+                "vec_id": t["vec_id"].take(rep),
+                "embedding": col.take(rep),
+            }
+        )
+
+    _PAIRS = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("one", pa.int64())])
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return _PAIRS.empty_table()
+        m = _emb_matrix(g)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iu, ju = np.triu_indices(n, k=1)
+        ok = (mn @ mn.T)[iu, ju] >= NEARDUP_THRESHOLD
+        x, y = ids[iu[ok]], ids[ju[ok]]
+        a, b = np.minimum(x, y), np.maximum(x, y)
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "one": pa.array(np.ones(len(a), dtype=np.int64)),
+            }
+        )
+
+    cand = (
+        ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "bucket"])  # bounded: n_bands * 2^bits groups
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    dedup = grouped_sum(cand, ["a", "b"], {"n": ("one", "sum")})
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["a", "b"])
+
+    return dedup.map_batches(project, batch_format="pyarrow").sort(["a", "b"])
+
+
+def emb_lsh_neardup_sql() -> str:
+    n_bands = N_LSH_PLANES // LSH_PLANES_PER_BAND
+    return f"""
+WITH e AS (
+  SELECT vec_id, gd.d,
+         CAST(FLOOR(CAST(embedding[gd.d + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS q
+  FROM embeddings, generate_series(0, {EMB_DIM - 1}) AS gd(d)
+),
+planes AS (
+  SELECT gp.p, gd.d,
+         (CAST(gp.p * {EMB_DIM} + gd.d AS BIGINT) * 2654435761 + 1013904223)
+           % 4294967296 - 2147483648 AS w
+  FROM generate_series(0, {N_LSH_PLANES - 1}) AS gp(p),
+       generate_series(0, {EMB_DIM - 1}) AS gd(d)
+),
+dots AS (
+  SELECT e.vec_id, planes.p, SUM(e.q * planes.w) AS dot
+  FROM e JOIN planes USING (d)
+  GROUP BY e.vec_id, planes.p
+),
+sig AS (
+  SELECT vec_id, p // {LSH_PLANES_PER_BAND} AS band,
+         SUM(CASE WHEN dot >= 0
+                  THEN 1 << (p % {LSH_PLANES_PER_BAND}) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id, band
+),
+cand AS (
+  SELECT s1.vec_id AS a, s2.vec_id AS b
+  FROM sig s1 JOIN sig s2
+    ON s1.band = s2.band AND s1.bucket = s2.bucket AND s1.vec_id < s2.vec_id
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.a
+JOIN embeddings eb ON eb.vec_id = c.b
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {NEARDUP_THRESHOLD}
+ORDER BY a, b
+"""

@@ -293,3 +293,16 @@ def test_docs_stratified_sample_rates(ray_session, sf_small):
     h = (a["doc_id"].to_numpy().astype(np.int64) * 2654435761 + 1013904223) % 4294967296 % 100
     rate = np.where(a["lang"].to_numpy() == "en", 5, 20)
     assert (h < rate).all()
+
+
+def test_emb_lsh_neardup_subset_and_recall(ray_session, sf_small):
+    """LSH-bucketed near-dup pairs are a high-recall subset of the exact
+    all-pairs result (candidates verify with the same cosine threshold,
+    so precision is 1.0 by construction)."""
+    from geografir_ray.pipelines.embeddings import emb_lsh_neardup, emb_neardup
+
+    exact = set(map(tuple, emb_neardup(sf_small).to_pandas().values))
+    lsh = set(map(tuple, emb_lsh_neardup(sf_small).to_pandas().values))
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.8
