@@ -341,7 +341,18 @@ def emb_lsh_neardup(sf_dir: str):
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
+    _SIG = pa.schema(
+        [
+            ("band", pa.int64()),
+            ("bucket", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+        ]
+    )
+
     def sig_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SIG.empty_table()
         m = _emb_matrix(t)
         n = len(m)
         q = np.floor(m * 1000.0).astype(np.int64)
