@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean_corpus": D.docs_clean_corpus,
         "docs_top_terms_per_lang": D.docs_top_terms_per_lang,
         "median_price_per_segment": R.median_price_per_segment,
+        "p95_price_per_segment": R.p95_price_per_segment,
+        "revenue_rollup": R.revenue_rollup,
         "approx_distinct_parts": R.approx_distinct_parts,  # rows-only: HLL sketch
         # large-large joins (native + explicit bucketed) and range join
         "join_orders_native": R.join_orders_native,
@@ -148,6 +150,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_clean_corpus": D.docs_clean_corpus_sql(),
         "docs_top_terms_per_lang": D.docs_top_terms_per_lang_sql(),
         "median_price_per_segment": R.MEDIAN_PRICE_SQL,
+        "p95_price_per_segment": R.P95_PRICE_SQL,
+        "revenue_rollup": R.REVENUE_ROLLUP_SQL,
         "join_orders_native": R.JOIN_ORDERS_SQL,
         "join_orders_bucketed": R.JOIN_ORDERS_SQL,
         "events_range_join": E.EVENTS_RANGE_JOIN_SQL,

@@ -710,3 +710,163 @@ def approx_distinct_parts(sf_dir: str):
             }
         )
     )
+
+
+def p95_price_per_segment(sf_dir: str):
+    """Exact per-segment 95th percentile via the same int-cents
+    histogram-CDF machinery as the median — the shuffle moves
+    O(distinct prices), never the fact table.
+
+    Percentile semantics are defined IN INTEGER ARITHMETIC (value at
+    0-indexed position ceil(0.95*(n-1)) of the sorted multiset) so the
+    SQL twin can compute the identical position with row_number() —
+    no floating-point position math on either side (quantile_cont's
+    double (n-1)*q can land an ulp under an integer and silently
+    interpolate; this definition can't)."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    cust = read_table_local(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    keys = np.sort(cust["c_custkey"].values.astype(np.int64))
+    segs = cust.sort_values("c_custkey")["c_mktsegment"].values
+    ref = ray.put((keys, segs))
+
+    from ..stages.broadcast import with_broadcast
+
+    def tag(state, t: pa.Table) -> pa.Table:
+        k, sg = state
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(k, ck), 0, len(k) - 1)
+        price_c = pc.cast(
+            pc.floor(pc.multiply(t["o_totalprice"], pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table({"segment": pa.array(sg[pos]), "price_c": price_c})
+
+    tagged = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        with_broadcast(ref, tag, "segment_tag_p95"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def with_one(t: pa.Table) -> pa.Table:
+        return t.append_column("one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
+    hist = grouped_sum(
+        tagged.map_batches(with_one, batch_format="pyarrow"),
+        ["segment", "price_c"],
+        {"n": ("one", "sum")},
+    )
+    h = hist.to_pandas().sort_values(["segment", "price_c"]).reset_index(drop=True)
+    seg = h["segment"].values
+    price = h["price_c"].values.astype(np.int64)
+    cnt = h["n"].values.astype(np.int64)
+    seg_start = np.empty(len(h), dtype=bool)
+    if len(h):
+        seg_start[0] = True
+        seg_start[1:] = seg[1:] != seg[:-1]
+    firsts = np.flatnonzero(seg_start)
+    rows = []
+    for i, f in enumerate(firsts):
+        e = firsts[i + 1] if i + 1 < len(firsts) else len(h)
+        lc = np.cumsum(cnt[f:e])
+        n = int(lc[-1])
+        pos = ((n - 1) * 95 + 99) // 100  # ceil in pure ints
+        v = int(price[f + np.searchsorted(lc, pos + 1)])
+        rows.append((seg[f], v / 100.0, np.int64(n)))
+    out = pd.DataFrame(rows, columns=["segment", "p95_price", "n_orders"])
+    out = out.sort_values("segment").reset_index(drop=True)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return ray.data.from_pandas(out)
+
+
+P95_PRICE_SQL = """
+WITH t AS (
+  SELECT c_mktsegment AS segment,
+         CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_c,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY
+                            CAST(floor(o_totalprice * 100.0) AS BIGINT)) - 1 AS rn,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT segment, price_c / 100.0 AS p95_price, n AS n_orders
+FROM t
+WHERE rn = ((n - 1) * 95 + 99) // 100
+ORDER BY segment
+"""
+
+
+def revenue_rollup(sf_dir: str):
+    """Multi-level aggregate (GROUP BY ROLLUP): revenue at
+    (returnflag, linestatus), per returnflag, and grand total, with
+    'ALL' filling the rolled-up level.
+
+    Scale design: ONE shuffle computes the finest level (bounded key
+    space); the coarser levels re-aggregate FROM the finest result —
+    a few rows — so rollup costs no extra pass over the fact table
+    (integer-cents sums are associative)."""
+    import pandas as pd
+    import ray.data
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "rev_c": floor_scale(rev),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    fine = grouped_sum(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        {"revenue_c": ("rev_c", "sum"), "n_items": ("one", "sum")},
+        merge="driver",  # bounded: |flags| x |statuses|
+    ).to_pandas()
+
+    mid = (
+        fine.groupby("l_returnflag", as_index=False)[["revenue_c", "n_items"]]
+        .sum()
+        .assign(l_linestatus="ALL")
+    )
+    top = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "revenue_c": [fine["revenue_c"].sum()],
+            "n_items": [fine["n_items"].sum()],
+        }
+    )
+    allv = pd.concat([fine, mid, top], ignore_index=True)
+    allv["revenue"] = allv["revenue_c"].astype(np.int64) / 100.0
+    allv["n_items"] = allv["n_items"].astype(np.int64)
+    out = (
+        allv[["l_returnflag", "l_linestatus", "revenue", "n_items"]]
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    return ray.data.from_pandas(out)
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+                AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
