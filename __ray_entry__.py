@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": E.events_top_users,
         "events_sliding": E.events_sliding,
         "events_running_total": E.events_running_total,
+        "events_streaming_windows": E.events_streaming_windows,
         # documents (text analysis + dedup family)
         "docs_stats": D.docs_stats,
         "docs_term_topk": D.docs_term_topk,
@@ -130,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "events_top_users": E.EVENTS_TOP_USERS_SQL,
         "events_sliding": E.EVENTS_SLIDING_SQL,
         "events_running_total": E.EVENTS_RUNNING_TOTAL_SQL,
+        "events_streaming_windows": E.EVENTS_STREAMING_WINDOWS_SQL,
         "docs_stats": D.DOCS_STATS_SQL,
         "docs_term_topk": D.DOCS_TERM_TOPK_SQL,
         "docs_exact_dedup": D.DOCS_EXACT_DEDUP_SQL,

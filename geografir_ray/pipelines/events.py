@@ -601,3 +601,27 @@ FROM events
 WHERE event_type = 'purchase'
 ORDER BY event_id
 """
+
+
+def events_streaming_windows(sf_dir: str):
+    """Driver surface for the actor-held-state streaming path
+    (stages/streaming.py): events replayed in ts order through
+    WindowShard actors — tumbling 60-min event-time windows with a
+    5-min watermark.  On an ordered replay nothing is late, so the
+    emitted windows equal the batch groupby exactly and the query gets
+    a full SQL oracle (the late-data machinery is exercised separately
+    in tests/test_runner_salt_mm.py)."""
+    from ..stages.streaming import streaming_window_counts
+
+    out, _late = streaming_window_counts(sf_dir, window_min=60, lateness_min=5)
+    return out
+
+
+EVENTS_STREAMING_WINDOWS_SQL = """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 100.0) AS BIGINT)) / 100.0 AS sum_value
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)
+ORDER BY user_id, window_start
+"""

@@ -185,10 +185,15 @@ def q3_top_orders(sf_dir: str):
         right_cols=["l_orderkey", "o_orderdate"],
     )
 
-    agg = grouped_sum(
-        joined,
-        ["l_orderkey", "o_orderdate"],
-        {"revenue_c": ("rev_c", "sum")},
+    # hash_join co-partitions by orderkey, so every orderkey's rows sit
+    # in exactly one output block — a per-block combiner IS the full
+    # aggregation; no second all-to-all needed
+    agg = joined.map_batches(
+        partial_groupby(
+            ["l_orderkey", "o_orderdate"], {"revenue_c": ("rev_c", "sum")}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
     )
 
     def finish(t: pa.Table) -> pa.Table:
