@@ -885,3 +885,170 @@ SELECT doc_id FROM deduped
 WHERE ((doc_id * 2654435761 + 1013904223) % 4294967296) % 100 < {sample_pct}
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Distinctive term per document: argmax over a doc's tokens by
+# (tf DESC, global df ASC, token ASC) — a TF-IDF-style fingerprint with
+# a purely INTEGER ordering, so the SQL twin is hash-exact (no float
+# idf anywhere).
+#
+# Scale shape (4 bounded exchanges, never the corpus in one place):
+# explode -> grouped (doc,token) tf -> grouped token df -> bucketed
+# hash join tf⋈df on token -> per-doc argmax via B-bucket vectorized
+# segment logic (hash(doc)%B groups, lexsort inside — never one Python
+# call per doc).
+# ---------------------------------------------------------------------------
+
+
+def docs_distinctive_term(sf_dir: str, n_buckets: int = 64):
+    from ..functions.hashing import splitmix64
+    from ..stages.join import hash_join
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        counts: dict[tuple[int, str], int] = {}
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if s:
+                for w in s.split(" "):
+                    if w:
+                        counts[(did, w)] = counts.get((did, w), 0) + 1
+        return pa.table(
+            {
+                "doc_id": pa.array([k[0] for k in counts], type=pa.int64()),
+                "token": pa.array([k[1] for k in counts], type=pa.string()),
+                "tf": pa.array(
+                    np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+                ),
+                "one": pa.array(np.ones(len(counts), dtype=np.int64)),
+            }
+        )
+
+    doc_tok = grouped_sum(
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        ["doc_id", "token"],
+        {"tf": ("tf", "sum"), "one": ("one", "sum")},
+    )
+
+    def drop_one(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "token", "tf"])
+
+    doc_tok = doc_tok.map_batches(drop_one, batch_format="pyarrow").materialize()
+
+    def to_df_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "token": t["token"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    tok_df = grouped_sum(
+        doc_tok.map_batches(to_df_partial, batch_format="pyarrow"),
+        ["token"],
+        {"df": ("one", "sum")},
+    )
+
+    # hash_join keys on int64: hash the token both sides, carry the
+    # token strings through and re-check equality after the join (a
+    # 64-bit collision would otherwise silently cross-match)
+    def add_token_h(col_token: str, extra_rename=None):
+        def fn(t: pa.Table) -> pa.Table:
+            from ..functions.hashing import hash_strings
+
+            h = hash_strings(t[col_token].to_pylist())
+            t = t.append_column(
+                "token_h",
+                pa.array((h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)),
+            )
+            if extra_rename:
+                t = t.rename_columns(
+                    [extra_rename.get(c, c) for c in t.schema.names]
+                )
+            return t
+
+        return fn
+
+    left = doc_tok.map_batches(add_token_h("token"), batch_format="pyarrow")
+    right = tok_df.map_batches(
+        add_token_h("token", {"token": "token_r"}), batch_format="pyarrow"
+    )
+    joined = hash_join(
+        left,
+        right,
+        on="token_h",
+        left_cols=["token_h", "doc_id", "token", "tf"],
+        right_cols=["token_h", "token_r", "df"],
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["token"], t["token_r"])).select(
+            ["doc_id", "token", "tf", "df"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def bucket_tag(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "bucket",
+            pa.array((splitmix64(d.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)),
+        )
+
+    _OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("token", pa.string()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+        ]
+    )
+
+    def argmax_per_doc(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        d = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = g["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = np.asarray(g["token"].to_pylist(), dtype=object)
+        order = np.lexsort((tok, dfv, -tf, d))  # doc asc, tf desc, df asc, token asc
+        first = np.empty(len(d), dtype=bool)
+        first[0] = True
+        dd = d[order]
+        first[1:] = dd[1:] != dd[:-1]
+        sel = order[first]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[sel]),
+                "token": pa.array([str(x) for x in tok[sel]], type=pa.string()),
+                "tf": pa.array(tf[sel]),
+                "df": pa.array(dfv[sel]),
+            }
+        )
+
+    return (
+        joined.map_batches(bucket_tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(argmax_per_doc, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+DOCS_DISTINCTIVE_TERM_SQL = f"""
+WITH tokens AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf FROM tokens GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token
+),
+ranked AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rn
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, token, tf, df FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""

@@ -306,3 +306,56 @@ def test_emb_lsh_neardup_subset_and_recall(ray_session, sf_small):
     assert lsh <= exact
     if exact:
         assert len(lsh) / len(exact) >= 0.8
+
+
+def test_csv_jsonl_sources_roundtrip(ray_session, sf_small, tmp_path):
+    """CSV and JSONL readers produce the same rows as the parquet read
+    (pruned columns), and the partitioned sink lays out one directory
+    per partition value."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from geografir_ray.sources.tables import read_table
+    from geografir_ray.sources.text import (
+        read_csv_table,
+        read_jsonl_table,
+        write_partitioned,
+    )
+
+    base = read_table(sf_small, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    df = base.to_pandas().sort_values("n_nationkey").reset_index(drop=True)
+
+    csv_p = tmp_path / "nation.csv"
+    df.to_csv(csv_p, index=False)
+    jsonl_p = tmp_path / "nation.jsonl"
+    df.to_json(jsonl_p, orient="records", lines=True)
+
+    got_csv = (
+        read_csv_table(str(csv_p), columns=["n_nationkey", "n_name"])
+        .to_pandas()
+        .sort_values("n_nationkey")
+        .reset_index(drop=True)
+    )
+    assert list(got_csv.columns) == ["n_nationkey", "n_name"]
+    # CSV infers int64 where parquet stored int32 — compare values
+    assert got_csv.astype({"n_nationkey": "int64"}).equals(
+        df[["n_nationkey", "n_name"]].astype({"n_nationkey": "int64"})
+    )
+
+    got_jsonl = (
+        read_jsonl_table(str(jsonl_p), columns=["n_nationkey", "n_regionkey"])
+        .to_pandas()
+        .sort_values("n_nationkey")
+        .reset_index(drop=True)
+    )
+    assert got_jsonl.astype("int64").equals(
+        df[["n_nationkey", "n_regionkey"]].astype("int64")
+    )
+
+    out = tmp_path / "parts"
+    write_partitioned(base, str(out), ["n_regionkey"])
+    part_dirs = sorted(p for p in os.listdir(out) if p.startswith("n_regionkey="))
+    assert len(part_dirs) == df["n_regionkey"].nunique()
+    back = pq.read_table(str(out)).to_pandas()
+    assert len(back) == len(df)
