@@ -249,3 +249,67 @@ FROM (
 GROUP BY p_partkey
 ORDER BY tile_id
 """
+
+
+# ---------------------------------------------------------------------------
+# COG-style overview: nodata-aware 2x downsample per tile (the first
+# pyramid level the reference's COG profile implies —
+# /root/reference/raster_array/src/raster_array/profiles.py block/
+# overview constants).  Pure map over tile rows — zero shuffle; every
+# output pixel carries the valid-sum and valid-count of its 2x2 block
+# in exact integers.
+# ---------------------------------------------------------------------------
+
+
+def raster_overview(sf_dir: str):
+    tiles = tiles_dataset(sf_dir)
+    half = TILE_PX // 2
+
+    def overview(t: pa.Table) -> pa.Table:
+        data = t["data"]
+        if isinstance(data, pa.ChunkedArray):
+            data = data.combine_chunks()
+        n = len(data)
+        vals = data.flatten().to_numpy(zero_copy_only=False).reshape(
+            n, TILE_PX, TILE_PX
+        )
+        valid = vals % NODATA_MOD != 0
+        v4 = vals.reshape(n, half, 2, half, 2)
+        m4 = valid.reshape(n, half, 2, half, 2)
+        s = np.where(m4, v4, 0).sum(axis=(2, 4))  # (n, half, half)
+        c = m4.sum(axis=(2, 4)).astype(np.int64)
+        tid = np.repeat(
+            t["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            half * half,
+        )
+        py = np.tile(np.repeat(np.arange(half, dtype=np.int64), half), n)
+        px = np.tile(np.tile(np.arange(half, dtype=np.int64), half), n)
+        return pa.table(
+            {
+                "tile_id": pa.array(tid),
+                "py": pa.array(py),
+                "px": pa.array(px),
+                "ov_sum": pa.array(s.reshape(-1)),
+                "n_valid": pa.array(c.reshape(-1)),
+            }
+        )
+
+    return tiles.map_batches(
+        overview, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["tile_id", "py", "px"])
+
+
+RASTER_OVERVIEW_SQL = f"""
+SELECT p_partkey AS tile_id,
+       (i // {TILE_PX}) // 2 AS py,
+       (i % {TILE_PX}) // 2 AS px,
+       CAST(COALESCE(sum(v) FILTER (WHERE v % {NODATA_MOD} <> 0), 0) AS BIGINT)
+         AS ov_sum,
+       CAST(count(*) FILTER (WHERE v % {NODATA_MOD} <> 0) AS BIGINT) AS n_valid
+FROM (
+  SELECT p_partkey, i, p_partkey * {TILE_PX * TILE_PX} + i AS v
+  FROM part, generate_series(0, {TILE_PX * TILE_PX - 1}) AS t(i)
+)
+GROUP BY 1, 2, 3
+ORDER BY tile_id, py, px
+"""
