@@ -95,6 +95,98 @@ def _select(columns: list[str]):
     return fn
 
 
+@register_stage("hash_sample")
+def _hash_sample(key_col: str, pct: int = 5):
+    """Deterministic hash sampling (same LCG as docs_sample)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (k * 2654435761 + 1013904223) % 4294967296
+        return t.filter(pa.array(h % 100 < pct))
+
+    fn.__name__ = f"hash_sample[{key_col},{pct}%]"
+    return fn
+
+
+@register_stage("stratified_sample")
+def _stratified_sample(
+    key_col: str, stratum_col: str, major: str, major_pct: int = 5, minor_pct: int = 20
+):
+    """Per-stratum hash sampling (corpus rebalancing; documents.py)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (k * 2654435761 + 1013904223) % 4294967296
+        is_major = pc.equal(t[stratum_col], major).to_numpy(zero_copy_only=False)
+        rate = np.where(is_major, major_pct, minor_pct)
+        return t.filter(pa.array(h % 100 < rate))
+
+    fn.__name__ = f"stratified_sample[{stratum_col}]"
+    return fn
+
+
+@register_stage("token_stats")
+def _token_stats(text_col: str = "text"):
+    """Append n_tokens / distinct_pct / stopword_pct (functions/text)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions import text as T
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        q = T.quality_stats(texts)
+        t = t.append_column("n_tokens", pa.array(q["n_tokens"]))
+        t = t.append_column(
+            "distinct_pct",
+            pa.array(np.floor(q["distinct_ratio"] * 100.0).astype(np.int64)),
+        )
+        return t.append_column(
+            "stopword_pct",
+            pa.array(np.floor(q["stopword_ratio"] * 100.0).astype(np.int64)),
+        )
+
+    fn.__name__ = f"token_stats[{text_col}]"
+    return fn
+
+
+@register_stage("langid")
+def _langid(text_col: str = "text"):
+    """Append the n-gram-marker language prediction (functions/text)."""
+    import pyarrow as pa
+
+    from ..functions import text as T
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.append_column("lang_pred", pa.array(T.langid(t[text_col].to_pylist())))
+
+    fn.__name__ = f"langid[{text_col}]"
+    return fn
+
+
+@register_stage("content_hash")
+def _content_hash(text_col: str = "text", out_col: str = "text_hash"):
+    """Append the 64-bit content hash (dedup key; functions/hashing)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import hash_strings
+
+    def fn(t: pa.Table) -> pa.Table:
+        h = hash_strings(t[text_col].to_pylist())
+        return t.append_column(
+            out_col, pa.array((h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64))
+        )
+
+    fn.__name__ = f"content_hash[{text_col}]"
+    return fn
+
+
 # --- config model --------------------------------------------------------
 
 try:  # pydantic v2 preferred; plain dataclass fallback

@@ -204,3 +204,37 @@ def test_range_join_no_matches(ray_session):
     out = range_join(l, r, key="key", left_ts="ts", right_ts="ts",
                      tolerance_us=60_000_000).to_pandas()
     assert len(out) == 0
+
+
+def test_runner_text_stages(ray_session, sf_small):
+    """The text/training-data stages compose in a config-driven run:
+    langid -> token_stats -> stratified_sample -> content_hash."""
+    from geografir_ray.pipelines.runner import build, stage_names
+
+    for s in ("hash_sample", "stratified_sample", "token_stats", "langid", "content_hash"):
+        assert s in stage_names()
+
+    config = {
+        "table": "documents",
+        "columns": ["doc_id", "lang", "text"],
+        "stages": [
+            {"name": "lid", "stage": "langid", "params": {}},
+            {"name": "stats", "stage": "token_stats", "params": {}},
+            {
+                "name": "strat",
+                "stage": "stratified_sample",
+                "params": {"key_col": "doc_id", "stratum_col": "lang", "major": "en"},
+            },
+            {"name": "hash", "stage": "content_hash", "params": {}},
+        ],
+    }
+    out = build(config, sf_small).to_pandas()
+    assert set(
+        ["doc_id", "lang", "text", "lang_pred", "n_tokens", "distinct_pct",
+         "stopword_pct", "text_hash"]
+    ) <= set(out.columns)
+    # sampling matches the standalone query's row set
+    from geografir_ray.pipelines.documents import docs_stratified_sample
+
+    expect = docs_stratified_sample(sf_small).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(expect["doc_id"])
