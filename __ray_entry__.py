@@ -49,7 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_knn": S.knn_doc_suppliers,
         "geo_reproject": S.reproject_customers,
         "geo_bbox_by_nation": S.bbox_by_nation,
-        "geo_cells": S.cell_assignment,  # rows-only: cell ids not SQL-expressible
+        "geo_cells": S.cell_assignment,  # rows-only: S2/hex ids not SQL-expressible
+        "geo_geohash": S.geohash_assignment,
         # events (window / session / as-of)
         "events_hourly": E.events_hourly,
         "events_sessions": E.events_sessions,
@@ -126,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_knn": S.knn_doc_suppliers_sql(),
         "geo_reproject": S.REPROJECT_SQL,
         "geo_bbox_by_nation": S.BBOX_BY_NATION_SQL,
+        "geo_geohash": S.geohash_assignment_sql(),
         "events_hourly": E.EVENTS_HOURLY_SQL,
         "events_sessions": E.EVENTS_SESSIONS_SQL,
         "events_sessions_sorted": E.EVENTS_SESSIONS_SQL,

@@ -579,3 +579,73 @@ WITH ranked AS (
 SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+def geohash_assignment(sf_dir: str, precision: int = 9):
+    """Geohash-only cell assignment with a FULL SQL oracle: the
+    interleaved-bit geohash is reproduced in DuckDB with
+    generate_series bit arithmetic (quantize -> interleave -> base32),
+    converting this kernel from golden-pinned to DuckDB-checked
+    (`geo_cells` keeps the S2/hex columns, which SQL can't express)."""
+    from ..functions import cells
+
+    pts = _points_ds(sf_dir, "customer", "c_custkey")
+
+    def assign(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        code = cells.geohash_int(lat, lon, precision)
+        return pa.table(
+            {
+                "point_id": t["point_id"],
+                "geohash": pa.array(cells.geohash_encode(lat, lon, precision)),
+                "cell_geohash": pa.array(code.view(np.int64)),
+            }
+        )
+
+    return pts.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("point_id")
+
+
+def geohash_assignment_sql(precision: int = 9) -> str:
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    lat = synth_lat_sql("c_custkey")
+    lon = synth_lon_sql("c_custkey")
+    # quantization: identical expression order to cells.geohash_quantize
+    latq = (
+        f"LEAST(GREATEST(CAST(floor((({lat}) + 90.0) / 180.0 * {1 << lat_bits}"
+        f".0) AS BIGINT), 0), {(1 << lat_bits) - 1})"
+    )
+    lonq = (
+        f"LEAST(GREATEST(CAST(floor((({lon}) + 180.0) / 360.0 * {1 << lon_bits}"
+        f".0) AS BIGINT), 0), {(1 << lon_bits) - 1})"
+    )
+    return f"""
+WITH q AS (
+  SELECT CAST(c_custkey AS BIGINT) AS point_id,
+         {latq} AS lat_q, {lonq} AS lon_q
+  FROM customer
+),
+interleaved AS (
+  -- MSB-first: even offsets are lon bits (odd total bit count)
+  SELECT point_id,
+         CAST(SUM(CASE WHEN j % 2 = 0
+             THEN ((lon_q >> ({lon_bits - 1} - j // 2)) & 1) << ({nbits - 1} - j)
+             ELSE ((lat_q >> ({lat_bits - 1} - j // 2)) & 1) << ({nbits - 1} - j)
+             END) AS BIGINT) AS cell_geohash
+  FROM q, generate_series(0, {nbits - 1}) AS t(j)
+  GROUP BY point_id
+)
+SELECT point_id,
+       (SELECT string_agg(
+           substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                  CAST(((cell_geohash >> (5 * ({precision - 1} - k))) & 31)
+                       AS INTEGER) + 1, 1), '' ORDER BY k)
+        FROM generate_series(0, {precision - 1}) AS g(k)) AS geohash,
+       cell_geohash
+FROM interleaved
+ORDER BY point_id
+"""
