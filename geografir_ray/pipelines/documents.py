@@ -1052,3 +1052,111 @@ ranked AS (
 SELECT doc_id, token, tf, df FROM ranked WHERE rn = 1
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over the near-dup pair graph —
+# the step that turns pairwise candidates into dedup GROUPS (keep one
+# doc per component).  Iterative distributed min-label propagation:
+# every round each node takes the min label among itself and its
+# neighbors (one bucketed hash join + one grouped min per round), until
+# the global label sum stops changing (labels are monotone
+# non-increasing non-negative ints, so sum-equality IS the fixpoint
+# test — no row-wise diff needed).  Rounds needed = graph diameter
+# (near-dup graphs are dense cliques: 2-3).  The SQL twin computes the
+# same components with a recursive transitive-closure CTE.
+# ---------------------------------------------------------------------------
+
+
+def docs_dedup_components(sf_dir: str, max_iters: int = 25):
+    from ..stages.join import hash_join
+
+    pairs = docs_jaccard_pairs(sf_dir)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    labels = (
+        read_table(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pc.cast(t["doc_id"], pa.int64()),
+                    "label": pc.cast(t["doc_id"], pa.int64()),
+                }
+            ).filter(pc.less(pc.cast(t["doc_id"], pa.int64()), JACCARD_DOC_LIMIT)),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+
+    for _ in range(max_iters):
+        msgs = hash_join(
+            edges,
+            labels,
+            on="node",
+            left_cols=["node", "dst"],
+            right_cols=["node", "label"],
+        ).map_batches(
+            lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = grouped_sum(
+            labels.union(msgs), ["node"], {"label": ("label", "min")}
+        ).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"], "component_id": t["label"]})
+
+    return labels.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+DOCS_DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS token
+  FROM documents WHERE doc_id < {JACCARD_DOC_LIMIT}
+),
+sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS sz FROM tok GROUP BY doc_id
+),
+common AS (
+  SELECT t1.doc_id AS a, t2.doc_id AS b, count(*)::BIGINT AS c
+  FROM tok t1 JOIN tok t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+  GROUP BY t1.doc_id, t2.doc_id
+),
+pairs AS (
+  SELECT a, b FROM common
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE c >= 0.8 * (sa.sz + sb.sz - c)
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b AS src, a AS dst FROM pairs
+),
+nodes AS (
+  SELECT CAST(doc_id AS BIGINT) AS node FROM documents
+  WHERE doc_id < {JACCARD_DOC_LIMIT}
+),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""

@@ -359,3 +359,22 @@ def test_csv_jsonl_sources_roundtrip(ray_session, sf_small, tmp_path):
     assert len(part_dirs) == df["n_regionkey"].nunique()
     back = pq.read_table(str(out)).to_pandas()
     assert len(back) == len(df)
+
+
+def test_dedup_components_cluster_invariants(ray_session, sf_small):
+    """Components: every near-dup pair shares a component; the component
+    id is the min doc_id in it; isolated docs are their own component."""
+    from geografir_ray.pipelines.documents import (
+        docs_dedup_components,
+        docs_jaccard_pairs,
+    )
+
+    comp = docs_dedup_components(sf_small).to_pandas()
+    label = dict(zip(comp["doc_id"], comp["component_id"]))
+    pairs = docs_jaccard_pairs(sf_small).to_pandas()
+    for a, b in zip(pairs["a"], pairs["b"]):
+        assert label[a] == label[b]
+    # component id is a member of its own cluster, and the minimum
+    by_comp = comp.groupby("component_id")["doc_id"].min()
+    for cid, mn in by_comp.items():
+        assert cid == mn
