@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": D.docs_stratified_sample,
         "docs_distinctive_term": D.docs_distinctive_term,
         "docs_dedup_components": D.docs_dedup_components,
+        "docs_pack_sequences": D.docs_pack_sequences,
         "docs_clean_corpus": D.docs_clean_corpus,
         "docs_top_terms_per_lang": D.docs_top_terms_per_lang,
         "median_price_per_segment": R.median_price_per_segment,
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_stratified_sample": D.docs_stratified_sample_sql(),
         "docs_distinctive_term": D.DOCS_DISTINCTIVE_TERM_SQL,
         "docs_dedup_components": D.DOCS_DEDUP_COMPONENTS_SQL,
+        "docs_pack_sequences": D.DOCS_PACK_SEQUENCES_SQL,
         "docs_clean_corpus": D.docs_clean_corpus_sql(),
         "docs_top_terms_per_lang": D.docs_top_terms_per_lang_sql(),
         "median_price_per_segment": R.MEDIAN_PRICE_SQL,

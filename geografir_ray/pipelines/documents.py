@@ -1160,3 +1160,138 @@ reach(node, label) AS (
 SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component_id
 FROM reach GROUP BY node ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — the LLM-pretraining layout op: lay every doc's
+# tokens head-to-tail in doc_id order and cut fixed-size context
+# windows (bins), allowing docs to straddle a boundary.  Each doc maps
+# to (start_tok, first_bin, last_bin).
+#
+# The core primitive is a DISTRIBUTED EXCLUSIVE PREFIX SCAN over the
+# global doc order, built without any block-identity assumption:
+#   phase 1: per-RANGE token totals (range = doc_id // R, a driver-
+#            bounded key space) via the usual combiner groupby;
+#   phase 2: driver exclusive-scans the ~n/R range totals, broadcasts
+#            the offsets, and B hash-buckets of ranges compute their
+#            in-range cumsums vectorized (each range is wholly inside
+#            one bucket, so no boundary repair — same invariant as
+#            events_running_total).
+# ---------------------------------------------------------------------------
+
+PACK_BIN_TOKENS = 256  # context-window size in tokens
+PACK_RANGE_DOCS = 64  # docs per scan range (drives the driver scan size)
+
+
+def docs_pack_sequences(sf_dir: str, n_buckets: int = 64):
+    import ray
+
+    from ..functions.hashing import splitmix64
+    from ..stages.broadcast import with_broadcast
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "range_id": pa.array(d // PACK_RANGE_DOCS),
+                "n_tokens": pa.array(T.token_counts(t["text"].to_pylist())),
+            }
+        )
+
+    toks = ds.map_batches(
+        tok_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # phase 1: per-range totals -> driver exclusive scan -> broadcast
+    totals = grouped_sum(
+        toks, ["range_id"], {"total": ("n_tokens", "sum")}, merge="driver"
+    ).to_pandas().sort_values("range_id")
+    rid = totals["range_id"].values.astype(np.int64)
+    tot = totals["total"].values.astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(tot)[:-1]))
+    ref = ray.put((rid, offsets))
+
+    # phase 2: in-range cumsum inside hash buckets of ranges
+    def bucket_tag(t: pa.Table) -> pa.Table:
+        r = t["range_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "bucket", pa.array((splitmix64(r) % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    _OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("start_tok", pa.int64()),
+            ("first_bin", pa.int64()),
+            ("last_bin", pa.int64()),
+        ]
+    )
+
+    def scan_bucket(state, g: pa.Table) -> pa.Table:
+        rid, offsets = state
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        d = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = g["range_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((d, r))
+        d, r, n = d[order], r[order], n[order]
+        cum = np.cumsum(n)
+        new_r = np.empty(len(d), dtype=bool)
+        new_r[0] = True
+        new_r[1:] = r[1:] != r[:-1]
+        seg_first = np.maximum.accumulate(np.where(new_r, np.arange(len(d)), 0))
+        in_range_excl = cum - n - (cum - n)[seg_first]
+        pos = np.searchsorted(rid, r)
+        start = offsets[pos] + in_range_excl
+        first_bin = start // PACK_BIN_TOKENS
+        last_bin = np.where(
+            n > 0, (start + n - 1) // PACK_BIN_TOKENS, first_bin
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "n_tokens": pa.array(n),
+                "start_tok": pa.array(start),
+                "first_bin": pa.array(first_bin),
+                "last_bin": pa.array(last_bin),
+            }
+        )
+
+    def scan_wrap(state, g: pa.Table) -> pa.Table:
+        return scan_bucket(state, g)
+
+    out = (
+        toks.map_batches(bucket_tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            with_broadcast(ref, scan_wrap, "pack_scan"), batch_format="pyarrow"
+        )
+    )
+    return out.sort("doc_id")
+
+
+DOCS_PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM t
+)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // {PACK_BIN_TOKENS} AS first_bin,
+       CASE WHEN n_tokens > 0
+            THEN (start_tok + n_tokens - 1) // {PACK_BIN_TOKENS}
+            ELSE start_tok // {PACK_BIN_TOKENS} END AS last_bin
+FROM c
+ORDER BY doc_id
+"""
