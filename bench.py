@@ -120,11 +120,50 @@ def bench_suite() -> dict[str, float]:
         )
         return knn_partitioned(q, t, k=5, bits=11, radius=1)
 
+    def ann_ivf_1m(_sf_dir: str):
+        # IVF-bucketed ANN: 512 queries x 1M clustered 64-dim vectors,
+        # nprobe 8/64 (measured 0.992 recall@10 vs the brute matmul
+        # baseline, ~2.5x faster end-to-end; see BASELINE.md)
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from geografir_ray.pipelines.embeddings import (
+            ann_ivf_topk,
+            synth_vectors,
+            synth_vectors_clustered,
+        )
+
+        DIM = 64
+
+        def build(t):
+            ids = t["id"].to_numpy()
+            vecs = synth_vectors_clustered(ids).astype(np.float32)
+            flat = pa.array(vecs.ravel())
+            offs = pa.array(
+                np.arange(0, (len(ids) + 1) * DIM, DIM, dtype=np.int32)
+            )
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "embedding": pa.ListArray.from_arrays(offs, flat),
+                }
+            )
+
+        ds = rd.range(1_000_000, override_num_blocks=64).map_batches(
+            build, batch_format="pyarrow", batch_size=None
+        )
+        qids = np.arange(1_000_000, 1_000_512)
+        Q = synth_vectors_clustered(qids)
+        cent = synth_vectors(np.arange(64, dtype=np.int64) + 3_000_000)
+        return ann_ivf_topk(ds, qids, Q, cent, k=10, nprobe=8)
+
     suite = {
         "flagship_pip_zonal": flagship,
         "pages_e2e_1m": pages_e2e,
         "pip_partitioned_4m": pip_partitioned_4m,
         "knn_partitioned_1m": knn_partitioned_1m,
+        "ann_ivf_1m": ann_ivf_1m,
         "q1_pricing_summary": R.q1_pricing_summary,
         "q5_nation_revenue": R.q5_nation_revenue,
         "geo_tile_assign": S.tile_assign,

@@ -447,3 +447,164 @@ JOIN embeddings eb ON eb.vec_id = c.b
 WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {NEARDUP_THRESHOLD}
 ORDER BY a, b
 """
+
+
+# ---------------------------------------------------------------------------
+# Generic ANN operators for arbitrary scale (the bench path; the
+# sf-table queries above keep their oracle-pinned shapes).
+#
+# ann_brute_topk: broadcast query matrix, one BLAS matmul per batch,
+# and a PER-BATCH partial top-k so the shuffle moves k rows per
+# (query, batch) — never the full similarity matrix.  ann_ivf_topk:
+# batch vectors group by their nearest centroid and only the queries
+# probing that cell pay a matmul — candidate generation cost drops by
+# ~nprobe/n_cells vs brute force; same partial-top-k merge.
+# ---------------------------------------------------------------------------
+
+
+def _partial_topk_rows(qids, sims, vid, k: int):
+    """(query_id, vec_id, sim) rows of the per-batch top-k per query.
+
+    sims: (n_batch, nq).  argpartition per column keeps the exchange at
+    k rows per query per batch."""
+    nb, nq = sims.shape
+    kk = min(k, nb)
+    idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+    return pa.table(
+        {
+            "query_id": pa.array(np.repeat(qids, kk)),
+            "vec_id": pa.array(vid[idx].T.ravel()),
+            "sim": pa.array(np.take_along_axis(sims, idx, axis=0).T.ravel()),
+        }
+    )
+
+
+def _merge_topk(scored, k: int):
+    import pandas as pd
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "neighbor_id": pd.Series([], dtype=np.int64),
+                    "rank": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values(
+            ["sim", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].values.astype(np.int64),
+                "neighbor_id": g["vec_id"].values.astype(np.int64),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        scored.groupby("query_id")
+        .map_groups(topk, batch_format="pandas")
+        .sort(["query_id", "rank"])
+    )
+
+
+def ann_brute_topk(ds, qids: np.ndarray, qmat: np.ndarray, k: int = 10):
+    """Exact cosine top-k of each query against a Dataset with
+    (vec_id, embedding).  qmat rows need not be normalized."""
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    ref = ray.put((np.asarray(qids, dtype=np.int64), qn))
+
+    def score(state, t: pa.Table) -> pa.Table:
+        qids, qn = state
+        if t.num_rows == 0:
+            return pa.schema(
+                [("query_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
+            ).empty_table()
+        m = _emb_matrix(t)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _partial_topk_rows(qids, m @ qn.T, vid, k)
+
+    scored = ds.map_batches(
+        with_broadcast(ref, score, "ann_brute"), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _merge_topk(scored, k)
+
+
+def ann_ivf_topk(
+    ds, qids: np.ndarray, qmat: np.ndarray, centroids: np.ndarray,
+    k: int = 10, nprobe: int = 8,
+):
+    """IVF-bucketed approximate cosine top-k: batch vectors group by
+    nearest centroid; only queries probing a cell compute sims against
+    that cell's vectors (cell-inverted — no per-query Python loop)."""
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    qcells = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    # invert: cell -> probing query rows
+    n_cells = len(cent)
+    probes = [np.flatnonzero((qcells == c).any(axis=1)) for c in range(n_cells)]
+    ref = ray.put((np.asarray(qids, dtype=np.int64), qn, cent, probes))
+
+    def score(state, t: pa.Table) -> pa.Table:
+        qids, qn, cent, probes = state
+        empty = pa.schema(
+            [("query_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
+        ).empty_table()
+        if t.num_rows == 0:
+            return empty
+        m = _emb_matrix(t)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = np.argmax(m @ cent.T, axis=1)
+        parts = []
+        for c in np.unique(cell):
+            qsel = probes[int(c)]
+            if len(qsel) == 0:
+                continue
+            rows = np.flatnonzero(cell == c)
+            sims = m[rows] @ qn[qsel].T  # (cell rows, probing queries)
+            parts.append(_partial_topk_rows(qids[qsel], sims, vid[rows], k))
+        if not parts:
+            return empty
+        return pa.concat_tables(parts)
+
+    scored = ds.map_batches(
+        with_broadcast(ref, score, "ann_ivf"), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _merge_topk(scored, k)
+
+
+def synth_vectors(ids: np.ndarray, dim: int = 64) -> np.ndarray:
+    """Deterministic synthetic embeddings in [-1, 1] from integer ids
+    (splitmix over id*dim+d) — the bench input generator."""
+    from ..functions.hashing import splitmix64
+
+    idx = ids.astype(np.int64)[:, None] * dim + np.arange(dim, dtype=np.int64)[None, :]
+    h = splitmix64(idx.astype(np.uint64).ravel())
+    u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    return (u * 2.0 - 1.0).reshape(len(ids), dim)
+
+
+def synth_vectors_clustered(
+    ids: np.ndarray, dim: int = 64, n_centers: int = 64, spread: float = 0.35
+) -> np.ndarray:
+    """Deterministic clustered embeddings: center[id % n_centers] +
+    spread * noise(id) — the realistic (mixture) distribution where an
+    IVF index actually concentrates neighbors; centers come from
+    synth_vectors so the bench needs no data files."""
+    centers = synth_vectors(np.arange(n_centers, dtype=np.int64) + 3_000_000, dim)
+    centers = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    noise = synth_vectors(ids.astype(np.int64) + 7_000_000, dim)
+    return centers[ids.astype(np.int64) % n_centers] + spread * noise

@@ -378,3 +378,52 @@ def test_dedup_components_cluster_invariants(ray_session, sf_small):
     by_comp = comp.groupby("component_id")["doc_id"].min()
     for cid, mn in by_comp.items():
         assert cid == mn
+
+
+def test_generic_ann_ops_exact_and_recall(ray_session):
+    """ann_brute_topk is exact vs a numpy reference; ann_ivf_topk is a
+    high-recall approximation on clustered vectors."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geografir_ray.pipelines.embeddings import (
+        ann_brute_topk,
+        ann_ivf_topk,
+        synth_vectors,
+        synth_vectors_clustered,
+    )
+
+    N, NQ, K, DIM = 4000, 16, 5, 64
+
+    def build(t):
+        ids = t["id"].to_numpy()
+        vecs = synth_vectors_clustered(ids).astype(np.float32)
+        flat = pa.array(vecs.ravel())
+        offs = pa.array(np.arange(0, (len(ids) + 1) * DIM, DIM, dtype=np.int32))
+        return pa.table(
+            {"vec_id": pa.array(ids), "embedding": pa.ListArray.from_arrays(offs, flat)}
+        )
+
+    def mk():
+        return rd.range(N, override_num_blocks=8).map_batches(
+            build, batch_format="pyarrow", batch_size=None
+        )
+
+    qids = np.arange(1_000_000, 1_000_000 + NQ)
+    Q = synth_vectors_clustered(qids)
+    got = ann_brute_topk(mk(), qids, Q, k=K).to_pandas()
+
+    V = synth_vectors_clustered(np.arange(N)).astype(np.float32).astype(np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Vn @ Qn.T
+    for i, q in enumerate(qids):
+        order = np.lexsort((np.arange(N), -sims[:, i]))[:K]
+        mine = got[got["query_id"] == q].sort_values("rank")["neighbor_id"].values
+        assert list(mine) == list(order), q
+
+    cent = synth_vectors(np.arange(64, dtype=np.int64) + 3_000_000)
+    ivf = ann_ivf_topk(mk(), qids, Q, cent, k=K, nprobe=8).to_pandas()
+    e = set(zip(got["query_id"], got["neighbor_id"]))
+    a = set(zip(ivf["query_id"], ivf["neighbor_id"]))
+    assert len(e & a) / len(e) >= 0.8
