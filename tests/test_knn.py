@@ -33,3 +33,47 @@ def test_knn_partitioned_hot_cell_skew(ray_session):
         order = np.lexsort((np.arange(nt), d))[:k]
         mine = got[got["query_id"] == qi].sort_values("rank")["neighbor_id"].values
         assert list(mine) == list(order), qi
+
+
+def test_knn_partitioned_poles_and_antimeridian(ray_session):
+    """Queries clustered at the poles and straddling the +-180 meridian:
+    exercises ring wrap-around (lon modulo), pole clipping (dedup of
+    clipped replicas), and the position-aware edge bound where the
+    meridian distance formula matters most. Exact vs brute force."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geografir_ray.functions.geom import haversine_km
+    from geografir_ray.stages.knn import knn_partitioned
+
+    rng = np.random.default_rng(97)
+    lat_groups = [
+        rng.uniform(86, 89.9, 80),      # near north pole
+        rng.uniform(-89.9, -86, 80),    # near south pole
+        rng.uniform(-30, 30, 80),       # antimeridian band
+    ]
+    lon_groups = [
+        rng.uniform(-180, 180, 80),
+        rng.uniform(-180, 180, 80),
+        np.where(rng.random(80) < 0.5, rng.uniform(-180, -176, 80), rng.uniform(176, 180, 80)),
+    ]
+    tlat = np.concatenate(lat_groups)
+    tlon = np.concatenate(lon_groups)
+    qlat = tlat[::3] + 0.05
+    qlon = tlon[::3] - 0.05
+    nq, nt, k = len(qlat), len(tlat), 4
+
+    q = rd.from_arrow(
+        pa.table({"query_id": pa.array(np.arange(nq)), "lat": pa.array(qlat), "lon": pa.array(qlon)})
+    )
+    t = rd.from_arrow(
+        pa.table({"target_id": pa.array(np.arange(nt)), "lat": pa.array(tlat), "lon": pa.array(tlon)})
+    )
+    got = knn_partitioned(q, t, k=k, bits=6, radius=1).to_pandas()
+    assert len(got) == nq * k
+    for qi in range(nq):
+        d = haversine_km(qlat[qi], qlon[qi], tlat, tlon)
+        order = np.lexsort((np.arange(nt), d))[:k]
+        mine = got[got["query_id"] == qi].sort_values("rank")["neighbor_id"].values
+        assert list(mine) == list(order), qi
