@@ -875,3 +875,146 @@ FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+def cust_orders_left(sf_dir: str):
+    """Per-customer order count + spend INCLUDING zero-order customers
+    — the left-outer join surface.  Scale shape: orders pre-aggregate
+    per custkey (combiner + grouped sum) BEFORE the join, so the
+    bucketed left join moves one row per customer per side."""
+    import pyarrow as pa
+
+    from ..stages.join import hash_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda t: pa.table({"c_custkey": pc.cast(t["c_custkey"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "price_c": floor_scale(t["o_totalprice"]),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    per_cust = grouped_sum(
+        read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["c_custkey"],
+        {"n_orders": ("one", "sum"), "total_c": ("price_c", "sum")},
+    )
+
+    joined = hash_join(
+        cust,
+        per_cust,
+        on="c_custkey",
+        left_cols=["c_custkey"],
+        right_cols=["c_custkey", "n_orders", "total_c"],
+        how="left",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_orders"].to_numpy(zero_copy_only=False)
+        tc = t["total_c"].to_numpy(zero_copy_only=False)
+        n = np.where(np.isnan(n.astype(np.float64)), 0, n).astype(np.int64)
+        tc = np.where(np.isnan(tc.astype(np.float64)), 0, tc).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "n_orders": pa.array(n),
+                "total_spent": pa.array(tc.astype(np.float64) / 100.0),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("c_custkey")
+
+
+CUST_ORDERS_LEFT_SQL = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       COALESCE(o.n, 0) AS n_orders,
+       CAST(COALESCE(o.tc, 0) AS BIGINT) / 100.0 AS total_spent
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS n,
+         CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS tc
+  FROM orders GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
+_RECENT_DATE = "1998-05-01"
+
+
+def cust_no_recent_orders(sf_dir: str):
+    """Customers with NO orders on/after a cutoff date — the anti-join
+    surface (bucketed hash_join how='anti'; the orders side ships only
+    distinct custkeys after the per-batch combiner).  The date filter
+    keeps the result non-empty at every sf (a bare no-orders anti-join
+    is empty on this data)."""
+    import pyarrow as pa
+
+    from ..stages.join import hash_join
+    from .common import partial_groupby
+
+    cutoff = np.datetime64(_RECENT_DATE, "us")
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda t: pa.table({"c_custkey": pc.cast(t["c_custkey"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    okeys = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(
+                    t.filter(
+                        pc.greater_equal(t["o_orderdate"], pa.scalar(cutoff))
+                    )["o_custkey"],
+                    pa.int64(),
+                ),
+            }
+        ).append_column(
+            "one",
+            pa.array(
+                np.ones(
+                    len(
+                        t.filter(
+                            pc.greater_equal(t["o_orderdate"], pa.scalar(cutoff))
+                        )
+                    ),
+                    dtype=np.int64,
+                )
+            ),
+        ),
+        batch_format="pyarrow",
+    ).map_batches(
+        partial_groupby(["c_custkey"], {"one": ("one", "sum")}),
+        batch_format="pyarrow",
+    )
+
+    out = hash_join(
+        cust,
+        okeys,
+        on="c_custkey",
+        left_cols=["c_custkey"],
+        right_cols=["c_custkey", "one"],
+        how="anti",
+    )
+    return out.sort("c_custkey")
+
+
+CUST_NO_RECENT_ORDERS_SQL = f"""
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '{_RECENT_DATE}'
+)
+ORDER BY c_custkey
+"""

@@ -32,14 +32,22 @@ def hash_join(
     n_buckets: int = 64,
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
+    how: str = "inner",
 ):
-    """Inner equi-join of two Datasets on an int64 key column.
+    """Equi-join of two Datasets on an int64 key column.
 
     Both sides tagged with bucket = hash(key) % B, unioned, and merged
     pairwise per bucket with a vectorized pandas merge.  Column name
     collisions (other than ``on``) must be resolved by the caller via
     left_cols/right_cols projections.
+
+    ``how``: "inner" (default), "left" (unmatched left rows kept with
+    nullable-Int64 right columns so matched and unmatched blocks agree
+    on schema), "semi" (left rows with a match, left columns only), or
+    "anti" (left rows without a match, left columns only).
     """
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported join how={how!r}")
 
     def tag(side: int, cols):
         def fn(t: pa.Table) -> pa.Table:
@@ -73,15 +81,30 @@ def hash_join(
         if t is not None and pt.is_integer(t):
             int_cols.append(name)
 
+    r_int = [c for c in int_cols if c in rnames]
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        missing = [c for c in (*lnames, *rnames) if c not in g.columns]
-        if missing:
+        missing_l = [c for c in lnames if c not in g.columns]
+        missing_r = [c for c in rnames if c not in g.columns]
+        if missing_l or missing_r:
             # a fully-empty side contributes no blocks to the union, so
-            # its columns never materialize — the inner join is empty
-            out_cols = {on: pd.Series([], dtype=np.int64)}
-            for c in (*lnames, *rnames):
-                out_cols[c] = pd.Series([], dtype=object)
-            return pd.DataFrame(out_cols)
+            # its columns never materialize in the group frame
+            if missing_l or how in ("inner", "semi"):
+                out_cols = {on: pd.Series([], dtype=np.int64)}
+                for c in (*lnames, *(rnames if how not in ("semi", "anti") else ())):
+                    out_cols[c] = pd.Series([], dtype=object)
+                return pd.DataFrame(out_cols)
+            # right side empty, left present
+            lmask0 = g["__side"].values == 0
+            l0 = g.loc[lmask0, [on, *lnames]]
+            for c in int_cols:
+                if c in l0.columns:
+                    l0 = l0.astype({c: np.int64})
+            if how == "anti":
+                return l0
+            for c in rnames:  # how == "left": all-null right columns
+                l0[c] = pd.array([None] * len(l0), dtype="Int64" if c in r_int else object)
+            return l0
         lmask = g["__side"].values == 0
         l = g.loc[lmask, [on, *lnames]]
         r = g.loc[~lmask, [on, *rnames]]
@@ -90,6 +113,17 @@ def hash_join(
                 l = l.astype({c: np.int64})
             if c in r.columns:
                 r = r.astype({c: np.int64})
+        if how == "semi":
+            return l[np.isin(l[on].values, r[on].values)]
+        if how == "anti":
+            return l[~np.isin(l[on].values, r[on].values)]
+        if how == "left":
+            out = l.merge(r, on=on, how="left")
+            # matched-vs-missed blocks must agree on dtype: nullable
+            # Int64 for right int columns (arrow int64-with-nulls)
+            for c in r_int:
+                out[c] = out[c].astype("Int64")
+            return out
         return l.merge(r, on=on, how="inner")
 
     return unioned.groupby("__bucket").map_groups(merge, batch_format="pandas")

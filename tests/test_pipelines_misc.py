@@ -427,3 +427,42 @@ def test_generic_ann_ops_exact_and_recall(ray_session):
     e = set(zip(got["query_id"], got["neighbor_id"]))
     a = set(zip(ivf["query_id"], ivf["neighbor_id"]))
     assert len(e & a) / len(e) >= 0.8
+
+
+def test_hash_join_how_variants(ray_session):
+    """left/semi/anti hash_join variants vs pandas reference, including
+    the empty-right-side path."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geografir_ray.stages.join import hash_join
+
+    l = rd.from_arrow(pa.table({"k": pa.array([1, 2, 2, 3, 4], type=pa.int64()),
+                                "lv": pa.array([10, 20, 21, 30, 40], type=pa.int64())}))
+    r = rd.from_arrow(pa.table({"k": pa.array([2, 3, 3, 5], type=pa.int64()),
+                                "rv": pa.array([200, 300, 301, 500], type=pa.int64())}))
+
+    semi = hash_join(l, r, on="k", how="semi").to_pandas().sort_values(["k", "lv"])
+    assert list(semi["k"]) == [2, 2, 3]
+
+    anti = hash_join(l, r, on="k", how="anti").to_pandas().sort_values("k")
+    assert list(anti["k"]) == [1, 4]
+
+    left = hash_join(l, r, on="k", how="left").to_pandas().sort_values(["k", "lv", "rv"])
+    exp = (
+        pd.DataFrame({"k": [1, 2, 2, 3, 4], "lv": [10, 20, 21, 30, 40]})
+        .merge(pd.DataFrame({"k": [2, 3, 3, 5], "rv": [200, 300, 301, 500]}),
+               on="k", how="left")
+        .sort_values(["k", "lv", "rv"])
+    )
+    assert len(left) == len(exp) == 6
+    assert list(left["k"]) == list(exp["k"])
+    assert left["rv"].isna().sum() == 2
+
+    empty_r = rd.from_arrow(pa.table({"k": pa.array([], type=pa.int64()),
+                                      "rv": pa.array([], type=pa.int64())}))
+    anti_all = hash_join(l, empty_r, on="k", how="anti").to_pandas()
+    assert sorted(anti_all["k"]) == [1, 2, 2, 3, 4]
+    left_all = hash_join(l, empty_r, on="k", how="left").to_pandas()
+    assert len(left_all) == 5 and left_all["rv"].isna().all()
