@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_orders_left": R.cust_orders_left,
         "cust_no_recent_orders": R.cust_no_recent_orders,
         "approx_distinct_parts": R.approx_distinct_parts,  # rows-only: HLL sketch
+        "approx_quantiles_price": R.approx_quantiles_price,  # rows-only: log-histogram sketch, tolerance-gated in tests
         # large-large joins (native + explicit bucketed) and range join
         "join_orders_native": R.join_orders_native,
         "join_orders_bucketed": R.join_orders_bucketed,

@@ -63,3 +63,75 @@ class HyperLogLog:
         hll = HyperLogLog(data[0])
         hll.registers = np.frombuffer(data[1:], dtype=np.uint8).copy()
         return hll
+
+
+class LogHistogram:
+    """Mergeable quantile sketch for positive floats: log-spaced bins
+    (bin = floor(ln x / ln(1+eps))) give a deterministic, partition-
+    invariant summary with bounded RELATIVE error eps per quantile —
+    the classic log-histogram / DDSketch-style scheme (public
+    algorithm).  Counts are additive, so merge order never matters."""
+
+    def __init__(self, eps: float = 0.01):
+        if not 0 < eps < 1:
+            raise ValueError(f"eps must be in (0,1), got {eps}")
+        self.eps = eps
+        self._gamma = 1.0 + eps
+        self._lg = np.log(self._gamma)
+        self.counts: dict[int, int] = {}
+        self.n_zero = 0  # values <= 0 tracked separately
+
+    def add(self, values: np.ndarray) -> "LogHistogram":
+        v = np.asarray(values, dtype=np.float64)
+        pos = v > 0.0
+        self.n_zero += int((~pos).sum())
+        bins = np.floor(np.log(v[pos]) / self._lg).astype(np.int64)
+        b, c = np.unique(bins, return_counts=True)
+        for bi, ci in zip(b.tolist(), c.tolist()):
+            self.counts[bi] = self.counts.get(bi, 0) + int(ci)
+        return self
+
+    def merge(self, other: "LogHistogram") -> "LogHistogram":
+        assert other.eps == self.eps
+        self.n_zero += other.n_zero
+        for b, c in other.counts.items():
+            self.counts[b] = self.counts.get(b, 0) + c
+        return self
+
+    @property
+    def total(self) -> int:
+        return self.n_zero + sum(self.counts.values())
+
+    def quantile(self, q: float) -> float:
+        """Value estimate at quantile q (0..1): the representative
+        (geometric midpoint) of the bin containing the q-th element."""
+        n = self.total
+        if n == 0:
+            return float("nan")
+        target = int(np.ceil(q * n))
+        if target <= self.n_zero:
+            return 0.0
+        run = self.n_zero
+        for b in sorted(self.counts):
+            run += self.counts[b]
+            if run >= target:
+                return float(self._gamma ** (b + 0.5))
+        return float(self._gamma ** (max(self.counts) + 0.5))
+
+    def to_rows(self):
+        """(bin, count) int64 arrays (n_zero under bin = MIN_INT)."""
+        bins = sorted(self.counts)
+        b = np.array([np.iinfo(np.int64).min] + bins, dtype=np.int64)
+        c = np.array([self.n_zero] + [self.counts[x] for x in bins], dtype=np.int64)
+        return b, c
+
+    @classmethod
+    def from_rows(cls, bins, counts, eps: float = 0.01) -> "LogHistogram":
+        h = cls(eps)
+        zmark = np.iinfo(np.int64).min
+        for b, c in zip(np.asarray(bins).tolist(), np.asarray(counts).tolist()):
+            if b == zmark:
+                h.n_zero += int(c)
+            else:
+                h.counts[int(b)] = h.counts.get(int(b), 0) + int(c)
+        return h

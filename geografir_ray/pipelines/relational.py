@@ -1018,3 +1018,41 @@ WHERE NOT EXISTS (
 )
 ORDER BY c_custkey
 """
+
+
+def approx_quantiles_price(sf_dir: str, eps: float = 0.01):
+    """Approximate p50/p95/p99 of o_totalprice via the mergeable
+    log-histogram sketch (functions/sketch.py): one sketch per batch
+    inside map_batches, bin-count rows merge in a bounded groupby —
+    partition-invariant by construction, relative error <= eps.
+    Rows-only (the sketch's bin math is not worth mirroring in SQL);
+    the tolerance gate vs exact quantiles lives in
+    tests/test_pipelines_misc.py."""
+    import ray.data
+
+    from ..functions.sketch import LogHistogram
+
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = LogHistogram(eps).add(t["o_totalprice"].to_numpy(zero_copy_only=False))
+        b, c = h.to_rows()
+        return pa.table({"bin": pa.array(b), "n": pa.array(c)})
+
+    merged = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["bin"],
+        {"n": ("n", "sum")},
+        merge="driver",  # bounded: O(log(max/min)/eps) bins
+    ).to_pandas()
+    h = LogHistogram.from_rows(merged["bin"].values, merged["n"].values, eps)
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {
+            "quantile_pct": np.array([50, 95, 99], dtype=np.int64),
+            "price_est": [h.quantile(0.5), h.quantile(0.95), h.quantile(0.99)],
+            "n": np.full(3, h.total, dtype=np.int64),
+        }
+    )
+    return ray.data.from_pandas(out)

@@ -32,6 +32,7 @@ def test_queries_have_oracles_or_are_documented(ray_session):
         "emb_ivf_knn",
         "mm_features",
         "approx_distinct_parts",
+        "approx_quantiles_price",
     }
 
 

@@ -466,3 +466,25 @@ def test_hash_join_how_variants(ray_session):
     assert sorted(anti_all["k"]) == [1, 2, 2, 3, 4]
     left_all = hash_join(l, empty_r, on="k", how="left").to_pandas()
     assert len(left_all) == 5 and left_all["rv"].isna().all()
+
+
+def test_approx_quantiles_price_tolerance_and_invariance(ray_session, sf_small):
+    """Sketch quantiles within eps relative error of exact quantiles,
+    and identical across runs (partition-invariant merge)."""
+    import duckdb
+
+    from geografir_ray.pipelines.relational import approx_quantiles_price
+
+    df = approx_quantiles_price(sf_small).to_pandas()
+    df2 = approx_quantiles_price(sf_small).to_pandas()
+    assert df.equals(df2)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf_small}/orders.parquet'"
+    )
+    exact = con.execute(
+        "SELECT quantile_disc(o_totalprice, 0.5), quantile_disc(o_totalprice, 0.95),"
+        " quantile_disc(o_totalprice, 0.99) FROM orders"
+    ).fetchone()
+    for (_, row), ex in zip(df.iterrows(), exact):
+        assert abs(row["price_est"] - ex) / ex < 0.02, (row["quantile_pct"], ex)
