@@ -1100,6 +1100,7 @@ def docs_dedup_components(sf_dir: str, max_iters: int = 25):
     )
     prev_sum = labels.sum("label")
 
+    converged = False
     for _ in range(max_iters):
         msgs = hash_join(
             edges,
@@ -1116,8 +1117,18 @@ def docs_dedup_components(sf_dir: str, max_iters: int = 25):
         ).materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # the SQL oracle computes FULL transitive closure; exiting the
+        # cap mid-propagation would silently diverge (a component with
+        # graph diameter > max_iters) — fail loudly instead.
+        raise RuntimeError(
+            f"docs_dedup_components: min-label propagation did not reach a "
+            f"fixpoint within max_iters={max_iters} (label sum still "
+            f"changing); raise max_iters for long near-dup chains"
+        )
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["node"], "component_id": t["label"]})

@@ -479,34 +479,65 @@ def _partial_topk_rows(qids, sims, vid, k: int):
     )
 
 
-def _merge_topk(scored, k: int):
-    import pandas as pd
+_TOPK_OUT = pa.schema(
+    [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("rank", pa.int64())]
+)
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series([], dtype=np.int64),
-                    "neighbor_id": pd.Series([], dtype=np.int64),
-                    "rank": pd.Series([], dtype=np.int64),
-                }
-            )
-        g = g.sort_values(
-            ["sim", "vec_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        return pd.DataFrame(
+
+def _merge_topk(scored, k: int, n_buckets: int = 64):
+    """Global per-query top-k over the per-batch partial candidates.
+
+    Co-partition by hash(query_id) % B (B ≈ a few x cores, bounded),
+    then one lexsort + segment-select per bucket — the sort+segment
+    pattern of stages/knn.py, NOT one Python call per query (the
+    per-group trap: 1M queries x ~50 us is a minute of pure overhead).
+    Ranks tie-break by ascending vec_id, matching the SQL twin's
+    ORDER BY sim DESC, vec_id."""
+    from ..functions.hashing import splitmix64
+
+    def tag(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__bkt", pa.array((splitmix64(q) % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _TOPK_OUT.empty_table()
+        q = g["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g["sim"].to_numpy(zero_copy_only=False)
+        v = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, -s, q))  # by query, sim desc, vec_id asc
+        qo, vo = q[order], v[order]
+        first = np.ones(len(qo), dtype=bool)
+        first[1:] = qo[1:] != qo[:-1]
+        starts = np.flatnonzero(first)
+        grp = np.cumsum(first) - 1
+        pos = np.arange(len(qo), dtype=np.int64) - starts[grp]
+        keep = pos < k
+        return pa.table(
             {
-                "query_id": g["query_id"].values.astype(np.int64),
-                "neighbor_id": g["vec_id"].values.astype(np.int64),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "query_id": pa.array(qo[keep]),
+                "neighbor_id": pa.array(vo[keep]),
+                "rank": pa.array(pos[keep] + 1),
             }
         )
 
     return (
-        scored.groupby("query_id")
-        .map_groups(topk, batch_format="pandas")
+        scored.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bkt")
+        .map_groups(merge, batch_format="pyarrow")
         .sort(["query_id", "rank"])
     )
+
+
+def _mask_self(sims: np.ndarray, vid: np.ndarray, qids: np.ndarray) -> None:
+    """Set sims[r, c] = -inf where vid[r] == qids[c] (self-match
+    exclusion).  Rows whose vec_id is some query's id are rare (at most
+    nq across the whole dataset), so the inner scan is tiny."""
+    rows = np.flatnonzero(np.isin(vid, qids))
+    for r in rows:
+        sims[r, qids == vid[r]] = -np.inf
 
 
 def ann_brute_topk(ds, qids: np.ndarray, qmat: np.ndarray, k: int = 10):

@@ -65,21 +65,9 @@ def _winner_key(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return url_hash, packed
 
 
-def dedup_by_url(pages):
-    """Exact dedup: keep the deterministic winner (min warc_ts, hash
-    tie-break) per url — NO per-group Python.
-
-    Plan (scale-first): (1) per-batch combiner emits one (url_hash,
-    min packed) row per url per batch; (2) a vectorized groupby Min
-    over the partials yields the winner key per url; (3) winners
-    broadcast (16 B/url) and each batch keeps rows whose packed key
-    equals their url's winner.  The earlier groupby.map_groups form
-    made one Python call per url (~50 us x n_urls — 250 s at 1M urls);
-    this form is three vectorized passes.  For url cardinalities too
-    large to broadcast, swap step 3 for Dataset.join on url_hash.
-    """
-    import ray
-    from ray.data.aggregate import Min
+def _winner_partials(pages):
+    """Per-batch combiner: <= one (url_hash, min packed) row per url
+    per batch — collapses duplicates before any exchange."""
 
     def partial(t: pa.Table) -> pa.Table:
         url_hash, packed = _winner_key(t)
@@ -88,37 +76,170 @@ def dedup_by_url(pages):
         ).aggregate([("packed", "min")])
         return g.rename_columns(["url_hash", "packed"])
 
-    partials = pages.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    # global min-merge: the combiner already emits <= one row per url
-    # per batch, so the partial set is ~n_urls rows (16 B each) — a
-    # driver-side vectorized merge beats an all-to-all groupby by ~10x
-    # at 1M urls.  For url cardinalities beyond driver memory, replace
-    # with `.groupby("url_hash").aggregate(Min(...))` (same semantics,
-    # distributed) — the combiner keeps that exchange small too.
-    wpd = partials.to_pandas()
-    merged = wpd.groupby("url_hash", sort=True)["packed"].min()
-    ref = ray.put(
-        (
-            merged.index.values.astype(np.int64),
-            merged.values.astype(np.int64),
-        )
-    )
+    return pages.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
+
+def _broadcast_keep_filter(pages, wh: np.ndarray, wp: np.ndarray):
+    """Filter pages to rows whose (url_hash, packed) is a winner, via a
+    broadcast sorted winner array (16 B/url) — no shuffle of the corpus."""
+    import ray
+
+    ref = ray.put((wh, wp))
     _cache: dict = {}
 
     def keep_winners(t: pa.Table) -> pa.Table:
         if "w" not in _cache:
             _cache["w"] = ray.get(ref)
-        wh, wp = _cache["w"]
+        wh_, wp_ = _cache["w"]
         url_hash, packed = _winner_key(t)
-        pos = np.searchsorted(wh, url_hash)
-        pos = np.clip(pos, 0, len(wh) - 1)
-        keep = (wh[pos] == url_hash) & (wp[pos] == packed)
+        pos = np.searchsorted(wh_, url_hash)
+        pos = np.clip(pos, 0, max(len(wh_) - 1, 0))
+        if len(wh_) == 0:
+            keep = np.zeros(t.num_rows, dtype=bool)
+        else:
+            keep = (wh_[pos] == url_hash) & (wp_[pos] == packed)
         return t.filter(pa.array(keep))
 
     return pages.map_batches(
         keep_winners, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+_TAG_COLS = ["__uh", "__pk", "__bkt"]
+
+
+def _shuffle_dedup(pages, n_buckets: int):
+    """Fully distributed dedup in ONE exchange: hash-partition the
+    corpus on url_hash into B buckets, and resolve winners inside each
+    bucket with a vectorized lexsort + segment-min (all rows of a url
+    are co-located by construction).  Nothing ever lands on the driver
+    — the unbounded-url-cardinality path.
+
+    Measured: 12M pages / 11.88M distinct urls in ~14.5 s at 32 CPUs;
+    the alternative two-exchange plan (distributed groupby-Min winners
+    + co-partition filter) took 233 s — Ray's sort-based aggregate over
+    ~12M partial KEYS dwarfed the single payload exchange.
+
+    n_buckets is the map_groups call count AND the per-call
+    materialization unit: size it so corpus_bytes / n_buckets fits a
+    worker heap (the per-group-Python trap is per-KEY calls, not
+    per-bucket — 100k buckets of vectorized work is fine at 100 TB)."""
+    from ..functions.hashing import splitmix64
+
+    def tag(t: pa.Table) -> pa.Table:
+        url_hash, packed = _winner_key(t)
+        t = t.append_column("__uh", pa.array(url_hash))
+        t = t.append_column("__pk", pa.array(packed))
+        b = (splitmix64(url_hash.astype(np.uint64)) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        return t.append_column("__bkt", pa.array(b))
+
+    def keep(g: pa.Table) -> pa.Table:
+        uh = g["__uh"].to_numpy(zero_copy_only=False)
+        pk = g["__pk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, uh))
+        uo, po = uh[order], pk[order]
+        first = np.ones(len(uo), dtype=bool)
+        first[1:] = uo[1:] != uo[:-1]
+        grp = np.cumsum(first) - 1
+        minpk = po[np.flatnonzero(first)][grp]  # per sorted row: its url's min
+        km = np.empty(len(uo), dtype=bool)
+        km[order] = po == minpk
+        return g.filter(pa.array(km)).drop_columns(_TAG_COLS)
+
+    return (
+        pages.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bkt")
+        .map_groups(keep, batch_format="pyarrow")
+    )
+
+
+def dedup_by_url(
+    pages,
+    merge: str = "auto",
+    broadcast_threshold: int = 4_000_000,
+    n_buckets: int = 64,
+):
+    """Exact dedup: keep the deterministic winner (min warc_ts, hash
+    tie-break) per url — NO per-group Python, scale-safe by DEFAULT.
+
+    Paths, chosen by ``merge``:
+
+    - "shuffle": ONE hash-partition exchange of the corpus on
+      url_hash; winners resolve inside each bucket vectorized (all of
+      a url's rows are co-located).  NOTHING is materialized on the
+      driver — correct at any url cardinality (the 10^12-doc path).
+      Measured 12M pages / 11.88M distinct urls in ~14.5 s @ 32 CPUs.
+    - "driver": per-batch combiner partials (<= one 16 B row per url
+      per batch) stream to the driver, merge in one vectorized pass,
+      and the winner array broadcasts into a task-side filter — NO
+      shuffle of the payload.  Fastest; opt-in for provably bounded
+      key counts only (CLAUDE.md rule 2).
+    - "auto" (default): a memory-CAPPED driver probe streams the
+      partials, compacting incrementally; if the distinct url count
+      stays <= broadcast_threshold the broadcast filter is used, else
+      the probe aborts and the plan falls back to the fully
+      distributed "shuffle" path.  Driver memory is bounded by
+      ~2 x threshold x 16 B regardless of corpus size.
+
+    The earlier groupby.map_groups form made one Python call per url
+    (~50 us x n_urls — 250 s at 1M urls); every path here is
+    vectorized passes only.  A two-exchange alternative (distributed
+    groupby-Min winner set + co-partition semi-join filter) measured
+    16x SLOWER than "shuffle" at 12M urls — Ray's sort-based aggregate
+    over ~n_url partial keys costs more than exchanging the payload
+    once — so it was dropped.
+    """
+    if merge not in ("auto", "driver", "shuffle"):
+        raise ValueError(f"unsupported merge={merge!r}")
+
+    if merge == "driver":
+        partials = _winner_partials(pages)
+        wpd = partials.to_pandas()
+        merged = wpd.groupby("url_hash", sort=True)["packed"].min()
+        return _broadcast_keep_filter(
+            pages, merged.index.values.astype(np.int64), merged.values.astype(np.int64)
+        )
+
+    if merge == "auto":
+        # capped incremental driver merge: accumulate partial batches,
+        # compact (group-min) whenever the buffer passes 2x cap; abort
+        # the moment the COMPACTED distinct count exceeds the cap.
+        cap = int(broadcast_threshold)
+        buf: list[pa.Table] = []
+        buffered = 0
+        over = False
+
+        def compact(tables: list[pa.Table]) -> pa.Table:
+            whole = pa.concat_tables(tables)
+            g = whole.group_by("url_hash").aggregate([("packed", "min")])
+            return g.rename_columns(["url_hash", "packed"])
+
+        for b in _winner_partials(pages).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            if b.num_rows == 0:
+                continue
+            buf.append(b)
+            buffered += b.num_rows
+            if buffered > 2 * cap:
+                buf = [compact(buf)]
+                buffered = buf[0].num_rows
+                if buffered > cap:
+                    over = True
+                    break
+        if not over:
+            merged = compact(buf) if buf else pa.table(
+                {"url_hash": pa.array([], pa.int64()), "packed": pa.array([], pa.int64())}
+            )
+            if merged.num_rows <= cap:
+                wh = merged["url_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+                wp = merged["packed"].to_numpy(zero_copy_only=False).astype(np.int64)
+                order = np.argsort(wh, kind="stable")
+                return _broadcast_keep_filter(pages, wh[order], wp[order])
+
+    return _shuffle_dedup(pages, n_buckets)
 
 
 def extract_locations(pages):

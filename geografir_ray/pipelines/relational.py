@@ -185,15 +185,15 @@ def q3_top_orders(sf_dir: str):
         right_cols=["l_orderkey", "o_orderdate"],
     )
 
-    # hash_join co-partitions by orderkey, so every orderkey's rows sit
-    # in exactly one output block — a per-block combiner IS the full
-    # aggregation; no second all-to-all needed
-    agg = joined.map_batches(
-        partial_groupby(
-            ["l_orderkey", "o_orderdate"], {"revenue_c": ("rev_c", "sum")}
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
+    # hash_join co-partitions by orderkey, but Ray may split a large
+    # bucket's output into several blocks (target_max_block_size), so a
+    # key's rows can straddle blocks — the per-batch combiner inside
+    # grouped_sum collapses within-block duplicates and the distributed
+    # merge handles the (rare) cross-block remainder exactly.
+    agg = grouped_sum(
+        joined,
+        ["l_orderkey", "o_orderdate"],
+        {"revenue_c": ("rev_c", "sum")},
     )
 
     def finish(t: pa.Table) -> pa.Table:

@@ -90,3 +90,41 @@ def pages_dataset(n_rows: int, num_blocks: int | None = None):
 
 def write_pages_parquet(path: str, n_rows: int) -> None:
     pages_dataset(n_rows).write_parquet(path)
+
+
+def pages_skinny_batch(i: np.ndarray) -> pa.Table:
+    """(url, warc_ts, text) rows — same url-duplication scheme as
+    pages_batch but fully vectorized (pyarrow string kernels, no
+    Python loop), for benches whose subject is the dedup exchange
+    itself rather than text extraction."""
+    import pyarrow.compute as pc
+
+    url_key = np.where(i % 100 == 99, i - 1, i)
+    ks = pc.cast(pa.array(url_key), pa.string())
+    urls = pc.binary_join_element_wise(
+        pa.scalar("https://site.example/p/"), ks, pa.scalar("")
+    )
+    ts = (EPOCH_US + i * 7_000_000 + (i % 100 == 99) * 3_500_000).astype(
+        "datetime64[us]"
+    )
+    text = pc.binary_join_element_wise(
+        pa.scalar("body text for page "),
+        ks,
+        pa.scalar(" with enough payload bytes to make the exchange honest"),
+        pa.scalar(""),
+    )
+    return pa.table({"url": urls, "warc_ts": pa.array(ts), "text": text})
+
+
+def pages_skinny_dataset(n_rows: int, num_blocks: int | None = None):
+    import ray
+    import ray.data as rd
+
+    nb = num_blocks or max(8, int(ray.cluster_resources().get("CPU", 8)) * 4)
+
+    def gen(t: pa.Table) -> pa.Table:
+        return pages_skinny_batch(t["id"].to_numpy())
+
+    return rd.range(n_rows, override_num_blocks=nb).map_batches(
+        gen, batch_format="pyarrow", batch_size=None
+    )

@@ -8,6 +8,14 @@ cluster cores, NOT the key cardinality (the per-group-Python trap
 measured in pages dedup).  Hot keys within a bucket can be salted
 upstream (stages/salt.py).
 
+The per-bucket merge is Arrow-native end-to-end: numpy
+argsort/searchsorted builds gather indices and ``pa.Table.take``
+materializes the output — no pandas, so string/list columns never pay
+per-row Python-object materialization (CLAUDE.md rule 10) and
+unmatched left-join right columns are typed Arrow nulls from the right
+side's real schema (no object-dtype schema drift between matched and
+unmatched buckets).
+
 Ray >= 2.47 also ships a native ``Dataset.join`` (hash shuffle); the
 relational queries exercise both paths so either can be swapped in.
 """
@@ -15,7 +23,6 @@ relational queries exercise both paths so either can be swapped in.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import splitmix64
@@ -23,6 +30,29 @@ from ..functions.hashing import splitmix64
 
 def _bucket_of(key: np.ndarray, n_buckets: int) -> np.ndarray:
     return (splitmix64(key.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+
+
+def _int64(col) -> np.ndarray:
+    return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _expand_matches(
+    lk: np.ndarray, rk_sorted: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All (left row, sorted-right row) index pairs with equal keys.
+
+    Returns (left_idx, right_sorted_idx, counts) where counts[i] is
+    the number of matches for left row i.  Pure vectorized expansion:
+    searchsorted bounds + the cumsum-offset trick.
+    """
+    lo = np.searchsorted(rk_sorted, lk, side="left")
+    hi = np.searchsorted(rk_sorted, lk, side="right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    li = np.repeat(np.arange(len(lk), dtype=np.int64), cnt)
+    starts = np.repeat(lo, cnt)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    return li, starts + offs, cnt
 
 
 def hash_join(
@@ -37,13 +67,13 @@ def hash_join(
     """Equi-join of two Datasets on an int64 key column.
 
     Both sides tagged with bucket = hash(key) % B, unioned, and merged
-    pairwise per bucket with a vectorized pandas merge.  Column name
-    collisions (other than ``on``) must be resolved by the caller via
-    left_cols/right_cols projections.
+    pairwise per bucket with a vectorized searchsorted gather (Arrow
+    take — zero pandas).  Column name collisions (other than ``on``)
+    must be resolved by the caller via left_cols/right_cols projections.
 
     ``how``: "inner" (default), "left" (unmatched left rows kept with
-    nullable-Int64 right columns so matched and unmatched blocks agree
-    on schema), "semi" (left rows with a match, left columns only), or
+    typed-null right columns so matched and unmatched blocks agree on
+    schema), "semi" (left rows with a match, left columns only), or
     "anti" (left rows without a match, left columns only).
     """
     if how not in ("inner", "left", "semi", "anti"):
@@ -53,7 +83,7 @@ def hash_join(
         def fn(t: pa.Table) -> pa.Table:
             if cols:
                 t = t.select(cols)
-            k = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            k = _int64(t[on])
             t = t.append_column("__bucket", pa.array(_bucket_of(k, n_buckets)))
             return t.append_column(
                 "__side", pa.array(np.full(t.num_rows, side, dtype=np.int8))
@@ -66,67 +96,91 @@ def hash_join(
     rt = right.map_batches(tag(1, right_cols), batch_format="pyarrow")
     unioned = lt.union(rt)
 
-    import pyarrow.types as pt
-
     lschema = left.schema()
     rschema = right.schema()
-    lnames = [c for c in (left_cols or lschema.names) if c != on]
-    rnames = [c for c in (right_cols or rschema.names) if c != on]
-    # the union null-promotes each side's missing columns, and pandas
-    # renders int-with-nulls as float — restore integer dtypes after
-    # the (null-free) per-side selection
-    int_cols = [on]
-    for name, schema in [(c, lschema) for c in lnames] + [(c, rschema) for c in rnames]:
-        t = schema.base_schema.field(name).type if hasattr(schema, "base_schema") else None
-        if t is not None and pt.is_integer(t):
-            int_cols.append(name)
+    l_pa: pa.Schema = getattr(lschema, "base_schema", lschema)
+    r_pa: pa.Schema = getattr(rschema, "base_schema", rschema)
+    lnames = [c for c in (left_cols or l_pa.names) if c != on]
+    rnames = [c for c in (right_cols or r_pa.names) if c != on]
+    out_rnames = rnames if how in ("inner", "left") else []
 
-    r_int = [c for c in int_cols if c in rnames]
+    def _empty_out() -> pa.Table:
+        cols: dict[str, pa.Array] = {on: pa.array([], type=l_pa.field(on).type)}
+        for c in lnames:
+            cols[c] = pa.array([], type=l_pa.field(c).type)
+        for c in out_rnames:
+            cols[c] = pa.array([], type=r_pa.field(c).type)
+        return pa.table(cols)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        missing_l = [c for c in lnames if c not in g.columns]
-        missing_r = [c for c in rnames if c not in g.columns]
-        if missing_l or missing_r:
-            # a fully-empty side contributes no blocks to the union, so
-            # its columns never materialize in the group frame
-            if missing_l or how in ("inner", "semi"):
-                out_cols = {on: pd.Series([], dtype=np.int64)}
-                for c in (*lnames, *(rnames if how not in ("semi", "anti") else ())):
-                    out_cols[c] = pd.Series([], dtype=object)
-                return pd.DataFrame(out_cols)
-            # right side empty, left present
-            lmask0 = g["__side"].values == 0
-            l0 = g.loc[lmask0, [on, *lnames]]
-            for c in int_cols:
-                if c in l0.columns:
-                    l0 = l0.astype({c: np.int64})
-            if how == "anti":
-                return l0
-            for c in rnames:  # how == "left": all-null right columns
-                l0[c] = pd.array([None] * len(l0), dtype="Int64" if c in r_int else object)
-            return l0
-        lmask = g["__side"].values == 0
-        l = g.loc[lmask, [on, *lnames]]
-        r = g.loc[~lmask, [on, *rnames]]
-        for c in int_cols:
-            if c in l.columns:
-                l = l.astype({c: np.int64})
-            if c in r.columns:
-                r = r.astype({c: np.int64})
-        if how == "semi":
-            return l[np.isin(l[on].values, r[on].values)]
-        if how == "anti":
-            return l[~np.isin(l[on].values, r[on].values)]
-        if how == "left":
-            out = l.merge(r, on=on, how="left")
-            # matched-vs-missed blocks must agree on dtype: nullable
-            # Int64 for right int columns (arrow int64-with-nulls)
-            for c in r_int:
-                out[c] = out[c].astype("Int64")
-            return out
-        return l.merge(r, on=on, how="inner")
+    def merge(g: pa.Table) -> pa.Table:
+        present = set(g.column_names)
+        # a fully-empty side contributes no blocks to the union, so its
+        # columns never materialize in the group table
+        if any(c not in present for c in (on, *lnames)):
+            return _empty_out()
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        lt_ = g.filter(pa.array(lmask)).select([on, *lnames])
+        lk = _int64(lt_[on])
+        r_present = all(c in present for c in rnames)
+        if r_present and (~lmask).any():
+            rt_full = g.filter(pa.array(~lmask))
+            rk = _int64(rt_full[on])
+        else:
+            rt_full = None
+            rk = np.array([], dtype=np.int64)
 
-    return unioned.groupby("__bucket").map_groups(merge, batch_format="pandas")
+        if how in ("semi", "anti"):
+            hit = np.isin(lk, rk)
+            return lt_.filter(pa.array(hit if how == "semi" else ~hit))
+
+        if len(rk) == 0:
+            if how == "inner":
+                return _empty_out()
+            # left join, no right rows in bucket: typed nulls
+            cols = {on: lt_[on]}
+            for c in lnames:
+                cols[c] = lt_[c]
+            for c in rnames:
+                cols[c] = pa.nulls(lt_.num_rows, type=r_pa.field(c).type)
+            return pa.table(cols)
+
+        order = np.argsort(rk, kind="stable")
+        rk_s = rk[order]
+        li, ri_s, cnt = _expand_matches(lk, rk_s)
+        rt_vals = rt_full.select(rnames)
+
+        if how == "inner":
+            out_l = lt_.take(pa.array(li))
+            out_r = rt_vals.take(pa.array(order[ri_s]))
+            cols = {on: out_l[on]}
+            for c in lnames:
+                cols[c] = out_l[c]
+            for c in rnames:
+                cols[c] = out_r[c]
+            return pa.table(cols)
+
+        # how == "left": unmatched left rows emit one row of typed nulls
+        cnt2 = np.where(cnt == 0, 1, cnt)
+        total = int(cnt2.sum())
+        li2 = np.repeat(np.arange(len(lk), dtype=np.int64), cnt2)
+        starts = np.repeat(np.searchsorted(rk_s, lk, side="left"), cnt2)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt2) - cnt2, cnt2
+        )
+        matched = np.repeat(cnt > 0, cnt2)
+        ri_raw = np.where(matched, starts + offs, 0)
+        ridx = pa.array(order[ri_raw], mask=~matched)  # null index -> null row
+        out_l = lt_.take(pa.array(li2))
+        out_r = rt_vals.take(ridx)
+        cols = {on: out_l[on]}
+        for c in lnames:
+            cols[c] = out_l[c]
+        for c in rnames:
+            cols[c] = out_r[c]
+        return pa.table(cols)
+
+    return unioned.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def range_join(
@@ -143,9 +197,10 @@ def range_join(
     Co-partition by time bucket (width = tolerance): right rows land in
     their own bucket; left rows probe buckets b-1..b+1, so every
     qualifying pair meets exactly once (in the right row's bucket) —
-    no dedup needed.  The per-bucket merge joins on ``key``; for
-    key-skewed data add a key-hash component to the bucket column
-    (same pattern as hash_join) to split giant time buckets.
+    no dedup needed.  The per-bucket merge is a numpy lexsort +
+    searchsorted gather on ``key`` (no pandas); for key-skewed data add
+    a key-hash component to the bucket column (same pattern as
+    hash_join) to split giant time buckets.
     """
 
     width = int(tolerance_us)
@@ -182,22 +237,27 @@ def range_join(
     rt = right.map_batches(tag_right, batch_format="pyarrow")
     unioned = lt.union(rt)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        # right rows owned by this time bucket x probing left rows
-        rmask = g["__side"].values == 1
-        r = g.loc[rmask, ["key", "ts", "rid"]].rename(
-            columns={"ts": "r_ts", "rid": "r_rid"}
-        )
-        l = g.loc[~rmask, ["key", "ts", "rid"]].rename(
-            columns={"ts": "l_ts", "rid": "l_rid"}
-        )
-        if not len(r) or not len(l):
-            return pd.DataFrame(
-                {"l_rid": pd.Series([], dtype=np.int64), "r_rid": pd.Series([], dtype=np.int64)}
+    def merge(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        rmask = side == 1
+        k = _int64(g["key"])
+        ts = _int64(g["ts"])
+        rid = _int64(g["rid"])
+        rkey, rts, rrid = k[rmask], ts[rmask], rid[rmask]
+        lkey, lts, lrid = k[~rmask], ts[~rmask], rid[~rmask]
+        if not len(rkey) or not len(lkey):
+            return pa.table(
+                {
+                    "l_rid": pa.array([], type=pa.int64()),
+                    "r_rid": pa.array([], type=pa.int64()),
+                }
             )
-        m = l.merge(r, on="key", how="inner")
-        ok = (m["l_ts"] - m["r_ts"]).abs() <= width
-        out = m.loc[ok, ["l_rid", "r_rid"]]
-        return out.astype({"l_rid": np.int64, "r_rid": np.int64})
+        order = np.argsort(rkey, kind="stable")
+        li, ri_s, _ = _expand_matches(lkey, rkey[order])
+        ri = order[ri_s]
+        ok = np.abs(lts[li] - rts[ri]) <= width
+        return pa.table(
+            {"l_rid": pa.array(lrid[li][ok]), "r_rid": pa.array(rrid[ri][ok])}
+        )
 
-    return unioned.groupby("__tb").map_groups(merge, batch_format="pandas")
+    return unioned.groupby("__tb").map_groups(merge, batch_format="pyarrow")

@@ -103,11 +103,17 @@ def _lon_edge_km(dlon_deg: np.ndarray, lat: np.ndarray) -> np.ndarray:
 
 
 def _ring_edge_km_pos(
-    lat: np.ndarray, lon: np.ndarray, bits: int, radius: int
+    lat: np.ndarray, lon: np.ndarray, qcell: np.ndarray, bits: int, radius: int
 ) -> np.ndarray:
     """Per-query lower bound on the distance to anything OUTSIDE its
     radius-R cell neighborhood, from the query's ACTUAL offsets to the
     four ring boundaries (tighter than a whole-cell-extent bound).
+
+    row/col are decoded from ``qcell`` — the EXACT cell the bucket was
+    partitioned on — rather than recomputed from floor math, so the
+    bound can never drift from the partitioning cell by one cell (the
+    unsafe direction: an overestimated bound would mark inexact results
+    exact).
 
     Boundaries that don't exist drop out: a ring clipped at a pole has
     no lat boundary on that side; a ring covering every column has no
@@ -117,8 +123,9 @@ def _ring_edge_km_pos(
     cl_lon = 360.0 / n
     lat = np.asarray(lat, dtype=np.float64)
     lon = np.asarray(lon, dtype=np.float64)
-    row = np.clip(np.floor((lat + 90.0) / cl_lat), 0, n - 1)
-    col = np.clip(np.floor((lon + 180.0) / cl_lon), 0, n - 1)
+    qcell = np.asarray(qcell, dtype=np.uint64)
+    row = (qcell >> np.uint64(32)).astype(np.float64)
+    col = (qcell & np.uint64(0xFFFFFFFF)).astype(np.float64)
     inf = np.inf
     # lat boundaries (clipped rings reach the pole -> no boundary)
     lat_lo = (row - radius) * cl_lat - 90.0
@@ -301,7 +308,7 @@ def _resolve_round(qds, targets, k: int, bits: int, radius: int,
             if len(vq):
                 starts = ustart[loc_c[vq]]
                 counts = uend[loc_c[vq]] - starts
-                bound = _ring_edge_km_pos(qlat, qlon, bits, radius)
+                bound = _ring_edge_km_pos(qlat, qlon, qcell, bits, radius)
                 qxyz = unit_xyz(qlat, qlon)
                 txyz = unit_xyz(tlat, tlon)
                 for qq, found, idx, c2 in _class_topk_iter(

@@ -45,6 +45,38 @@ def test_pages_dedup_by_url_winner(ray_session):
         assert a.encode() == b.encode()
 
 
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"merge": "driver"},
+        {"merge": "shuffle", "n_buckets": 8},
+        {"merge": "auto"},
+        # tiny cap forces the auto probe to abort into the distributed
+        # shuffle path — exercises the unbounded-cardinality fallback
+        {"merge": "auto", "broadcast_threshold": 3},
+    ],
+    ids=["driver", "shuffle", "auto", "auto_overflow"],
+)
+def test_pages_dedup_modes_equivalent(ray_session, kwargs):
+    """Every winner-merge path keeps exactly the same rows."""
+    import ray.data as rd
+
+    from geografir_ray.pipelines.pages import dedup_by_url
+    from geografir_ray.sources.synth import pages_batch
+
+    t = pages_batch(0, 1500)
+    out = dedup_by_url(rd.from_arrow(t).repartition(7), **kwargs).to_pandas()
+    src = t.to_pandas()
+    expect = src.sort_values(["warc_ts", "url"]).groupby("url", as_index=False).first()
+    assert len(out) == src["url"].nunique()
+    got = out.sort_values("url").reset_index(drop=True)
+    exp = expect.sort_values("url").reset_index(drop=True)
+    assert list(got.columns) == list(src.columns)  # schema preserved
+    assert (got["url"].values == exp["url"].values).all()
+    assert (got["warc_ts"].values == exp["warc_ts"].values).all()
+    assert (got["text"].values == exp["text"].values).all()
+
+
 def test_pages_zonal_end_to_end(ray_session):
     import ray.data as rd
 
