@@ -53,59 +53,14 @@ def _queries_payload(sf_dir: str):
 def emb_knn(sf_dir: str):
     """Top-5 cosine neighbors among all vectors for each of the first 10
     query vectors (self-match excluded).  Output int ranks only — float
-    similarity stays engine-internal so the value-hash is exact."""
-    import ray
+    similarity stays engine-internal so the value-hash is exact.
 
+    Expressed on the generic ``ann_brute_topk`` operator: the exchange
+    is bounded at ~k rows per query per batch (per-batch partial top-k
+    with tie-safe threshold), never the full score cross-product."""
     qids, qn = _queries_payload(sf_dir)
-    ref = ray.put((qids, qn))
-
-    from ..stages.broadcast import with_broadcast
-
-    def score(state, t: pa.Table) -> pa.Table:
-        qids, qn = state
-        m = _emb_matrix(t)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ qn.T  # (batch, nq)
-        vid = t["vec_id"].to_numpy(zero_copy_only=False)
-        out_q = np.repeat(qids, len(vid))
-        out_v = np.tile(vid, len(qids))
-        out_s = sims.T.ravel()
-        keep = out_q != out_v  # exclude self
-        return pa.table(
-            {
-                "query_id": pa.array(out_q[keep]),
-                "vec_id": pa.array(out_v[keep]),
-                "sim": pa.array(out_s[keep]),
-            }
-        )
-
-    scored = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
-        with_broadcast(ref, score, "cosine_score"), batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-
-    # per-query top-k merge: groupby(query) over per-batch candidates.
-    # Scale path: a per-batch partial top-k before the shuffle bounds
-    # the exchange at k rows per query per batch.
-    import pandas as pd
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(
-            TOP_K
-        )
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"].values.astype(np.int64),
-                "neighbor_id": g["vec_id"].values.astype(np.int64),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-            }
-        )
-
-    return (
-        scored.groupby("query_id")
-        .map_groups(topk, batch_format="pandas")
-        .sort(["query_id", "rank"])
-    )
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_brute_topk(ds, qids, qn, k=TOP_K, exclude_self=True)
 
 
 EMB_KNN_SQL = f"""
@@ -239,67 +194,21 @@ def emb_label_stats(sf_dir: str):
 
 
 def emb_ivf_knn(sf_dir: str, n_cells: int = 8, nprobe: int = 3):
-    import pandas as pd
-    import ray
+    """IVF-bucketed approximate top-5, expressed on the generic
+    ``ann_ivf_topk`` operator (bounded exchange, cell-inverted probe).
 
-    full = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-
-    # deterministic "training": centroids = first n_cells vectors (seeded
-    # kmeans++ would need iteration; init-only keeps it reproducible)
-    head = read_table_local(sf_dir, "embeddings", columns=["vec_id", "embedding"]).sort_values("vec_id").head(n_cells)
-    cent = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"]])
-    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
-    qids, qn = _queries_payload(sf_dir)
-    # queries probe their nprobe nearest cells
-    qcells = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
-    ref = ray.put((qids, qn, cent, qcells))
-
-    from ..stages.broadcast import with_broadcast
-
-    def assign(state, t: pa.Table) -> pa.Table:
-        qids, qn, cent_m, qcells = state
-        m = _emb_matrix(t)
-        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        cell = np.argmax(mn @ cent_m.T, axis=1)
-        vid = t["vec_id"].to_numpy(zero_copy_only=False)
-        # emit candidates only for (query, vector-in-probed-cell)
-        out_q, out_v, out_s = [], [], []
-        sims = mn @ qn.T  # (batch, nq)
-        for qi in range(len(qids)):
-            probe = np.isin(cell, qcells[qi])
-            probe &= vid != qids[qi]
-            out_q.append(np.full(int(probe.sum()), qids[qi], dtype=np.int64))
-            out_v.append(vid[probe])
-            out_s.append(sims[probe, qi])
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "vec_id": pa.array(np.concatenate(out_v)),
-                "sim": pa.array(np.concatenate(out_s)),
-            }
-        )
-
-    scored = full.map_batches(
-        with_broadcast(ref, assign, "ivf_assign"), batch_format="pyarrow",
-        zero_copy_batch=True,
+    Deterministic "training": centroids = first n_cells vectors (seeded
+    kmeans++ would need iteration; init-only keeps it reproducible)."""
+    head = (
+        read_table_local(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .sort_values("vec_id")
+        .head(n_cells)
     )
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(
-            TOP_K
-        )
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"].values.astype(np.int64),
-                "neighbor_id": g["vec_id"].values.astype(np.int64),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-            }
-        )
-
-    return (
-        scored.groupby("query_id")
-        .map_groups(topk, batch_format="pandas")
-        .sort(["query_id", "rank"])
+    cent = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"]])
+    qids, qn = _queries_payload(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_ivf_topk(
+        ds, qids, qn, cent, k=TOP_K, nprobe=nprobe, exclude_self=True
     )
 
 
@@ -465,16 +374,23 @@ ORDER BY a, b
 def _partial_topk_rows(qids, sims, vid, k: int):
     """(query_id, vec_id, sim) rows of the per-batch top-k per query.
 
-    sims: (n_batch, nq).  argpartition per column keeps the exchange at
-    k rows per query per batch."""
+    sims: (n_batch, nq).  partition per column keeps the exchange at
+    ~k rows per query per batch.  Rows TIED with the kth similarity are
+    all kept (>= threshold, not an arbitrary argpartition cut), so the
+    global merge's (sim desc, vec_id asc) tie-break sees every candidate
+    that could be in the true top-k — exactness is partition-invariant.
+    -inf similarities (self-match masking) are dropped."""
     nb, nq = sims.shape
     kk = min(k, nb)
-    idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+    # kth-largest sim per query column; keep everything >= it
+    thresh = -np.partition(-sims, kk - 1, axis=0)[kk - 1]
+    mask = (sims >= thresh[None, :]) & np.isfinite(sims)
+    qi, vi = np.nonzero(mask.T)  # query-major order
     return pa.table(
         {
-            "query_id": pa.array(np.repeat(qids, kk)),
-            "vec_id": pa.array(vid[idx].T.ravel()),
-            "sim": pa.array(np.take_along_axis(sims, idx, axis=0).T.ravel()),
+            "query_id": pa.array(np.asarray(qids, dtype=np.int64)[qi]),
+            "vec_id": pa.array(vid[vi]),
+            "sim": pa.array(sims[vi, qi]),
         }
     )
 
@@ -540,9 +456,13 @@ def _mask_self(sims: np.ndarray, vid: np.ndarray, qids: np.ndarray) -> None:
         sims[r, qids == vid[r]] = -np.inf
 
 
-def ann_brute_topk(ds, qids: np.ndarray, qmat: np.ndarray, k: int = 10):
+def ann_brute_topk(
+    ds, qids: np.ndarray, qmat: np.ndarray, k: int = 10, exclude_self: bool = False
+):
     """Exact cosine top-k of each query against a Dataset with
-    (vec_id, embedding).  qmat rows need not be normalized."""
+    (vec_id, embedding).  qmat rows need not be normalized.
+    ``exclude_self`` drops rows whose vec_id equals the query's id
+    (the self-kNN case where queries come from the dataset itself)."""
     import ray
 
     from ..stages.broadcast import with_broadcast
@@ -559,7 +479,10 @@ def ann_brute_topk(ds, qids: np.ndarray, qmat: np.ndarray, k: int = 10):
         m = _emb_matrix(t)
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return _partial_topk_rows(qids, m @ qn.T, vid, k)
+        sims = m @ qn.T
+        if exclude_self:
+            _mask_self(sims, vid, qids)
+        return _partial_topk_rows(qids, sims, vid, k)
 
     scored = ds.map_batches(
         with_broadcast(ref, score, "ann_brute"), batch_format="pyarrow",
@@ -570,7 +493,7 @@ def ann_brute_topk(ds, qids: np.ndarray, qmat: np.ndarray, k: int = 10):
 
 def ann_ivf_topk(
     ds, qids: np.ndarray, qmat: np.ndarray, centroids: np.ndarray,
-    k: int = 10, nprobe: int = 8,
+    k: int = 10, nprobe: int = 8, exclude_self: bool = False,
 ):
     """IVF-bucketed approximate cosine top-k: batch vectors group by
     nearest centroid; only queries probing a cell compute sims against
@@ -605,6 +528,8 @@ def ann_ivf_topk(
                 continue
             rows = np.flatnonzero(cell == c)
             sims = m[rows] @ qn[qsel].T  # (cell rows, probing queries)
+            if exclude_self:
+                _mask_self(sims, vid[rows], qids[qsel])
             parts.append(_partial_topk_rows(qids[qsel], sims, vid[rows], k))
         if not parts:
             return empty
