@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_tile_stats": RQ.raster_tile_stats,
         "raster_burn": RQ.raster_burn,
         "raster_conform": RQ.raster_conform,
+        "raster_conform_bilinear": RQ.raster_conform_bilinear,
         "raster_overview": RQ.raster_overview,
         # large-large partitioned kNN + multimodal plumbing
         "geo_knn_partitioned": S.knn_partitioned_query,
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_tile_stats": RQ.RASTER_TILE_STATS_SQL,
         "raster_burn": RQ.raster_burn_sql(),
         "raster_conform": RQ.RASTER_CONFORM_SQL,
+        "raster_conform_bilinear": RQ.RASTER_CONFORM_BILINEAR_SQL,
         "raster_overview": RQ.RASTER_OVERVIEW_SQL,
         "geo_knn_partitioned": S.knn_partitioned_sql(),
         "docs_locations": D.docs_locations_sql(),

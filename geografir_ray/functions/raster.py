@@ -43,6 +43,44 @@ RASTER_COMPRESS_Z_LEVEL = 9
 NO_RESOLUTION_SPECIFIED = 0
 
 
+class Resampling:
+    """Resampling method ids, mirroring rasterio.enums.Resampling's
+    names and values (the reference's conform_to accepts this enum,
+    raster_array.py:163).  Implemented from scratch: nearest, bilinear,
+    average; the remaining ids are accepted as names but raise
+    NotImplementedError at use."""
+
+    nearest = 0
+    bilinear = 1
+    cubic = 2
+    cubic_spline = 3
+    lanczos = 4
+    average = 5
+    mode = 6
+    gauss = 7
+
+    _BY_NAME = None  # filled below
+
+    @classmethod
+    def resolve(cls, value) -> int:
+        """Accept enum int, rasterio-style member, or name string."""
+        if isinstance(value, str):
+            try:
+                return cls._BY_NAME[value]
+            except KeyError:
+                raise ValueError(f"unknown resampling {value!r}") from None
+        v = getattr(value, "value", value)  # rasterio enum member -> int
+        return int(v)
+
+
+Resampling._BY_NAME = {
+    k: v
+    for k, v in vars(Resampling).items()
+    if not k.startswith("_") and isinstance(v, int)
+}
+_IMPLEMENTED_RESAMPLING = {Resampling.nearest, Resampling.bilinear, Resampling.average}
+
+
 class RasterArrayShapeError(Exception):
     """Used when a RasterArray is not the correct/expected shape."""
 
@@ -367,22 +405,50 @@ class RasterArray:
         raster: "RasterArray",
         target_nodata=None,
         target_dtype=None,
+        resampling=Resampling.nearest,
     ) -> "RasterArray":
-        """Reproject + nearest-resample + clip onto ``raster``'s grid,
-        then mask-merge (raster_array.py:158-220).
+        """Reproject + resample + clip onto ``raster``'s grid, then
+        mask-merge (raster_array.py:158-220; ``resampling`` parameter
+        raster_array.py:163).
 
-        From-scratch warp: for each destination pixel center, invert the
-        destination affine, transform dst CRS → src CRS
-        (functions/crs.py kernels), invert the source affine, and take
-        the containing source pixel (floor) — GDAL nearest semantics.
-        Source nodata handling matches UNIFIED_SRC_NODATA="NO": each
-        band's nodata pixels map to dst nodata independently.
+        From-scratch warp: destination pixel centers map through the
+        destination affine, dst CRS → src CRS (functions/crs.py
+        kernels), and the inverse source affine into fractional source
+        pixel coordinates; the resampling kernel then reads source
+        pixels around that position.  Source nodata handling matches
+        UNIFIED_SRC_NODATA="NO": each band treats its nodata pixels as
+        invalid independently.
+
+        Implemented kernels (rasterio.enums.Resampling ids):
+        - nearest: containing source pixel (floor) — GDAL nearest.
+        - bilinear: weighted average of the 4 surrounding pixel
+          centers; invalid (nodata / out-of-bounds) contributors drop
+          out with weight renormalization, all-invalid → nodata (GDAL
+          GWKBilinear semantics).  Integer output rounds half away
+          from zero.
+        - average: unweighted mean of source pixels whose CENTERS fall
+          inside the destination pixel's source-space footprint
+          (corner-mapped bounding box), excluding nodata; an empty
+          window (upsampling) falls back to the containing pixel;
+          window with no valid pixel → nodata.  This is GDAL's
+          pre-3.1 unweighted-average semantics (sub-pixel
+          area-weighting is not reproduced — documented divergence).
+        Other enum members raise NotImplementedError.
 
         The ``or``-defaults quirk is preserved: a falsy override (0) is
         ignored (raster_array.py:188-189).
         """
         if not isinstance(raster, RasterArray):
             raise ValueError("raster must be of type RasterArray")
+        method = Resampling.resolve(resampling)
+        if method not in _IMPLEMENTED_RESAMPLING:
+            name = next(
+                (k for k, v in Resampling._BY_NAME.items() if v == method), method
+            )
+            raise NotImplementedError(
+                f"resampling {name!r} is not implemented (nearest, bilinear, "
+                f"average are)"
+            )
 
         nodata = target_nodata or self.metadata.nodata
         dtype = target_dtype or self.metadata.dtype
@@ -409,6 +475,25 @@ class RasterArray:
         else:
             sx, sy = dx, dy
         srow_f, scol_f = affine_rowcol_fractional(self.metadata.transform, sx, sy)
+
+        src_mask = self.mask  # per-band nodata (UNIFIED_SRC_NODATA="NO")
+        if method == Resampling.nearest:
+            out_array = self._warp_nearest(srow_f, scol_f, src_mask, out_meta)
+        elif method == Resampling.bilinear:
+            out_array = self._warp_bilinear(srow_f, scol_f, src_mask, out_meta)
+        else:
+            out_array = self._warp_average(srow_f, scol_f, src_mask, out_meta)
+
+        out_mask = (
+            np.isnan(out_array)
+            if np.isnan(out_meta.nodata)
+            else out_array == out_meta.nodata
+        )
+        merged_mask = np.logical_or(raster.mask, out_mask)
+        out_array[merged_mask] = out_meta.nodata
+        return RasterArray(out_array, out_meta)
+
+    def _warp_nearest(self, srow_f, scol_f, src_mask, out_meta) -> np.ndarray:
         srow = np.floor(srow_f).astype(np.int64)
         scol = np.floor(scol_f).astype(np.int64)
         inside = (
@@ -419,24 +504,136 @@ class RasterArray:
         )
         srow_c = np.clip(srow, 0, self.metadata.height - 1)
         scol_c = np.clip(scol, 0, self.metadata.width - 1)
-
         out_array = np.empty(out_meta.shape, dtype=out_meta.dtype)
-        src_mask = self.mask  # per-band nodata (UNIFIED_SRC_NODATA="NO")
         for b in range(out_meta.count):
             sampled = self.array[b][srow_c, scol_c]
             sampled_mask = src_mask[b][srow_c, scol_c]
             band_out = sampled.astype(out_meta.dtype, copy=True)
             band_out[~inside | sampled_mask] = out_meta.nodata
             out_array[b] = band_out
+        return out_array
 
-        out_mask = (
-            np.isnan(out_array)
-            if np.isnan(out_meta.nodata)
-            else out_array == out_meta.nodata
+    def _cast_band(self, acc: np.ndarray, valid: np.ndarray, out_meta) -> np.ndarray:
+        """float64 accumulator -> out dtype; integer outputs round half
+        away from zero (GDAL warp int casting); invalid -> nodata."""
+        if np.issubdtype(np.dtype(out_meta.dtype), np.integer):
+            acc = np.where(acc >= 0, np.floor(acc + 0.5), np.ceil(acc - 0.5))
+        band_out = acc.astype(out_meta.dtype)
+        band_out[~valid] = out_meta.nodata
+        return band_out
+
+    def _warp_bilinear(self, srow_f, scol_f, src_mask, out_meta) -> np.ndarray:
+        h, w = self.metadata.height, self.metadata.width
+        # pixel-CENTER coordinates: src pixel i's center sits at i + 0.5
+        y = srow_f - 0.5
+        x = scol_f - 0.5
+        point_inside = (srow_f >= 0) & (srow_f <= h) & (scol_f >= 0) & (scol_f <= w)
+        i0 = np.floor(y).astype(np.int64)
+        j0 = np.floor(x).astype(np.int64)
+        fy = y - i0
+        fx = x - j0
+        out_array = np.empty(out_meta.shape, dtype=out_meta.dtype)
+        corners = [
+            (i0, j0, (1.0 - fy) * (1.0 - fx)),
+            (i0, j0 + 1, (1.0 - fy) * fx),
+            (i0 + 1, j0, fy * (1.0 - fx)),
+            (i0 + 1, j0 + 1, fy * fx),
+        ]
+        for b in range(out_meta.count):
+            acc = np.zeros(srow_f.shape, dtype=np.float64)
+            wsum = np.zeros(srow_f.shape, dtype=np.float64)
+            for ci, cj, cw in corners:
+                nb_in = (ci >= 0) & (ci < h) & (cj >= 0) & (cj < w)
+                ic = np.clip(ci, 0, h - 1)
+                jc = np.clip(cj, 0, w - 1)
+                ok = nb_in & ~src_mask[b][ic, jc]
+                wv = np.where(ok, cw, 0.0)
+                acc += wv * self.array[b][ic, jc].astype(np.float64)
+                wsum += wv
+            valid = point_inside & (wsum > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                acc = np.where(valid, acc / np.where(wsum > 0, wsum, 1.0), 0.0)
+            out_array[b] = self._cast_band(acc, valid, out_meta)
+        return out_array
+
+    def _warp_average(self, srow_f, scol_f, src_mask, out_meta) -> np.ndarray:
+        h, w = self.metadata.height, self.metadata.width
+        # corner-mapped footprint: map dst pixel CORNERS through the
+        # same dst->src chain; the window bbox is min/max of the 4
+        # corners (exact for affine mappings, bounding for warped ones)
+        rows_c, cols_c = np.meshgrid(
+            np.arange(out_meta.height + 1, dtype=np.float64),
+            np.arange(out_meta.width + 1, dtype=np.float64),
+            indexing="ij",
         )
-        merged_mask = np.logical_or(raster.mask, out_mask)
-        out_array[merged_mask] = out_meta.nodata
-        return RasterArray(out_array, out_meta)
+        cx, cy = affine_xy(out_meta.transform, rows_c, cols_c)
+        if not out_meta.crs.equals(self.metadata.crs):
+            tx, ty = crs_transform(
+                cx.ravel(), cy.ravel(), out_meta.crs, self.metadata.crs
+            )
+            cx = tx.reshape(cx.shape)
+            cy = ty.reshape(cy.shape)
+        cr, cc = affine_rowcol_fractional(self.metadata.transform, cx, cy)
+        # per dst pixel: bbox over its 4 corners
+        r_corners = np.stack([cr[:-1, :-1], cr[:-1, 1:], cr[1:, :-1], cr[1:, 1:]])
+        c_corners = np.stack([cc[:-1, :-1], cc[:-1, 1:], cc[1:, :-1], cc[1:, 1:]])
+        r0, r1 = r_corners.min(axis=0), r_corners.max(axis=0)
+        c0, c1 = c_corners.min(axis=0), c_corners.max(axis=0)
+        # src pixel centers (i + 0.5) inside [r0, r1): i in [ceil(r0-.5), ceil(r1-.5)-1]
+        ri0 = np.ceil(r0 - 0.5).astype(np.int64)
+        ri1 = np.ceil(r1 - 0.5).astype(np.int64) - 1
+        cj0 = np.ceil(c0 - 0.5).astype(np.int64)
+        cj1 = np.ceil(c1 - 0.5).astype(np.int64) - 1
+        empty_win = (ri1 < ri0) | (cj1 < cj0)
+        # a window entirely outside the source doesn't clip onto the
+        # boundary pixel — it's empty (falls back to nearest -> nodata)
+        no_overlap = (ri0 > h - 1) | (ri1 < 0) | (cj0 > w - 1) | (cj1 < 0)
+        ri0c = np.clip(ri0, 0, h - 1)
+        ri1c = np.clip(ri1, 0, h - 1)
+        cj0c = np.clip(cj0, 0, w - 1)
+        cj1c = np.clip(cj1, 0, w - 1)
+        clipped_empty = empty_win | no_overlap
+
+        out_array = np.empty(out_meta.shape, dtype=out_meta.dtype)
+        nearest = None  # lazy fallback for empty windows
+        for b in range(out_meta.count):
+            vals = self.array[b].astype(np.float64)
+            valid_px = ~src_mask[b]
+            # 2-D prefix sums (integral images) for O(1) window sums
+            S = np.zeros((h + 1, w + 1), dtype=np.float64)
+            C = np.zeros((h + 1, w + 1), dtype=np.float64)
+            S[1:, 1:] = np.cumsum(np.cumsum(np.where(valid_px, vals, 0.0), 0), 1)
+            C[1:, 1:] = np.cumsum(np.cumsum(valid_px.astype(np.float64), 0), 1)
+
+            def win(M):
+                return (
+                    M[ri1c + 1, cj1c + 1]
+                    - M[ri0c, cj1c + 1]
+                    - M[ri1c + 1, cj0c]
+                    + M[ri0c, cj0c]
+                )
+
+            s = win(S)
+            c = win(C)
+            use_window = ~(empty_win | clipped_empty) & (c > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                acc = np.where(use_window, s / np.where(c > 0, c, 1.0), 0.0)
+            valid = use_window
+            # empty window (upsampling): containing pixel, nearest rules
+            fb = (empty_win | clipped_empty)
+            if fb.any():
+                if nearest is None:
+                    nearest = self._warp_nearest(srow_f, scol_f, src_mask, out_meta)
+                nb = nearest[b]
+                nb_mask = (
+                    np.isnan(nb)
+                    if np.isnan(out_meta.nodata)
+                    else nb == out_meta.nodata
+                )
+                acc = np.where(fb, nb.astype(np.float64), acc)
+                valid = valid | (fb & ~nb_mask)
+            out_array[b] = self._cast_band(acc, valid, out_meta)
+        return out_array
 
     # --- tile-table mapping (Parquet replaces GeoTIFF in the sandbox) ----
 

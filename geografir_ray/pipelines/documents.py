@@ -157,16 +157,42 @@ ORDER BY doc_id
 
 
 JACCARD_DOC_LIMIT = 500  # deterministic window: doc_id < 500
+JACCARD_DF_CUTOFF = 1000  # stop-token document-frequency cutoff
 
 
-def docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
-    """Exact all-pairs jaccard is inherently quadratic on a corpus with
-    a 64-word vocabulary (nearly every doc pair is similar — at sf0.1
-    the TRUE result set is millions of pairs), so the exact query runs
-    on a deterministic doc window; the scalable candidate generator for
-    full corpora is docs_minhash_lsh.  The SQL twin applies the same
-    window, so parity stays exact."""
+_PAIR_SIZE_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("common", pa.int64())]
+)
+
+
+def docs_jaccard_pairs(
+    sf_dir: str,
+    threshold: float = 0.8,
+    df_cutoff: int = JACCARD_DF_CUTOFF,
+    n_groups: int = 64,
+):
+    """Token-inverted n-gram Jaccard pairs with a document-frequency
+    cutoff: tokens whose GLOBAL df exceeds ``df_cutoff`` are excluded
+    from both intersections and set sizes (standard stop-token
+    filtering — mirrored exactly in the SQL twin), which caps the
+    per-token pair blowup at C(df_cutoff, 2) regardless of skew.
+
+    Exact all-pairs jaccard is inherently quadratic on a corpus with a
+    64-word vocabulary (nearly every doc pair is similar), so the exact
+    query also runs on a deterministic doc window; the scalable
+    candidate generator for full corpora is docs_minhash_lsh.
+
+    Shape: postings hash-bucket by token into ``n_groups`` groups (ONE
+    merge call per group, not per token — the per-group-Python trap);
+    a token's postings all land in one group, so the in-group segment
+    length IS the global df and the cutoff needs no extra pass.  Pair
+    counts and df-filtered size partials ride the SAME distributed
+    grouped-sum exchange (size partials use the b = -1 sentinel); only
+    the tiny per-doc size table lands on the driver for the broadcast
+    verify."""
     import ray
+
+    from ..functions.hashing import splitmix64
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         lambda t: t.filter(pc.less(t["doc_id"], JACCARD_DOC_LIMIT)),
@@ -181,8 +207,16 @@ def docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
             ts = sorted(set(T.tokenize(s or "")))
             ids.extend([d] * len(ts))
             toks.extend(ts)
+        # group key: splitmix of the token's first-8-bytes prefix —
+        # deterministic and vectorized; prefix collisions only co-locate
+        # extra tokens in a group (harmless: segments key on full token)
+        pre = np.frombuffer(
+            np.array(toks, dtype="S8").tobytes(), dtype=np.uint64
+        ) if toks else np.array([], dtype=np.uint64)
+        grp = (splitmix64(pre) % np.uint64(n_groups)).astype(np.int64)
         return pa.table(
             {
+                "grp": pa.array(grp),
                 "doc_id": pa.array(ids, type=pa.int64()),
                 "token": pa.array(toks, type=pa.string()),
             }
@@ -190,50 +224,68 @@ def docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
 
     posting = ds.map_batches(distinct_tokens, batch_format="pyarrow")
 
-    # token-partitioned pair generation: per token group, emit all doc
-    # pairs (a < b).  Hot tokens are bounded by the 64-word synthetic
-    # vocabulary here; at scale, stop-token filtering (drop tokens with
-    # df > cutoff) caps the quadratic blowup — documented tradeoff.
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        d = np.sort(g["doc_id"].values.astype(np.int64))
-        if len(d) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64), "common": pd.Series([], dtype=np.int64)})
-        ii, jj = np.triu_indices(len(d), k=1)
-        return pd.DataFrame({"a": d[ii], "b": d[jj], "common": np.ones(len(ii), dtype=np.int64)})
+    def pairs_and_sizes(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PAIR_SIZE_SCHEMA.empty_table()
+        tok = g["token"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, inv = np.unique(tok, return_inverse=True)
+        order = np.lexsort((doc, inv))
+        inv_s, doc_s = inv[order], doc[order]
+        first = np.ones(len(inv_s), dtype=bool)
+        first[1:] = inv_s[1:] != inv_s[:-1]
+        seg_id = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        seg_len = np.diff(np.append(starts, len(inv_s)))
+        ok = seg_len[seg_id] <= df_cutoff  # global df: postings co-located
+        # df-filtered size partials: per doc, count of surviving tokens
+        ud, cnt = np.unique(doc_s[ok], return_counts=True)
+        # pair expansion: each surviving row pairs with every EARLIER
+        # row of its segment (docs sorted asc + distinct per token, so
+        # a < b by construction) — cumsum-offset trick, no Python loop
+        pos = np.arange(len(inv_s), dtype=np.int64) - starts[seg_id]
+        rep = np.where(ok, pos, 0)
+        total = int(rep.sum())
+        b_idx = np.repeat(np.arange(len(inv_s), dtype=np.int64), rep)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(rep) - rep, rep
+        )
+        a_idx = np.repeat(starts[seg_id], rep) + offs
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([doc_s[a_idx], ud])),
+                "b": pa.array(
+                    np.concatenate([doc_s[b_idx], np.full(len(ud), -1, np.int64)])
+                ),
+                "common": pa.array(
+                    np.concatenate([np.ones(total, dtype=np.int64), cnt.astype(np.int64)])
+                ),
+            }
+        )
 
-    pair_counts = grouped_sum(
-        posting.groupby("token").map_groups(pairs, batch_format="pandas"),
+    merged = grouped_sum(
+        posting.groupby("grp").map_groups(pairs_and_sizes, batch_format="pyarrow"),
         ["a", "b"],
         {"common": ("common", "sum")},
-        merge="driver",  # pair keyspace bounded by C(window, 2)
-    )
+    ).materialize()
 
-    # broadcast doc -> set size, verify jaccard
+    # df-filtered sizes (b = -1 sentinel rows): tiny per-doc table
     sizes_pd = (
-        read_table(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(
-            lambda t: t.filter(pc.less(t["doc_id"], JACCARD_DOC_LIMIT)),
-            batch_format="pyarrow",
-        )
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": t["doc_id"],
-                    "sz": pa.array(T.distinct_token_counts(t["text"].to_pylist())),
-                }
-            ),
-            batch_format="pyarrow",
+        merged.map_batches(
+            lambda t: t.filter(pc.equal(t["b"], -1)), batch_format="pyarrow"
         )
         .to_pandas()
+        .sort_values("a")
     )
-    keys = np.sort(sizes_pd["doc_id"].values.astype(np.int64))
-    szs = sizes_pd.sort_values("doc_id")["sz"].values.astype(np.int64)
+    keys = sizes_pd["a"].values.astype(np.int64)
+    szs = sizes_pd["common"].values.astype(np.int64)
     ref = ray.put((keys, szs))
 
     from ..stages.broadcast import with_broadcast
 
     def verify(state, t: pa.Table) -> pa.Table:
         keys, szs = state
+        t = t.filter(pc.greater_equal(t["b"], 0))
         a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
         common = t["common"].to_numpy(zero_copy_only=False)
@@ -244,15 +296,22 @@ def docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
         keep = jac >= threshold
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
-    return pair_counts.map_batches(
+    return merged.map_batches(
         with_broadcast(ref, verify, "verify_jaccard"), batch_format="pyarrow"
     ).sort(["a", "b"])
 
 
 DOCS_JACCARD_SQL = f"""
-WITH tok AS (
+WITH tok0 AS (
   SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS token
   FROM documents WHERE doc_id < {JACCARD_DOC_LIMIT}
+),
+df AS (
+  SELECT token FROM tok0 GROUP BY token
+  HAVING count(*) <= {JACCARD_DF_CUTOFF}
+),
+tok AS (
+  SELECT t.doc_id, t.token FROM tok0 t JOIN df USING (token)
 ),
 sizes AS (
   SELECT doc_id, count(*)::BIGINT AS sz FROM tok GROUP BY doc_id
@@ -755,8 +814,6 @@ ORDER BY doc_id
 
 
 def docs_top_terms_per_lang(sf_dir: str, k: int = 5):
-    import ray.data
-
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
@@ -778,26 +835,49 @@ def docs_top_terms_per_lang(sf_dir: str, k: int = 5):
             }
         )
 
+    # fully distributed: the vocabulary-sized (lang, token) count table
+    # never lands on the driver.  (1) shuffle-merged grouped counts;
+    # (2) per-BLOCK partial top-k per lang — every (lang, token) row is
+    # globally unique after the merge, so a row in the global top-k is
+    # in its block's per-lang top-k too (block rank <= global rank):
+    # the partials are an exact superset, <= k x langs x blocks rows;
+    # (3) single-block final rank over that tiny set.
     agg = grouped_sum(
         ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
         ["lang", "token"],
         {"n": ("n", "sum")},
-        merge="driver",  # bounded: langs x vocabulary
-    ).to_pandas()
+    )
 
-    # vectorized rank within language: sort by (lang, -n, token), segment
-    order = np.lexsort(
-        (agg["token"].values, -agg["n"].values, agg["lang"].values)
+    def topk_block(t: pa.Table, emit_rank: bool) -> pa.Table:
+        if t.num_rows == 0:
+            base = pa.schema(
+                [("lang", pa.string()), ("token", pa.string()), ("n", pa.int64())]
+            )
+            if emit_rank:
+                base = base.append(pa.field("rank", pa.int64()))
+            return base.empty_table()
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        tok = t["token"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tok, -n, lang))
+        lv = lang[order]
+        first = np.ones(len(lv), dtype=bool)
+        first[1:] = lv[1:] != lv[:-1]
+        starts = np.flatnonzero(first)
+        grp = np.cumsum(first) - 1
+        pos = np.arange(len(lv), dtype=np.int64) - starts[grp]
+        keep = pos < k
+        out = t.select(["lang", "token", "n"]).take(pa.array(order[keep]))
+        if emit_rank:
+            out = out.append_column("rank", pa.array(pos[keep] + 1))
+        return out
+
+    partial = agg.map_batches(
+        lambda t: topk_block(t, False), batch_format="pyarrow", zero_copy_batch=True
     )
-    agg = agg.iloc[order].reset_index(drop=True)
-    lv = agg["lang"].values
-    seg_start = np.concatenate(([True], lv[1:] != lv[:-1]))
-    pos = np.arange(len(agg)) - np.maximum.accumulate(
-        np.where(seg_start, np.arange(len(agg)), 0)
+    return partial.repartition(1).map_batches(
+        lambda t: topk_block(t, True), batch_format="pyarrow", batch_size=None
     )
-    agg["rank"] = (pos + 1).astype(np.int64)
-    out = agg[agg["rank"] <= k].reset_index(drop=True)
-    return ray.data.from_pandas(out[["lang", "token", "n", "rank"]])
 
 
 def docs_top_terms_per_lang_sql(k: int = 5) -> str:

@@ -252,6 +252,98 @@ ORDER BY tile_id
 
 
 # ---------------------------------------------------------------------------
+# Bilinear conform: same grids as raster_conform (quarter-degree shift,
+# half resolution) but resampling=bilinear.  On this geometry every ref
+# pixel center lands exactly on a src pixel CORNER (srow_f = 2r-3,
+# scol_f = 2c+5, both integral), so the bilinear kernel is four equal
+# 0.25 weights over src pixels (2r-4+dr, 2c+4+dc) with nodata
+# renormalization — i.e. the arithmetic mean of the valid neighbors.
+# Exact integer parity: both engines emit per-pixel 12*sum/count
+# (count in {1..4} divides 12) and sum per tile.
+# ---------------------------------------------------------------------------
+
+
+_BILINEAR_IDX_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _conform_bilinear_index_map() -> np.ndarray:
+    """(36, 4) flat src indices of each in-bounds ref pixel's four
+    bilinear neighbors (ref r in 2..7, c in 0..5 — the same in-bounds
+    region as the nearest conform; verified against the real
+    RasterArray.conform_to bilinear kernel in tests/test_raster_queries)."""
+    key = (TILE_PX,)
+    if key not in _BILINEAR_IDX_CACHE:
+        r = np.arange(2, 8, dtype=np.int64)
+        c = np.arange(0, 6, dtype=np.int64)
+        rr, cc = np.meshgrid(r, c, indexing="ij")
+        i0 = (2 * rr - 4).ravel()
+        j0 = (2 * cc + 4).ravel()
+        nb = np.stack(
+            [
+                i0 * TILE_PX + j0,
+                i0 * TILE_PX + j0 + 1,
+                (i0 + 1) * TILE_PX + j0,
+                (i0 + 1) * TILE_PX + j0 + 1,
+            ],
+            axis=1,
+        )
+        _BILINEAR_IDX_CACHE[key] = nb
+    return _BILINEAR_IDX_CACHE[key]
+
+
+def raster_conform_bilinear(sf_dir: str):
+    tiles = tiles_dataset(sf_dir)
+
+    def conform(t: pa.Table) -> pa.Table:
+        data = t["data"]
+        if isinstance(data, pa.ChunkedArray):
+            data = data.combine_chunks()
+        n = len(data)
+        vals = data.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+        nb = vals[:, _conform_bilinear_index_map()]  # (n, 36, 4)
+        valid = nb % NODATA_MOD != 0
+        s = np.where(valid, nb, 0).sum(axis=2)
+        cnt = valid.sum(axis=2)
+        v12 = np.where(cnt > 0, (12 * s) // np.maximum(cnt, 1), 0)
+        return pa.table(
+            {
+                "tile_id": t["tile_id"],
+                "conform12_sum": pa.array(v12.sum(axis=1).astype(np.int64)),
+                "conform_valid": pa.array((cnt > 0).sum(axis=1).astype(np.int64)),
+            }
+        )
+
+    return tiles.map_batches(conform, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "tile_id"
+    )
+
+
+RASTER_CONFORM_BILINEAR_SQL = f"""
+WITH nb AS (
+  SELECT p_partkey, r, c,
+         p_partkey * {TILE_PX * TILE_PX}
+           + (2*r - 4 + dr) * {TILE_PX} + (2*c + 4 + dc) AS v
+  FROM part,
+       generate_series(2, 7) AS t1(r), generate_series(0, 5) AS t2(c),
+       generate_series(0, 1) AS t3(dr), generate_series(0, 1) AS t4(dc)
+),
+px AS (
+  SELECT p_partkey, r, c,
+         coalesce(sum(v) FILTER (WHERE v % {NODATA_MOD} <> 0), 0) AS s,
+         count(*) FILTER (WHERE v % {NODATA_MOD} <> 0) AS cnt
+  FROM nb GROUP BY 1, 2, 3
+)
+SELECT p_partkey AS tile_id,
+       CAST(coalesce(sum((12 * s) // cnt) FILTER (WHERE cnt > 0), 0) AS BIGINT)
+         AS conform12_sum,
+       CAST(count(*) FILTER (WHERE cnt > 0) AS BIGINT) AS conform_valid
+FROM px
+GROUP BY 1
+ORDER BY tile_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # COG-style overview: nodata-aware 2x downsample per tile (the first
 # pyramid level the reference's COG profile implies —
 # /root/reference/raster_array/src/raster_array/profiles.py block/

@@ -41,6 +41,54 @@ def test_minhash_lsh_golden_sf0001(ray_session, sf_small):
     assert rows == _MINHASH_GOLDEN_SF0001
 
 
+def test_jaccard_df_cutoff_matches_duckdb_and_bounds_pairs(ray_session, sf_small):
+    """A low df cutoff (a) matches a DuckDB reference computing the same
+    stop-token-filtered jaccard, and (b) bounds pair growth: hot tokens
+    (df > cutoff) generate zero pairs."""
+    import duckdb
+
+    from geografir_ray.pipelines.documents import (
+        JACCARD_DOC_LIMIT,
+        _TOKENS_SQL,
+        docs_jaccard_pairs,
+    )
+
+    cutoff, thr = 40, 0.5
+    got = docs_jaccard_pairs(sf_small, threshold=thr, df_cutoff=cutoff).to_pandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    exp = con.execute(
+        f"""
+        WITH tok0 AS (
+          SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS token
+          FROM documents WHERE doc_id < {JACCARD_DOC_LIMIT}
+        ),
+        df AS (SELECT token FROM tok0 GROUP BY token HAVING count(*) <= {cutoff}),
+        tok AS (SELECT t.doc_id, t.token FROM tok0 t JOIN df USING (token)),
+        sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM tok GROUP BY doc_id),
+        common AS (
+          SELECT t1.doc_id AS a, t2.doc_id AS b, count(*)::BIGINT AS c
+          FROM tok t1 JOIN tok t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a, b FROM common
+        JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        WHERE c >= {thr} * (sa.sz + sb.sz - c)
+        ORDER BY a, b
+        """
+    ).df()
+    assert list(map(tuple, got.values)) == list(map(tuple, exp.values))
+    # boundedness: total candidate pairs can't exceed n_tokens * C(cutoff, 2)
+    n_tok = con.execute(
+        f"SELECT count(DISTINCT token) FROM (SELECT unnest(list_distinct({_TOKENS_SQL})) AS token FROM documents)"
+    ).fetchone()[0]
+    assert len(got) <= n_tok * cutoff * (cutoff - 1) // 2
+    con.close()
+
+
 def test_ivf_knn_recall_vs_brute_force(ray_session, sf_small):
     from geografir_ray.pipelines.embeddings import emb_ivf_knn, emb_knn
 

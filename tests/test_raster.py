@@ -146,6 +146,161 @@ def test_conform_to_requires_rasterarray():
         src.conform_to("nope")
 
 
+# --- resampling modes (reference signature raster_array.py:163) ---------
+
+
+def test_conform_bilinear_reproduces_linear_ramp():
+    """Bilinear interpolation of a plane f(r,c) = 10r + c is exact at
+    every interior destination center (fundamental bilinear property)."""
+    from geografir_ray.functions.raster import Resampling
+
+    rr, cc = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    src = make_raster(
+        (10.0 * rr + cc)[None], nodata=-999.0, dtype=np.float64
+    )
+    # half-resolution grid strictly inside the source (bounds 2..6)
+    ref_meta = RasterMetadata(
+        4326, 1, 2, 2, np.float64, -999.0, affine_from_bounds(2, 2, 6, 6, 2, 2)
+    )
+    ref = RasterArray(np.zeros((1, 2, 2)), ref_meta)
+    out = src.conform_to(ref, resampling=Resampling.bilinear)
+    # dst centers at x,y in {3,5}; f at (x, y): row_f = 8 - y - 0.5 ...
+    # expected = value of the plane at the dst center in src pixel space
+    rows_d, cols_d = np.meshgrid([0.5, 1.5], [0.5, 1.5], indexing="ij")
+    # dst (row, col) -> x = 2 + 2*col, y = 6 - 2*row; src row = 8 - y, col = x
+    x = 2 + 2 * cols_d
+    y = 6 - 2 * rows_d
+    expect = 10.0 * (8 - y - 0.5) + (x - 0.5)
+    np.testing.assert_allclose(out.array[0], expect)
+
+
+def test_conform_bilinear_nodata_renormalizes():
+    """A nodata contributor drops out; remaining weights renormalize.
+    All-nodata neighborhoods produce nodata."""
+    from geografir_ray.functions.raster import Resampling
+
+    data = np.full((1, 4, 4), 8.0)
+    data[0, 1, 1] = -1.0  # nodata
+    src = make_raster(data, nodata=-1.0, dtype=np.float64)
+    # dst = same grid shifted half a pixel: each dst center sits at a
+    # src pixel CORNER -> 4 equal 0.25 weights
+    ref_meta = RasterMetadata(
+        4326, 1, 3, 3, np.float64, -1.0, affine_from_bounds(0.5, 0.5, 3.5, 3.5, 3, 3)
+    )
+    ref = RasterArray(np.zeros((1, 3, 3)), ref_meta)
+    out = src.conform_to(ref, resampling=Resampling.bilinear)
+    # every neighborhood averaging 8s (renormalized around the hole) -> 8
+    np.testing.assert_allclose(out.array[0], 8.0)
+
+    all_nd = make_raster(np.full((1, 4, 4), -1.0), nodata=-1.0, dtype=np.float64)
+    out2 = all_nd.conform_to(ref, resampling=Resampling.bilinear)
+    assert out2.mask.all()
+
+
+def test_conform_average_downsample_and_nodata():
+    """2x aligned downsample: each dst pixel = mean of its 2x2 block,
+    nodata excluded; all-nodata block -> nodata."""
+    from geografir_ray.functions.raster import Resampling
+
+    data = np.arange(16, dtype=np.float64).reshape(1, 4, 4)
+    data[0, 0, 0] = -1.0  # nodata inside first block
+    data[0, 2:4, 0:2] = -1.0  # fully-nodata block
+    src = make_raster(data, nodata=-1.0, dtype=np.float64)
+    # true half-resolution grid over the FULL src extent (2-unit pixels)
+    ref_meta = RasterMetadata(
+        4326, 1, 2, 2, np.uint8, 0, affine_from_bounds(0, 0, 4, 4, 2, 2)
+    )
+    ref = RasterArray(np.ones((1, 2, 2), dtype=np.uint8), ref_meta)
+    out = src.conform_to(ref, resampling=Resampling.average)
+    # block (0,0): {1,4,5} -> 10/3 ; block (0,1): {2,3,6,7} -> 4.5
+    # block (1,0): all nodata -> -1 ; block (1,1): {10,11,14,15} -> 12.5
+    np.testing.assert_allclose(
+        out.array[0], [[10.0 / 3.0, 4.5], [-1.0, 12.5]]
+    )
+    assert bool(out.mask[0, 1, 0]) is True
+
+
+def test_conform_average_upsample_falls_back_to_containing_pixel():
+    from geografir_ray.functions.raster import Resampling
+
+    src = make_raster(np.arange(4, dtype=np.float64).reshape(1, 2, 2), -1.0, np.float64)
+    ref = make_raster(np.ones((1, 4, 4)), nodata=0, dtype=np.uint8)
+    out = src.conform_to(ref, resampling=Resampling.average)
+    nearest = src.conform_to(ref, resampling=Resampling.nearest)
+    np.testing.assert_array_equal(out.array, nearest.array)
+
+
+def test_conform_bilinear_integer_rounds_half_away():
+    from geografir_ray.functions.raster import Resampling
+
+    data = np.array([[[0, 1], [0, 1]]], dtype=np.int32)
+    src = make_raster(data, nodata=-9, dtype=np.int32)
+    ref_meta = RasterMetadata(
+        4326, 1, 1, 1, np.int32, -9, affine_from_bounds(0.5, 0.5, 1.5, 1.5, 1, 1)
+    )
+    ref = RasterArray(np.zeros((1, 1, 1), dtype=np.int32), ref_meta)
+    out = src.conform_to(ref, resampling=Resampling.bilinear)
+    assert out.array[0, 0, 0] == 1  # mean 0.5 rounds half away from zero
+
+
+def test_conform_bilinear_pipeline_index_map_matches_kernel():
+    """The raster_conform_bilinear query's analytic 4-neighbor index map
+    reproduces the REAL RasterArray.conform_to bilinear kernel on the
+    pipeline's tile geometry (quarter-degree shift, half resolution)."""
+    from geografir_ray.functions.raster import Resampling
+    from geografir_ray.pipelines.rasterq import (
+        NODATA_MOD,
+        TILE_PX,
+        _conform_bilinear_index_map,
+    )
+
+    pk = 7
+    v = pk * TILE_PX * TILE_PX + np.arange(TILE_PX * TILE_PX, dtype=np.int64)
+    data = v.astype(np.float64)
+    data[v % NODATA_MOD == 0] = -1.0  # nodata rule -> kernel nodata
+    src_meta = RasterMetadata(
+        4326, 1, TILE_PX, TILE_PX, np.float64, -1.0,
+        affine_from_bounds(0.0, 0.0, 1.0, 1.0, TILE_PX, TILE_PX),
+    )
+    src = RasterArray(data.reshape(1, TILE_PX, TILE_PX), src_meta)
+    half = TILE_PX // 2
+    ref_meta = RasterMetadata(
+        4326, 1, half, half, np.float64, -1.0,
+        affine_from_bounds(0.25, 0.25, 1.25, 1.25, half, half),
+    )
+    ref = RasterArray(np.zeros((1, half, half)), ref_meta)
+    out = src.conform_to(ref, resampling=Resampling.bilinear)
+
+    nbmap = _conform_bilinear_index_map()  # (36, 4): ref r 2..7, c 0..5
+    nb = v[nbmap]
+    valid = nb % NODATA_MOD != 0
+    s = np.where(valid, nb, 0).sum(axis=1)
+    cnt = valid.sum(axis=1)
+    kern = out.array[0, 2:8, 0:6].ravel()
+    kmask = out.mask[0, 2:8, 0:6].ravel()
+    np.testing.assert_array_equal(kmask, cnt == 0)
+    got12 = np.rint(kern[cnt > 0] * 12).astype(np.int64)
+    exp12 = (12 * s[cnt > 0]) // cnt[cnt > 0]
+    np.testing.assert_array_equal(got12, exp12)
+    # everything outside the analytic region is nodata in the kernel too
+    region = np.zeros((half, half), dtype=bool)
+    region[2:8, 0:6] = True
+    assert out.mask[0][~region].all()
+
+
+def test_conform_resampling_name_and_unimplemented():
+    from geografir_ray.functions.raster import Resampling
+
+    src = make_raster(np.ones((1, 4, 4)), nodata=0, dtype=np.uint8)
+    ref = make_raster(np.ones((1, 2, 2)), nodata=0, dtype=np.uint8)
+    # string names and rasterio-style int ids both resolve
+    a = src.conform_to(ref, resampling="nearest")
+    b = src.conform_to(ref, resampling=Resampling.nearest)
+    np.testing.assert_array_equal(a.array, b.array)
+    with pytest.raises(NotImplementedError, match="cubic"):
+        src.conform_to(ref, resampling="cubic")
+
+
 def test_conform_to_crs_roundtrip():
     """Cross-CRS conform: a 4326 raster conformed onto a matching 3857
     grid keeps interior values (nearest warp through our CRS kernels)."""
