@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": E.events_sessions,
         "events_sessions_sorted": E.events_sessions_sorted,
         "events_asof_signup": E.events_asof_signup,
+        "events_asof_sorted": E.events_asof_signup_sorted,
         "events_top_users": E.events_top_users,
         "events_sliding": E.events_sliding,
         "events_running_total": E.events_running_total,
@@ -138,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": E.EVENTS_SESSIONS_SQL,
         "events_sessions_sorted": E.EVENTS_SESSIONS_SQL,
         "events_asof_signup": E.EVENTS_ASOF_SQL,
+        "events_asof_sorted": E.EVENTS_ASOF_SQL,
         "events_top_users": E.EVENTS_TOP_USERS_SQL,
         "events_sliding": E.EVENTS_SLIDING_SQL,
         "events_running_total": E.EVENTS_RUNNING_TOTAL_SQL,

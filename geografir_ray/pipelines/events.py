@@ -186,6 +186,199 @@ ORDER BY event_id
 
 
 # ---------------------------------------------------------------------------
+# Sort-merge as-of (the high-cardinality path): instead of one Python
+# call per user (groupby.map_groups — the per-group trap), sort the
+# filtered stream globally by (user_id, ts, is_purchase, event_id) —
+# signups sort BEFORE purchases at equal ts, so the at-or-before rule
+# is a pure carry-forward — then one vectorized scan per block.
+#
+# Boundary repair mirrors events_sessions_sorted: within a sorted
+# block, only purchases of the block's FIRST user can need a signup
+# from an earlier block (interior users' runs are fully local — a
+# pending interior purchase is truly unmatched).  Any earlier-block
+# signup of the same user is at-or-before by sort order, so a pending
+# purchase's answer is just "the last signup of that user in earlier
+# blocks": an O(blocks) driver carry-walk over per-block edge records
+# builds a (block-key -> signup_event_id) map that broadcasts into a
+# final vectorized resolution stage.  Nothing driver-side scales with
+# rows or users — only with block count.
+# ---------------------------------------------------------------------------
+
+
+def events_asof_signup_sorted(sf_dir: str):
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.or_(
+            pc.equal(t["event_type"], "purchase"), pc.equal(t["event_type"], "signup")
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "user_id": t["user_id"],
+                "is_purchase": pc.cast(
+                    pc.equal(t["event_type"], "purchase"), pa.int8()
+                ),
+            }
+        )
+
+    sorted_ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["user_id", "ts", "is_purchase", "event_id"]
+    )
+
+    # kind 0 = matched pair, 1 = pending head-user purchase (carries its
+    # block key), 2 = block edge record
+    _SCHEMA = pa.schema(
+        [
+            ("kind", pa.int8()),
+            ("event_id", pa.int64()),
+            ("signup_event_id", pa.int64()),
+            ("buid", pa.int64()),  # block key: first row's (uid, ts, eid)
+            ("bts", pa.int64()),
+            ("beid", pa.int64()),
+            ("last_uid", pa.int64()),
+            ("tail_sig_eid", pa.int64()),  # last signup of the block's last user
+        ]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _SCHEMA.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        isp = t["is_purchase"].to_numpy(zero_copy_only=False).astype(bool)
+        # carry-forward: index of the last signup at or before each row
+        idx = np.where(~isp, np.arange(n, dtype=np.int64), -1)
+        last_sig = np.maximum.accumulate(idx)
+        has = (last_sig >= 0) & (uid[np.clip(last_sig, 0, n - 1)] == uid)
+        matched = isp & has
+        neg = np.full
+        m = int(matched.sum())
+        parts = [
+            pa.table(
+                {
+                    "kind": pa.array(np.zeros(m, dtype=np.int8)),
+                    "event_id": pa.array(eid[matched]),
+                    "signup_event_id": pa.array(eid[last_sig[matched]]),
+                    "buid": pa.array(neg(m, -1, np.int64)),
+                    "bts": pa.array(neg(m, -1, np.int64)),
+                    "beid": pa.array(neg(m, -1, np.int64)),
+                    "last_uid": pa.array(neg(m, -1, np.int64)),
+                    "tail_sig_eid": pa.array(neg(m, -1, np.int64)),
+                },
+                schema=_SCHEMA,
+            )
+        ]
+        # pending: head-user purchases with no in-block signup before them
+        pending = isp & ~has & (uid == uid[0])
+        p = int(pending.sum())
+        if p:
+            parts.append(
+                pa.table(
+                    {
+                        "kind": pa.array(np.ones(p, dtype=np.int8)),
+                        "event_id": pa.array(eid[pending]),
+                        "signup_event_id": pa.array(neg(p, -1, np.int64)),
+                        "buid": pa.array(neg(p, uid[0], np.int64)),
+                        "bts": pa.array(neg(p, ts[0], np.int64)),
+                        "beid": pa.array(neg(p, eid[0], np.int64)),
+                        "last_uid": pa.array(neg(p, -1, np.int64)),
+                        "tail_sig_eid": pa.array(neg(p, -1, np.int64)),
+                    },
+                    schema=_SCHEMA,
+                )
+            )
+        # edge record: block key + the last user's last in-block signup
+        tail_user_rows = uid == uid[-1]
+        tail_sigs = np.flatnonzero(tail_user_rows & ~isp)
+        tail_sig_eid = int(eid[tail_sigs[-1]]) if len(tail_sigs) else -1
+        parts.append(
+            pa.table(
+                {
+                    "kind": pa.array(np.array([2], dtype=np.int8)),
+                    "event_id": pa.array([-1], type=pa.int64()),
+                    "signup_event_id": pa.array([-1], type=pa.int64()),
+                    "buid": pa.array([int(uid[0])], type=pa.int64()),
+                    "bts": pa.array([int(ts[0])], type=pa.int64()),
+                    "beid": pa.array([int(eid[0])], type=pa.int64()),
+                    "last_uid": pa.array([int(uid[-1])], type=pa.int64()),
+                    "tail_sig_eid": pa.array([tail_sig_eid], type=pa.int64()),
+                },
+                schema=_SCHEMA,
+            )
+        )
+        return pa.concat_tables(parts)
+
+    tagged = sorted_ds.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+
+    # driver carry-walk over O(blocks) edge records: what is the last
+    # signup of each block's head user in EARLIER blocks?
+    edges = tagged.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 2)), batch_format="pyarrow"
+    ).take_all()
+    edges.sort(key=lambda e: (e["buid"], e["bts"], e["beid"]))
+    resolve: dict[tuple, int] = {}
+    carry_user, carry_sig = -1, -1
+    for e in edges:
+        key = (e["buid"], e["bts"], e["beid"])
+        resolve[key] = carry_sig if e["buid"] == carry_user else -1
+        if e["tail_sig_eid"] >= 0:
+            carry_user, carry_sig = e["last_uid"], e["tail_sig_eid"]
+        elif e["last_uid"] == carry_user:
+            pass  # user continues with no new signup: carry persists
+        else:
+            carry_user, carry_sig = e["last_uid"], -1
+    rk = np.array(
+        [k[0] ^ (k[1] << 1) ^ (k[2] << 2) for k in resolve], dtype=np.int64
+    )
+    rv = np.array([resolve[k] for k in resolve], dtype=np.int64)
+    order = np.argsort(rk, kind="stable")
+    ref = ray.put((rk[order], rv[order]))
+
+    def finish(state, t: pa.Table) -> pa.Table:
+        rk, rv = state
+        k = t["kind"].to_numpy(zero_copy_only=False)
+        out = t.filter(pa.array(k == 0)).select(["event_id", "signup_event_id"])
+        pend = t.filter(pa.array(k == 1))
+        if pend.num_rows and len(rk):
+            key = (
+                pend["buid"].to_numpy(zero_copy_only=False)
+                ^ (pend["bts"].to_numpy(zero_copy_only=False) << 1)
+                ^ (pend["beid"].to_numpy(zero_copy_only=False) << 2)
+            )
+            pos = np.clip(np.searchsorted(rk, key), 0, len(rk) - 1)
+            sig = np.where(rk[pos] == key, rv[pos], -1)
+            ok = sig >= 0
+            if ok.any():
+                out = pa.concat_tables(
+                    [
+                        out,
+                        pa.table(
+                            {
+                                "event_id": pend["event_id"].filter(pa.array(ok)),
+                                "signup_event_id": pa.array(sig[ok]),
+                            }
+                        ),
+                    ]
+                )
+        return out
+
+    return tagged.map_batches(
+        with_broadcast(ref, finish, "asof_boundary_fix"), batch_format="pyarrow"
+    ).sort("event_id")
+
+
+# ---------------------------------------------------------------------------
 # Top users by total purchase value (sort + limit)
 # ---------------------------------------------------------------------------
 

@@ -41,6 +41,31 @@ def test_minhash_lsh_golden_sf0001(ray_session, sf_small):
     assert rows == _MINHASH_GOLDEN_SF0001
 
 
+def test_asof_sorted_matches_per_user_form(ray_session, sf_small):
+    """The sort-merge as-of twin is row-identical to the per-user
+    groupby form — including under tiny blocks, which force pending
+    purchases and the edge-record carry-walk across block boundaries."""
+    from ray.data import DataContext
+
+    from geografir_ray.pipelines.events import (
+        events_asof_signup,
+        events_asof_signup_sorted,
+    )
+
+    base = events_asof_signup(sf_small).to_pandas()
+    got = events_asof_signup_sorted(sf_small).to_pandas()
+    assert got.values.tolist() == base.values.tolist()
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024  # ~hundreds of tiny blocks
+        tiny = events_asof_signup_sorted(sf_small).to_pandas()
+    finally:
+        ctx.target_max_block_size = old
+    assert tiny.values.tolist() == base.values.tolist()
+
+
 def test_jaccard_df_cutoff_matches_duckdb_and_bounds_pairs(ray_session, sf_small):
     """A low df cutoff (a) matches a DuckDB reference computing the same
     stop-token-filtered jaccard, and (b) bounds pair growth: hot tokens
