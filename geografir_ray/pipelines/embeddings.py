@@ -233,20 +233,38 @@ LSH_PLANES_PER_BAND = 2  # 8 bands x 2 bits: ~98% recall at cos 0.4
 EMB_DIM = 64
 
 
-def _lsh_planes() -> np.ndarray:
-    """(N_LSH_PLANES, EMB_DIM) int64 hyperplane weights from the shared
+def _lsh_planes(n_planes: int = N_LSH_PLANES) -> np.ndarray:
+    """(n_planes, EMB_DIM) int64 hyperplane weights from the shared
     integer LCG (same formula inlined in the SQL twin)."""
-    idx = np.arange(N_LSH_PLANES * EMB_DIM, dtype=np.int64)
+    idx = np.arange(n_planes * EMB_DIM, dtype=np.int64)
     w = (idx * 2654435761 + 1013904223) % 4294967296 - 2147483648
-    return w.reshape(N_LSH_PLANES, EMB_DIM)
+    return w.reshape(n_planes, EMB_DIM)
 
 
-def emb_lsh_neardup(sf_dir: str):
+def emb_lsh_neardup(
+    sf_dir: str,
+    n_planes: int = N_LSH_PLANES,
+    planes_per_band: int = LSH_PLANES_PER_BAND,
+    chunk: int = 4096,
+):
+    """LSH-bucketed cosine near-dup pairs.
+
+    The sf-table defaults (16 planes, 2 bits/band = 8 bands x 4
+    buckets) are oracle-pinned for the small synthetic table at the low
+    0.4 threshold.  At corpus scale raise ``planes_per_band`` (e.g. 64
+    planes, 8 bits/band = 256 buckets/band) so per-bucket occupancy
+    stays bounded and the within-bucket verification doesn't degenerate
+    to near-all-pairs; the SQL twin (emb_lsh_neardup_sql) takes the
+    same parameters, so parity holds for any setting.  The verification
+    itself runs in ``chunk``-row slabs, bounding peak memory to
+    chunk x bucket_size even on a hot bucket."""
     from .common import grouped_sum
 
-    W = _lsh_planes()
-    n_bands = N_LSH_PLANES // LSH_PLANES_PER_BAND
-    bitw = (np.int64(1) << np.arange(LSH_PLANES_PER_BAND, dtype=np.int64))
+    if n_planes % planes_per_band:
+        raise ValueError("planes_per_band must divide n_planes")
+    W = _lsh_planes(n_planes)
+    n_bands = n_planes // planes_per_band
+    bitw = (np.int64(1) << np.arange(planes_per_band, dtype=np.int64))
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
@@ -265,10 +283,10 @@ def emb_lsh_neardup(sf_dir: str):
         m = _emb_matrix(t)
         n = len(m)
         q = np.floor(m * 1000.0).astype(np.int64)
-        dots = q @ W.T  # (n, N_LSH_PLANES), integer-exact
+        dots = q @ W.T  # (n, n_planes), integer-exact
         bits = (dots >= 0).astype(np.int64)
         buckets = (
-            bits.reshape(n, n_bands, LSH_PLANES_PER_BAND) * bitw[None, None, :]
+            bits.reshape(n, n_bands, planes_per_band) * bitw[None, None, :]
         ).sum(axis=2)
         rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_bands))
         col = t["embedding"]
@@ -292,10 +310,19 @@ def emb_lsh_neardup(sf_dir: str):
         m = _emb_matrix(g)
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        iu, ju = np.triu_indices(n, k=1)
-        ok = (mn @ mn.T)[iu, ju] >= NEARDUP_THRESHOLD
-        x, y = ids[iu[ok]], ids[ju[ok]]
-        a, b = np.minimum(x, y), np.maximum(x, y)
+        outs_a, outs_b = [], []
+        # Slab the i-axis so a hot bucket costs chunk x n peak memory,
+        # never n x n.  Only j > i survives (strict upper triangle).
+        for lo in range(0, n - 1, chunk):
+            hi = min(lo + chunk, n)
+            sims = mn[lo:hi] @ mn.T  # (hi-lo, n)
+            ii, jj = np.nonzero(sims >= NEARDUP_THRESHOLD)
+            keep = jj > (ii + lo)
+            x, y = ids[ii[keep] + lo], ids[jj[keep]]
+            outs_a.append(np.minimum(x, y))
+            outs_b.append(np.maximum(x, y))
+        a = np.concatenate(outs_a) if outs_a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(outs_b) if outs_b else np.empty(0, dtype=np.int64)
         return pa.table(
             {
                 "a": pa.array(a),
@@ -317,8 +344,11 @@ def emb_lsh_neardup(sf_dir: str):
     return dedup.map_batches(project, batch_format="pyarrow").sort(["a", "b"])
 
 
-def emb_lsh_neardup_sql() -> str:
-    n_bands = N_LSH_PLANES // LSH_PLANES_PER_BAND
+def emb_lsh_neardup_sql(
+    n_planes: int = N_LSH_PLANES, planes_per_band: int = LSH_PLANES_PER_BAND
+) -> str:
+    """DuckDB twin of emb_lsh_neardup; takes the same banding parameters
+    so parity can be checked at any occupancy setting."""
     return f"""
 WITH e AS (
   SELECT vec_id, gd.d,
@@ -329,7 +359,7 @@ planes AS (
   SELECT gp.p, gd.d,
          (CAST(gp.p * {EMB_DIM} + gd.d AS BIGINT) * 2654435761 + 1013904223)
            % 4294967296 - 2147483648 AS w
-  FROM generate_series(0, {N_LSH_PLANES - 1}) AS gp(p),
+  FROM generate_series(0, {n_planes - 1}) AS gp(p),
        generate_series(0, {EMB_DIM - 1}) AS gd(d)
 ),
 dots AS (
@@ -338,9 +368,9 @@ dots AS (
   GROUP BY e.vec_id, planes.p
 ),
 sig AS (
-  SELECT vec_id, p // {LSH_PLANES_PER_BAND} AS band,
+  SELECT vec_id, p // {planes_per_band} AS band,
          SUM(CASE WHEN dot >= 0
-                  THEN 1 << (p % {LSH_PLANES_PER_BAND}) ELSE 0 END) AS bucket
+                  THEN 1 << (p % {planes_per_band}) ELSE 0 END) AS bucket
   FROM dots GROUP BY vec_id, band
 ),
 cand AS (

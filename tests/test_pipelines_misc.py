@@ -381,6 +381,32 @@ def test_emb_lsh_neardup_subset_and_recall(ray_session, sf_small):
         assert len(lsh) / len(exact) >= 0.8
 
 
+def test_emb_lsh_neardup_scale_params_match_sql_twin(ray_session, sf_small):
+    """At corpus-scale banding (more sign bits per band so per-bucket
+    occupancy stays bounded) and with a tiny verification chunk, the Ray
+    result still matches the parametrized DuckDB twin exactly — the
+    chunked slab verification and the wider bucketing change recall, not
+    correctness."""
+    import duckdb
+
+    from geografir_ray.pipelines.embeddings import (
+        emb_lsh_neardup,
+        emb_lsh_neardup_sql,
+    )
+
+    n_planes, ppb = 32, 8  # 4 bands x 256 buckets
+    got = emb_lsh_neardup(
+        sf_small, n_planes=n_planes, planes_per_band=ppb, chunk=7
+    ).to_pandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_small}/embeddings.parquet'"
+    )
+    exp = con.execute(emb_lsh_neardup_sql(n_planes=n_planes, planes_per_band=ppb)).df()
+    assert list(map(tuple, got.values)) == list(map(tuple, exp.values))
+
+
 def test_csv_jsonl_sources_roundtrip(ray_session, sf_small, tmp_path):
     """CSV and JSONL readers produce the same rows as the parquet read
     (pruned columns), and the partitioned sink lays out one directory
