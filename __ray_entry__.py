@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_sequences": D.docs_pack_sequences,
         "docs_clean_corpus": D.docs_clean_corpus,
         "docs_top_terms_per_lang": D.docs_top_terms_per_lang,
+        "docs_dup_ngrams": D.docs_dup_ngrams,
+        "docs_repetition": D.docs_repetition,
         "median_price_per_segment": R.median_price_per_segment,
         "p95_price_per_segment": R.p95_price_per_segment,
         "revenue_rollup": R.revenue_rollup,
@@ -168,6 +170,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_sequences": D.DOCS_PACK_SEQUENCES_SQL,
         "docs_clean_corpus": D.docs_clean_corpus_sql(),
         "docs_top_terms_per_lang": D.docs_top_terms_per_lang_sql(),
+        "docs_dup_ngrams": D.DOCS_DUP_NGRAMS_SQL,
+        "docs_repetition": D.DOCS_REPETITION_SQL,
         "median_price_per_segment": R.MEDIAN_PRICE_SQL,
         "p95_price_per_segment": R.P95_PRICE_SQL,
         "revenue_rollup": R.REVENUE_ROLLUP_SQL,

@@ -23,3 +23,12 @@ driver, ``bench.py``, CLI entry points, and the test fixture only.
 """
 
 __version__ = "0.1.0"
+
+# Large-array malloc tuning (functions/allocator.py): every Ray worker
+# imports this package when unpickling a stage function, so one call
+# here reaches all task/actor processes. Measured 6.5x on the
+# 100MB-temp churn the ANN / partition-heavy stages generate.
+from .functions.allocator import tune_malloc as _tune_malloc
+
+_tune_malloc()
+del _tune_malloc

@@ -40,6 +40,33 @@ def distinct_token_counts(texts) -> np.ndarray:
     )
 
 
+def flat_tokens(col):
+    """Vectorized batch tokenizer over an Arrow string column.
+
+    Returns ``(flat, docidx, counts)``: ``flat`` is a pyarrow
+    StringArray of every non-empty token across the batch (doc-major
+    order preserved), ``docidx`` maps each flat token to its row in the
+    batch, ``counts`` is tokens-per-row.  One ``pc.split_pattern`` call
+    plus numpy offset math — no Python loop over rows or tokens (the
+    whole point vs :func:`tokenize` per row).  Nulls count as empty.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    words = pc.split_pattern(col, " ")
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_all = words.flatten()
+    keep = pc.not_equal(flat_all, "").to_numpy(zero_copy_only=False).astype(bool)
+    docidx_all = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    flat = flat_all.filter(pa.array(keep))
+    docidx = docidx_all[keep]
+    counts = np.bincount(docidx, minlength=len(lens)).astype(np.int64)
+    return flat, docidx, counts
+
+
 # ---------------------------------------------------------------------------
 # Quality scoring (heuristics in the C4/Gopher tradition — public recipes)
 # ---------------------------------------------------------------------------

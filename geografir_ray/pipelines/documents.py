@@ -1386,3 +1386,276 @@ SELECT doc_id, n_tokens, start_tok,
 FROM c
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplicated n-gram spans (Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better" — the n-gram-granularity form): for
+# every document, how many of its n-gram positions carry an n-gram that
+# also appears in ANOTHER document.  The canonical pre-training signal
+# for boilerplate / template contamination.
+#
+# Scale shape: one vectorized explode stage (no Python over tokens),
+# per-doc combine inside the batch, then ONE hash-partition exchange on
+# the gram hash (the honest cost of exact corpus-wide counting — the
+# gram keyspace is unbounded so no driver merge), a bounded-bucket
+# segment scan, and a doc_id grouped_sum + left join back to totals.
+# ---------------------------------------------------------------------------
+
+_DUP_NGRAM_N = 5
+
+
+def _gram_hashes(t: pa.Table, n: int):
+    """(doc_ids_per_gram, gram_hash_u64) for every n-gram position in
+    the batch — pure Arrow/numpy: flat tokenization, shifted takes,
+    one binary_join_element_wise, one vectorized string hash."""
+    from ..functions.hashing import hash_strings
+
+    flat, _docidx, counts = T.flat_tokens(t["text"])
+    d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    npos = np.maximum(counts - (n - 1), 0)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    pos_doc = np.repeat(np.arange(len(counts), dtype=np.int64), npos)
+    pstart = np.concatenate(([0], np.cumsum(npos)))
+    local = np.arange(int(npos.sum()), dtype=np.int64) - pstart[pos_doc]
+    base = starts[pos_doc] + local
+    if len(base) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    parts = [flat.take(pa.array(base + j)) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    gh = hash_strings(grams).astype(np.uint64)
+    return d[pos_doc], gh
+
+
+def docs_dup_ngrams(sf_dir: str, n: int = _DUP_NGRAM_N, n_buckets: int = 64):
+    """Per-doc duplicated-n-gram stats: (doc_id, n_grams, n_dup,
+    dup_frac) where n_dup counts gram POSITIONS whose gram occurs in
+    more than one distinct document corpus-wide.  Docs with fewer than
+    ``n`` tokens are excluded (no gram positions), matching the SQL.
+
+    Collision note: grams are compared by a fixed-key 64-bit siphash
+    (functions/hashing.hash_strings) rather than by string — the
+    exchange ships 8-byte keys instead of unbounded gram text.  A
+    collision would need two distinct grams with equal hashes
+    (~m^2/2^65 for m distinct grams; ~1e-9 even at 10^9 grams), and the
+    sf-scale oracles would catch any deterministic instance."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import splitmix64
+    from ..stages.join import hash_join
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    _PAIRS = pa.schema(
+        [("doc_id", pa.int64()), ("gh", pa.uint64()), ("cnt", pa.int64())]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        d, gh = _gram_hashes(t, n)
+        if len(d) == 0:
+            return _PAIRS.empty_table()
+        order = np.lexsort((d, gh))
+        d, gh = d[order], gh[order]
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (gh[1:] != gh[:-1]) | (d[1:] != d[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.concatenate((starts, [len(d)])))
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts]),
+                "gh": pa.array(gh[starts]),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def totals(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _flat, _di, counts = T.flat_tokens(t["text"])
+        ng = np.maximum(counts - (n - 1), 0)
+        keep = ng > 0
+        return pa.table(
+            {"doc_id": pa.array(d[keep]), "n_grams": pa.array(ng[keep])}
+        )
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def tag(t: pa.Table) -> pa.Table:
+        gh = t["gh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__bkt",
+            pa.array((splitmix64(gh) % np.uint64(n_buckets)).astype(np.int64)),
+        )
+
+    _DUPS = pa.schema([("doc_id", pa.int64()), ("dup_c", pa.int64())])
+
+    def find_dups(g: pa.Table) -> pa.Table:
+        # within the bucket every occurrence of a gram hash is present:
+        # grams spanning >1 row here span >1 doc (pairs are per-doc
+        # pre-combined), so multi-row segments are the duplicated grams
+        if g.num_rows == 0:
+            return _DUPS.empty_table()
+        gh = g["gh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(gh, kind="stable")
+        gh, d, c = gh[order], d[order], c[order]
+        new = np.ones(len(gh), dtype=bool)
+        new[1:] = gh[1:] != gh[:-1]
+        seg = np.cumsum(new) - 1
+        seg_rows = np.bincount(seg)
+        dup = seg_rows[seg] > 1
+        return pa.table({"doc_id": pa.array(d[dup]), "dup_c": pa.array(c[dup])})
+
+    dup_per_doc = (
+        pair_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bkt")
+        .map_groups(find_dups, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("dup_c", alias_name="n_dup"))
+    )
+
+    totals_ds = ds.map_batches(totals, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(
+        totals_ds,
+        dup_per_doc,
+        on="doc_id",
+        left_cols=["doc_id", "n_grams"],
+        right_cols=["doc_id", "n_dup"],
+        how="left",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = pc.fill_null(t["n_dup"], 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pa.array(ng),
+                "n_dup": pa.array(nd),
+                "dup_frac": pa.array(nd / ng),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+DOCS_DUP_NGRAMS_SQL = f"""
+WITH words AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+{_DUP_NGRAM_N - 1}], ' ') AS g
+  FROM words, LATERAL (SELECT unnest(range(1, len(w) - {_DUP_NGRAM_N - 2})) AS i) t
+  WHERE len(w) >= {_DUP_NGRAM_N}
+),
+gstat AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
+SELECT grams.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN gstat.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       sum(CASE WHEN gstat.nd > 1 THEN 1.0 ELSE 0.0 END) / count(*) AS dup_frac
+FROM grams JOIN gstat USING (g)
+GROUP BY grams.doc_id
+ORDER BY grams.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality signals (Gopher / Rae et al. 2021 repetition
+# filters, public recipe): per-doc top-word fraction and duplicated-
+# bigram fraction.  Fully batch-local (no shuffle but the final sort) —
+# each doc's stats depend only on its own tokens.
+# ---------------------------------------------------------------------------
+
+
+def docs_repetition(sf_dir: str):
+    """(doc_id, n_tokens, top_word_frac, dup_bigram_frac): the
+    most-frequent-token share and the share of bigram positions whose
+    bigram repeats WITHIN the doc.  Gopher's repetition-filter family;
+    a filter stage thresholds these downstream."""
+    from ..functions.hashing import hash_strings
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    _OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("top_word_frac", pa.float64()),
+            ("dup_bigram_frac", pa.float64()),
+        ]
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        flat, docidx, counts = T.flat_tokens(t["text"])
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nrows = len(d)
+        if len(docidx) == 0:
+            return _OUT.empty_table()
+        th = hash_strings(flat).astype(np.uint64)
+        # per-doc max same-token count: sort (docidx, token hash),
+        # segment-count, segment-max per doc
+        order = np.lexsort((th, docidx))
+        di, hi = docidx[order], th[order]
+        new = np.ones(len(di), dtype=bool)
+        new[1:] = (di[1:] != di[:-1]) | (hi[1:] != hi[:-1])
+        seg = np.cumsum(new) - 1
+        seg_cnt = np.bincount(seg)
+        seg_doc = di[np.flatnonzero(new)]
+        top_c = np.zeros(nrows, dtype=np.int64)
+        np.maximum.at(top_c, seg_doc, seg_cnt)
+        # per-doc duplicated-bigram positions
+        bd, bh = _gram_hashes(t, 2)
+        # bd holds doc_ids; map back to row index via searchsorted on a
+        # batch-local sort of doc_id (doc_id unique per row in a batch)
+        row_order = np.argsort(d, kind="stable")
+        rpos = row_order[np.searchsorted(d[row_order], bd)]
+        n_big = np.bincount(rpos, minlength=nrows).astype(np.int64)
+        dup_big = np.zeros(nrows, dtype=np.int64)
+        if len(bh):
+            border = np.lexsort((bh, rpos))
+            bi, bhs = rpos[border], bh[border]
+            bnew = np.ones(len(bi), dtype=bool)
+            bnew[1:] = (bi[1:] != bi[:-1]) | (bhs[1:] != bhs[:-1])
+            bseg = np.cumsum(bnew) - 1
+            bseg_cnt = np.bincount(bseg)
+            dup_rows = bseg_cnt[bseg] > 1  # positions in repeated bigram groups
+            np.add.at(dup_big, bi[dup_rows], 1)
+        keep = counts > 0
+        nt = counts[keep]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dbf = np.where(
+                n_big[keep] > 0, dup_big[keep] / np.maximum(n_big[keep], 1), 0.0
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(d[keep]),
+                "n_tokens": pa.array(nt),
+                "top_word_frac": pa.array(top_c[keep] / nt),
+                "dup_bigram_frac": pa.array(dbf),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+DOCS_REPETITION_SQL = f"""
+WITH words AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+tc AS (SELECT doc_id, token, count(*) AS c
+       FROM (SELECT doc_id, unnest(w) AS token FROM words) GROUP BY 1, 2),
+tw AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(max(c) AS BIGINT) AS top_c
+       FROM tc GROUP BY 1),
+bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+       FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+       WHERE len(w) >= 2),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+bw AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+              CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_bigrams
+       FROM bc GROUP BY 1)
+SELECT tw.doc_id, tw.n_tokens,
+       tw.top_c * 1.0 / tw.n_tokens AS top_word_frac,
+       COALESCE(bw.dup_bigrams * 1.0 / bw.n_bigrams, 0.0) AS dup_bigram_frac
+FROM tw LEFT JOIN bw ON tw.doc_id = bw.doc_id
+WHERE tw.n_tokens > 0
+ORDER BY tw.doc_id
+"""

@@ -587,3 +587,55 @@ def test_approx_quantiles_price_tolerance_and_invariance(ray_session, sf_small):
     ).fetchone()
     for (_, row), ex in zip(df.iterrows(), exact):
         assert abs(row["price_est"] - ex) / ex < 0.02, (row["quantile_pct"], ex)
+
+
+def test_docs_dup_ngrams_hand_computed(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.documents import docs_dup_ngrams
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": [
+                    "a b c d e f",   # grams: "a b c d e" (dup), "b c d e f"
+                    "a b c d e x",   # grams: "a b c d e" (dup), "b c d e x"
+                    "y y y y",       # < 5 tokens: excluded
+                ],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    df = docs_dup_ngrams(str(tmp_path)).to_pandas()
+    assert df["doc_id"].tolist() == [0, 1]
+    assert df["n_grams"].tolist() == [2, 2]
+    assert df["n_dup"].tolist() == [1, 1]
+    assert df["dup_frac"].tolist() == [0.5, 0.5]
+
+
+def test_docs_repetition_hand_computed(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.documents import docs_repetition
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": [
+                    "a b c d e f",       # all distinct: top 1/6, no dup bigrams
+                    "y y y y",           # top 4/4; bigrams: "y y" x3 all dup
+                    "p q p q p",         # top 3/5; bigrams p q, q p, p q, q p -> all dup
+                ],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    df = docs_repetition(str(tmp_path)).to_pandas()
+    assert df["doc_id"].tolist() == [0, 1, 2]
+    assert df["n_tokens"].tolist() == [6, 4, 5]
+    assert df["top_word_frac"].tolist() == [1 / 6, 1.0, 3 / 5]
+    assert df["dup_bigram_frac"].tolist() == [0.0, 1.0, 1.0]

@@ -155,3 +155,14 @@ def test_hyperloglog_small_range_linear_counting():
     keys = np.arange(100, dtype=np.uint64)
     hll.add_hashes(keys)
     assert abs(hll.estimate() - 100) < 3
+
+
+def test_flat_tokens_vectorized_matches_per_row():
+    import pyarrow as pa
+
+    texts = ["a  b c", "", None, "  ", "hello world hello"]
+    flat, docidx, counts = text.flat_tokens(pa.array(texts, type=pa.string()))
+    expect = [text.tokenize(t) if t else [] for t in texts]
+    assert flat.to_pylist() == [w for ws in expect for w in ws]
+    assert counts.tolist() == [len(ws) for ws in expect]
+    assert docidx.tolist() == [i for i, ws in enumerate(expect) for _ in ws]
