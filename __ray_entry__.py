@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_terms_per_lang": D.docs_top_terms_per_lang,
         "docs_dup_ngrams": D.docs_dup_ngrams,
         "docs_repetition": D.docs_repetition,
+        "docs_shard_manifest": D.docs_shard_manifest,
         "median_price_per_segment": R.median_price_per_segment,
         "p95_price_per_segment": R.p95_price_per_segment,
         "revenue_rollup": R.revenue_rollup,
@@ -172,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_top_terms_per_lang": D.docs_top_terms_per_lang_sql(),
         "docs_dup_ngrams": D.DOCS_DUP_NGRAMS_SQL,
         "docs_repetition": D.DOCS_REPETITION_SQL,
+        "docs_shard_manifest": D.docs_shard_manifest_sql(),
         "median_price_per_segment": R.MEDIAN_PRICE_SQL,
         "p95_price_per_segment": R.P95_PRICE_SQL,
         "revenue_rollup": R.REVENUE_ROLLUP_SQL,

@@ -189,6 +189,58 @@ def apply_geotiff_profile(profile: dict) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# GDAL creation-option round trip: the Parquet tile-table writer stores
+# profiles as these dicts; when a real GDAL/rasterio writer is present
+# the SAME profile must translate losslessly into `-co KEY=VALUE`
+# creation options (and back), so outputs written here can be converted
+# to reference-identical GeoTIFF/COG files (profiles.py:81-88 defaults:
+# 512x512 blocks, deflate level 9, BIGTIFF=YES, pixel interleave).
+# ---------------------------------------------------------------------------
+
+# dataset-level keys that are NOT creation options (GDAL takes them
+# from the dataset/metadata, not -co)
+_NON_CREATION_KEYS = frozenset(
+    {"driver", "crs", "transform", "width", "height", "count", "dtype", "nodata"}
+)
+_CO_BOOL_KEYS = frozenset({"tiled"})  # True <-> "YES"
+_CO_INT_KEYS = frozenset({"blockxsize", "blockysize", "blocksize", "zlevel", "level"})
+_CO_VERBATIM_KEYS = frozenset({"bigtiff"})  # reference keeps the "YES" string
+
+
+def gdal_creation_options(profile: dict) -> dict[str, str]:
+    """Profile dict -> GDAL ``-co`` creation options (upper KEY=VALUE
+    strings).  Dataset-level keys (driver/crs/shape/dtype/nodata) are
+    excluded — GDAL takes those from the dataset itself."""
+    out: dict[str, str] = {}
+    for k, v in profile.items():
+        if k in _NON_CREATION_KEYS:
+            continue
+        if isinstance(v, bool):
+            v = "YES" if v else "NO"
+        out[k.upper()] = str(v).upper() if isinstance(v, str) else str(v)
+    return out
+
+
+def profile_from_creation_options(co: dict[str, str], driver: str) -> dict:
+    """Inverse of :func:`gdal_creation_options`: rebuild the profile
+    dict (lower-case keys, reference value typing — ``tiled`` back to
+    bool, block/level keys to int, ``bigtiff`` kept as the "YES"
+    string, everything else lower-cased)."""
+    out: dict[str, Any] = {"driver": driver}
+    for K, v in co.items():
+        k = K.lower()
+        if k in _CO_BOOL_KEYS:
+            out[k] = v.upper() == "YES"
+        elif k in _CO_INT_KEYS:
+            out[k] = int(v)
+        elif k in _CO_VERBATIM_KEYS:
+            out[k] = v.upper()
+        else:
+            out[k] = v.lower()
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Validation helpers (exact reference error strings)
 # ---------------------------------------------------------------------------
 

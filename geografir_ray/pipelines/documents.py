@@ -1659,3 +1659,89 @@ FROM tw LEFT JOIN bw ON tw.doc_id = bw.doc_id
 WHERE tw.n_tokens > 0
 ORDER BY tw.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Shard manifest for training-data export: the deterministic
+# doc -> output-shard assignment (same LCG hash convention as
+# docs_sample, SQL-expressible) plus per-shard size stats — the
+# planning table a sharded-parquet export (state/checkpoint.py
+# checkpointed_write) and a resume both key off.  16 bounded shard
+# keys -> driver merge (CLAUDE.md rule 2), no all-to-all.
+# ---------------------------------------------------------------------------
+
+N_EXPORT_SHARDS = 16
+
+
+def docs_shard_manifest(sf_dir: str, n_shards: int = N_EXPORT_SHARDS):
+    """(shard, n_docs, n_chars, min_doc_id, max_doc_id) per export
+    shard, shard = lcg(doc_id) % n_shards.  Hash-based (not range-
+    based) so shards stay balanced under any doc_id distribution and
+    the assignment is reproducible across runs/partitionings."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (k * 2654435761 + 1013904223) % 4294967296
+        return pa.table(
+            {
+                "shard": pa.array((h % n_shards).astype(np.int64)),
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "one": pa.array(np.ones(len(k), dtype=np.int64)),
+            }
+        )
+
+    out = grouped_sum(
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
+        ["shard"],
+        {
+            "n_docs": ("one", "sum"),
+            "n_chars": ("n_chars", "sum"),
+            "min_doc_id": ("doc_id", "min"),
+            "max_doc_id": ("doc_id", "max"),
+        },
+        merge="driver",
+    )
+    return out.sort("shard")
+
+
+def docs_shard_manifest_sql(n_shards: int = N_EXPORT_SHARDS) -> str:
+    return f"""
+SELECT ((doc_id * 2654435761 + 1013904223) % 4294967296) % {n_shards} AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+def export_documents_shards(
+    sf_dir: str, out_dir: str, n_shards: int = N_EXPORT_SHARDS,
+    op_version: str = "v1",
+) -> dict:
+    """Resumable sharded Parquet export of the documents corpus.
+
+    Each doc goes to shard lcg(doc_id) % n_shards (exactly the
+    :func:`docs_shard_manifest` assignment), one directory per shard
+    with an atomic _SUCCESS + lineage record
+    (state/checkpoint.checkpointed_write) — a crashed export re-run
+    skips completed shards.  At fleet scale each shard directory is a
+    key-range-stable unit a downstream trainer can consume while later
+    shards still write."""
+    from ..state import checkpoint as cp
+
+    ds = read_table(sf_dir, "documents")
+
+    def partition_fn(t: pa.Table):
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((k * 2654435761 + 1013904223) % 4294967296) % n_shards
+        out = {}
+        for s in np.unique(h):
+            out[f"shard={s:04d}"] = t.filter(pa.array(h == s))
+        return out
+
+    return cp.checkpointed_write(ds, out_dir, partition_fn, op_version)

@@ -451,3 +451,35 @@ def test_from_tile_row_band_subset_cast_and_nodata_rewrite():
     # truthiness quirk: target_nodata=0 ignored (raster_array.py:288-292)
     quirk = RasterArray.from_tile_row(row, target_nodata=0)
     assert quirk.metadata.nodata == -9999
+
+
+def test_gdal_creation_options_round_trip():
+    from geografir_ray.functions.raster import (
+        COG_PROFILE,
+        GEOTIFF_PROFILE,
+        apply_cog_profile,
+        apply_geotiff_profile,
+        gdal_creation_options,
+        profile_from_creation_options,
+    )
+
+    for base, driver in [(GEOTIFF_PROFILE, "GTiff"), (COG_PROFILE, "COG")]:
+        prof = dict(base)
+        co = gdal_creation_options(prof)
+        # reference storage knobs survive translation (profiles.py:81-88)
+        if driver == "GTiff":
+            assert co["COMPRESS"] == "DEFLATE"
+            assert co["ZLEVEL"] == "9"
+            assert co["TILED"] == "YES"
+            assert co["BLOCKXSIZE"] == "512"
+            assert co["INTERLEAVE"] == "PIXEL"
+            assert co["BIGTIFF"] == "YES"
+        back = profile_from_creation_options(co, driver)
+        assert back == {**prof, "driver": driver}
+
+    # user keys flow through apply_* then round-trip too
+    prof = apply_geotiff_profile({"predictor": "2"})
+    back = profile_from_creation_options(gdal_creation_options(prof), "GTiff")
+    assert back["predictor"] == "2"
+    cog = apply_cog_profile({"tiled": True})  # stripped as COG-invalid
+    assert "tiled" not in cog

@@ -190,3 +190,32 @@ def test_checkpoint_op_version_invalidates(ray_session, tmp_path):
     r = cp.checkpointed_write(rd.range(100), out_dir, partition_fn, "v2")
     assert sorted(r["written"]) == ["0", "1"]  # all invalidated
     assert r["skipped"] == []
+
+
+def test_export_documents_shards_matches_manifest(ray_session, tmp_path, sf_small):
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.documents import (
+        docs_shard_manifest,
+        export_documents_shards,
+    )
+    from geografir_ray.state import checkpoint as cp
+
+    out_dir = str(tmp_path / "shards")
+    r1 = export_documents_shards(sf_small, out_dir)
+    manifest = docs_shard_manifest(sf_small).to_pandas().set_index("shard")
+    assert len(r1["written"]) == len(manifest)
+
+    total = 0
+    for _, row in manifest.iterrows():
+        shard_key = f"shard={int(row.name):04d}"
+        t = pq.read_table(f"{out_dir}/part={shard_key}/data.parquet")
+        assert t.num_rows == row["n_docs"]
+        total += t.num_rows
+    src = pq.read_table(f"{sf_small}/documents.parquet")
+    assert total == src.num_rows
+
+    # resume: everything already written -> all skipped, nothing rewritten
+    r2 = export_documents_shards(sf_small, out_dir)
+    assert r2["written"] == []
+    assert sorted(r2["skipped"]) == sorted(r1["written"])
