@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_lsh_neardup": M.emb_lsh_neardup,
         "emb_label_stats": M.emb_label_stats,  # rows-only: float mean order
         "emb_ivf_knn": M.emb_ivf_knn,  # rows-only: approximate by design
+        "emb_kmeans": M.emb_kmeans,  # rows-only: iterative Lloyd refinement
         # raster (tile tables / masked stats / burn / conform)
         "raster_tile_stats": RQ.raster_tile_stats,
         "raster_burn": RQ.raster_burn,

@@ -622,3 +622,165 @@ def synth_vectors_clustered(
     centers = centers / np.linalg.norm(centers, axis=1, keepdims=True)
     noise = synth_vectors(ids.astype(np.int64) + 7_000_000, dim)
     return centers[ids.astype(np.int64) % n_centers] + spread * noise
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's algorithm) — trains the IVF centroids
+# instead of assuming synthetic ones.  Each iteration is ONE streaming
+# pass: broadcast centroids -> per-batch assign (argmax matmul) ->
+# per-batch partial (sum vectors + count per cluster) -> driver merge
+# over k x n_blocks tiny partials (k is bounded -> CLAUDE.md rule 2).
+#
+# Partial sums accumulate in FIXED-POINT int64 (scale 2^32): integer
+# addition is associative, so the fitted centroids are bit-identical
+# under ANY partitioning / block order — same determinism device as
+# the integer-cents oracle encoding.  Max |coord| ~1.4, 2^32 scale,
+# ~1e9 rows/cluster before int64 risk: fine for every realistic shard.
+# ---------------------------------------------------------------------------
+
+_KMEANS_SCALE = float(1 << 32)
+
+
+def _euclid_assign(m: np.ndarray, c: np.ndarray):
+    """(assign, sqdist_to_assigned) under exact Euclidean distance via
+    the matmul expansion ||m||^2 - 2 m.c + ||c||^2 — one BLAS call, no
+    (n, k, dim) broadcast temp.  Ties break to the lowest cluster id
+    (np.argmin), the same rule everywhere it is called."""
+    d2 = (
+        (m * m).sum(axis=1, keepdims=True)
+        - 2.0 * (m @ c.T)
+        + (c * c).sum(axis=1)[None, :]
+    )
+    assign = np.argmin(d2, axis=1)
+    best = np.maximum(d2[np.arange(len(m)), assign], 0.0)
+    return assign, best
+
+
+def kmeans_fit(
+    ds, k: int = 8, n_iters: int = 5, dim: int = EMB_DIM, seed: int = 0
+):
+    """Fit k cluster centroids over a (vec_id, embedding) Dataset.
+
+    Returns (centroids (k, dim) float64, counts (k,) int64).  Init is
+    deterministic (synth_vectors seeded by ``seed``); empty clusters
+    keep their previous centroid.  Each iteration streams the dataset
+    once; nothing but k x (dim+1) partials per block leaves a task."""
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    cent = synth_vectors(np.arange(k, dtype=np.int64) + seed + 5_000_000, dim)
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    _PART = pa.schema(
+        [("cluster", pa.int64()), ("cnt", pa.int64()), ("sums", pa.list_(pa.int64()))]
+    )
+
+    def partials(state, t: pa.Table) -> pa.Table:
+        c = state
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        m = _emb_matrix(t)
+        assign = _euclid_assign(m, c)[0]
+        fixed = np.round(m * _KMEANS_SCALE).astype(np.int64)
+        sums = np.zeros((len(c), fixed.shape[1]), dtype=np.int64)
+        np.add.at(sums, assign, fixed)
+        cnt = np.bincount(assign, minlength=len(c)).astype(np.int64)
+        keep = np.flatnonzero(cnt > 0)
+        flat = pa.array(sums[keep].ravel())
+        offs = pa.array(
+            np.arange(0, (len(keep) + 1) * fixed.shape[1], fixed.shape[1]),
+            type=pa.int32(),
+        )
+        return pa.table(
+            {
+                "cluster": pa.array(keep.astype(np.int64)),
+                "cnt": pa.array(cnt[keep]),
+                "sums": pa.ListArray.from_arrays(offs, flat),
+            }
+        )
+
+    counts = np.zeros(k, dtype=np.int64)
+    for _ in range(n_iters):
+        ref = ray.put(cent)
+        part = ds.map_batches(
+            with_broadcast(ref, partials, "kmeans_assign"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        # driver merge: k x n_blocks rows of (cluster, cnt, int sums)
+        tot_cnt = np.zeros(k, dtype=np.int64)
+        tot_sum = np.zeros((k, dim), dtype=np.int64)
+        for b in part.iter_batches(batch_size=None, batch_format="pyarrow"):
+            if b.num_rows == 0:
+                continue
+            cl = b["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cn = b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sm = (
+                b["sums"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+                .astype(np.int64).reshape(len(cl), dim)
+            )
+            np.add.at(tot_cnt, cl, cn)
+            np.add.at(tot_sum, cl, sm)
+        nonempty = tot_cnt > 0
+        new_cent = cent.copy()
+        new_cent[nonempty] = (
+            tot_sum[nonempty] / _KMEANS_SCALE
+        ) / tot_cnt[nonempty, None]
+        cent, counts = new_cent, tot_cnt
+    return cent, counts
+
+
+def emb_kmeans(sf_dir: str, k: int = 8, n_iters: int = 5):
+    """Cluster the embeddings table with distributed k-means; returns
+    the per-cluster summary (cluster, n_vecs, inertia_c) where
+    inertia_c is the integer-cents-scaled sum of squared distances of
+    members to their final centroid (partition-invariant by the same
+    fixed-point argument as the fit).  rows-only: iterative Lloyd
+    refinement is not SQL-expressible (documented in __ray_entry__ and
+    tests/test_entry.py)."""
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent, _ = kmeans_fit(ds, k=k, n_iters=n_iters)
+
+    _OUT = pa.schema(
+        [("cluster", pa.int64()), ("n_vecs", pa.int64()), ("inertia_c", pa.int64())]
+    )
+
+    def summarize(state, t: pa.Table) -> pa.Table:
+        c = state
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        m = _emb_matrix(t)
+        assign, best = _euclid_assign(m, c)
+        cents = np.round(best * 10000.0).astype(np.int64)  # 1e-4 fixed point
+        inertia = np.zeros(len(c), dtype=np.int64)
+        np.add.at(inertia, assign, cents)
+        cnt = np.bincount(assign, minlength=len(c)).astype(np.int64)
+        keep = np.flatnonzero(cnt > 0)
+        return pa.table(
+            {
+                "cluster": pa.array(keep.astype(np.int64)),
+                "n_vecs": pa.array(cnt[keep]),
+                "inertia_c": pa.array(inertia[keep]),
+            }
+        )
+
+    from .common import grouped_sum
+
+    ref = ray.put(cent)
+    per_batch = ds.map_batches(
+        with_broadcast(ref, summarize, "kmeans_summary"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = grouped_sum(
+        per_batch,
+        ["cluster"],
+        {"n_vecs": ("n_vecs", "sum"), "inertia_c": ("inertia_c", "sum")},
+        merge="driver",
+    )
+    return out.sort("cluster")

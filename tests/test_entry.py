@@ -30,6 +30,7 @@ def test_queries_have_oracles_or_are_documented(ray_session):
         "docs_fingerprints",
         "emb_label_stats",
         "emb_ivf_knn",
+        "emb_kmeans",
         "mm_features",
         "approx_distinct_parts",
         "approx_quantiles_price",
