@@ -193,11 +193,12 @@ def bench_suite() -> dict[str, float]:
         return dedup_by_url(pages, merge="shuffle", n_buckets=96)
 
     def ann_brute_100kq(_sf_dir: str):
-        # exact brute-force ANN at 100k queries x 100k vectors: query-
-        # chunked matmul (peak memory bounded), per-batch partial top-k
-        # (k rows per query per batch exchange), vectorized sort+segment
-        # merge over 100k query groups — NOT one Python call per query
-        # (VERDICT r2 item 3 evidence)
+        # exact brute-force ANN at 100k queries x 50k vectors (5e9
+        # sims): query-chunked matmul (peak memory bounded), per-batch
+        # partial top-k (k rows per query per batch exchange),
+        # vectorized sort+segment merge over 100k query groups x 16
+        # candidate sets (16M-row exchange) — NOT one Python call per
+        # query (VERDICT r2 item 3 evidence)
         import numpy as np
         import pyarrow as pa
         import ray.data as rd
@@ -221,12 +222,12 @@ def bench_suite() -> dict[str, float]:
                 }
             )
 
-        ds = rd.range(100_000, override_num_blocks=32).map_batches(
+        ds = rd.range(50_000, override_num_blocks=16).map_batches(
             build, batch_format="pyarrow", batch_size=None
         )
         qids = np.arange(1_000_000, 1_100_000)
         Q = synth_vectors_clustered(qids)
-        return ann_brute_topk(ds, qids, Q, k=10, qchunk=8192, dtype=np.float32)
+        return ann_brute_topk(ds, qids, Q, k=10, qchunk=4096, dtype=np.float32)
 
     def join_orders_600k(_sf_dir: str):
         # Arrow-native bucketed hash join, lineitem x orders at sf0.1
