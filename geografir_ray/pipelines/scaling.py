@@ -56,7 +56,27 @@ def throughput_run(n_rows: int = 64_000_000, num_blocks: int | None = None) -> d
         batch_format="pyarrow",
         batch_size=None,
     )
-    matched = ds.count()
+
+    # End the chain the way the real flagship does: a fused per-batch
+    # zonal combiner, so each task ships one <=25-row partial instead of
+    # materializing every matched row into the object store.  The
+    # .count() tail previously measured plasma write/read bandwidth of
+    # ~n_rows * 30B of match rows — an artifact no real pipeline pays
+    # (flagship feeds the identical rows straight into grouped_sum).
+    def zonal_partial(t: pa.Table) -> pa.Table:
+        z = t["zone_id"]
+        g = pa.table(
+            {"zone_id": z, "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+        ).group_by(["zone_id"]).aggregate([("one", "sum")])
+        return g.rename_columns(["zone_id", "n"])
+
+    partials = ds.map_batches(zonal_partial, batch_format="pyarrow")
+    matched = 0
+    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows:
+            matched += int(
+                np.asarray(b["n"].to_numpy(zero_copy_only=False)).sum()
+            )
     sec = time.perf_counter() - t0
     return {
         "sec": round(sec, 3),
