@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # large-large partitioned kNN + multimodal plumbing
         "geo_knn_partitioned": S.knn_partitioned_query,
         "mm_features": D.docs_media_features,  # rows-only: fake codec
+        "mm_image_features": D.docs_image_features,  # rows-only: real PNG codec, golden-pinned
+        "mm_audio_features": D.docs_audio_features,  # rows-only: real WAV codec, golden-pinned
         # location extraction (gazetteer scan -> geocode) + sampling
         "docs_locations": D.docs_locations,
         "docs_extract_zonal": D.docs_extract_zonal,
@@ -186,8 +188,9 @@ def oracle_sql() -> dict[str, str]:
         "distinct_parts_per_flag": R.DISTINCT_PARTS_SQL,
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_simhash, docs_langid_quality, docs_fingerprints,
-        # emb_label_stats, emb_ivf_knn, mm_features,
-        # approx_distinct_parts — each has a pinned-golden or
-        # property test in tests/ (see test_pipelines_misc.py,
-        # test_goldens.py)
+        # emb_label_stats, emb_ivf_knn, emb_kmeans, mm_features,
+        # mm_image_features, mm_audio_features,
+        # approx_distinct_parts, approx_quantiles_price — each has a
+        # pinned-golden or property test in tests/ (see
+        # test_pipelines_misc.py, test_goldens.py)
     }

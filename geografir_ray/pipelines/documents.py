@@ -663,6 +663,88 @@ def docs_media_features(sf_dir: str):
     ).sort("doc_id")
 
 
+def _synth_image(doc_id: int) -> "np.ndarray":
+    """Deterministic RGB image per doc (splitmix pixel stream — stable
+    across workers/platforms, no RNG-state dependence)."""
+    from ..functions.hashing import splitmix64
+
+    h = 12 + doc_id % 9
+    w = 10 + doc_id % 7
+    n = h * w * 3
+    seed = splitmix64(np.uint64((doc_id * 0x9E3779B97F4A7C15) % (1 << 64)))
+    px = splitmix64(seed + np.arange(n, dtype=np.uint64)) & np.uint64(0xFF)
+    return px.astype(np.uint8).reshape(h, w, 3)
+
+
+def docs_image_features(sf_dir: str):
+    """REAL image path: deterministic PNG payload per doc (encoded with
+    the pure-Python codec) → actor-pool decode → pixel feature columns.
+    Rows-only (SQL cannot decode PNG); the full result is pinned in
+    tests/test_goldens.py and width/height/byte_sum are re-derivable
+    from _synth_image."""
+    from ..functions.png import encode_png
+    from ..stages.multimodal import MediaFeatures
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = [encode_png(_synth_image(int(i))) for i in ids]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pa.array(payloads, type=pa.binary()),
+                "format": pa.array(["png"] * t.num_rows),
+            }
+        )
+
+    ds = ds.map_batches(to_payload, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        MediaFeatures,
+        fn_constructor_args=("doc_id", "png"),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=64,
+    ).sort("doc_id")
+
+
+def docs_audio_features(sf_dir: str):
+    """REAL audio path: deterministic PCM16 WAV per doc → actor-pool
+    RIFF decode → normalized audio stats.  Rows-only, golden-pinned."""
+    from ..functions.hashing import splitmix64
+    from ..functions.wav import encode_wav
+    from ..stages.multimodal import AudioFeatures
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            n = 200 + int(i) % 50 * 4
+            seed = splitmix64(np.uint64(i) ^ np.uint64(0xA5A5A5A5A5A5A5A5))
+            raw = splitmix64(seed + np.arange(n, dtype=np.uint64))
+            samples = ((raw & np.uint64(0xFFFF)).astype(np.int64) - 32768).astype(
+                np.int16
+            )
+            payloads.append(encode_wav(samples, 8000))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    ds = ds.map_batches(to_payload, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        AudioFeatures,
+        fn_constructor_args=("doc_id",),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=64,
+    ).sort("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Location extraction (gazetteer scan of text -> geocoded mentions) —
 # the north-star operator, with an exact SQL twin (token-equality match

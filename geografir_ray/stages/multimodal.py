@@ -1,13 +1,23 @@
-"""Multimodal (image/audio/video) stages — binary payload plumbing.
+"""Multimodal (image/audio/video) stages over opaque ``binary`` columns.
 
-Design (build brief): media are opaque ``binary`` columns with typed
-metadata; decode / feature-extract / resize / frame-sample run as
-actor-pool map_batches stages.  The actual codec libraries are NOT in
-this container, so the codec call sites are stubbed: ``DECODERS``
-raises ``NotImplementedError`` for real formats, and the deterministic
-``fake`` codec exercises the full Ray-side plumbing (schema, batching,
-actor lifecycle, output layout) so swapping in PIL/ffmpeg later is a
-one-function change.
+Design (build brief): media are binary columns with typed metadata;
+decode / feature-extract / resize / frame-sample run as actor-pool
+map_batches stages with the decoder resolved once per actor.
+
+Codec status — REAL pure-Python/stdlib implementations, no imaging
+library required:
+
+- ``png``  — functions/png.py (zlib + numpy; all five PNG filters).
+- ``wav``  — functions/wav.py (RIFF walk; PCM 8/16/32 + float32).
+- ``mp4``  — ISO-BMFF box walk (``mp4_sample_info`` below): real
+  sample counts/timescale from moov/trak/mdia/stbl/stts, so the
+  frame-sample plan runs on real containers.  Frame PIXEL decode
+  (H.264 et al.) stays out of scope.
+- ``jpeg`` — still a documented stub: a conforming baseline-DCT
+  decoder is a full entropy-coding + IDCT implementation; wire a lib
+  (PIL/turbojpeg) into DECODERS when the deployment image has one.
+- ``fake`` — deterministic stand-in retained for plumbing tests and
+  payloads of unknown format.
 
 Batch-size guidance: media rows are wide — size ``batch_size`` so
 (batch_size x avg_payload x concurrency) fits the worker heap; the
@@ -17,8 +27,13 @@ from the brief).
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pyarrow as pa
+
+from ..functions.png import decode_png, encode_png, resize_bilinear, resize_nearest
+from ..functions.wav import wav_features
 
 
 def decode_fake(payload: bytes) -> dict:
@@ -35,6 +50,21 @@ def decode_fake(payload: bytes) -> dict:
     }
 
 
+def decode_png_features(payload: bytes) -> dict:
+    """REAL png decode → pixel-level features (same column contract as
+    the fake codec so the stage schema is format-independent)."""
+    img = decode_png(payload)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1).astype(np.int64)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_bytes": len(payload),
+        "byte_sum": int(flat.sum()),
+        "byte_mean_milli": int(flat.mean() * 1000) if len(flat) else 0,
+    }
+
+
 def _unimplemented(fmt: str):
     def decode(_payload: bytes) -> dict:
         raise NotImplementedError(
@@ -47,10 +77,9 @@ def _unimplemented(fmt: str):
 
 DECODERS = {
     "fake": decode_fake,
+    "png": decode_png_features,
     "jpeg": _unimplemented("jpeg"),
-    "png": _unimplemented("png"),
-    "wav": _unimplemented("wav"),
-    "mp4": _unimplemented("mp4"),
+    "mp4": _unimplemented("mp4"),  # pixel decode; sample counts: mp4_sample_info
 }
 
 
@@ -81,9 +110,153 @@ class MediaFeatures:
         return pa.table(cols)
 
 
+class AudioFeatures:
+    """Actor-pool stage: REAL wav decode → audio summary columns
+    (sample_rate, n_samples, n_channels, duration_ms, rms_milli,
+    peak_milli).  Integer samples are normalized so stats are
+    comparable across bit depths (functions/wav.wav_features)."""
+
+    _KEYS = (
+        "sample_rate",
+        "n_samples",
+        "n_channels",
+        "duration_ms",
+        "rms_milli",
+        "peak_milli",
+    )
+
+    def __init__(self, id_col: str = "doc_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [wav_features(p or b"") for p in batch["payload"].to_pylist()]
+        cols: dict[str, pa.Array] = {self.id_col: batch[self.id_col]}
+        for key in self._KEYS:
+            cols[key] = pa.array([f[key] for f in feats], type=pa.int64())
+        return pa.table(cols)
+
+
+class ImageResize:
+    """Actor-pool stage: REAL decode → resize → re-encode for png
+    payloads.  Output rows carry the resized payload (binary) plus the
+    new dimensions; aspect ratio is preserved by scaling the long edge
+    to ``max_px`` (never upscales)."""
+
+    def __init__(self, max_px: int, id_col: str = "doc_id", method: str = "bilinear"):
+        if method not in ("bilinear", "nearest"):
+            raise ValueError(f"ImageResize: method {method!r} unsupported")
+        self.max_px = int(max_px)
+        self.id_col = id_col
+        self.resize = resize_bilinear if method == "bilinear" else resize_nearest
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payloads: list[bytes] = []
+        widths: list[int] = []
+        heights: list[int] = []
+        for p in batch["payload"].to_pylist():
+            img = decode_png(p)
+            h, w = img.shape[:2]
+            long_edge = max(h, w)
+            if long_edge > self.max_px:
+                scale = self.max_px / long_edge
+                nh = max(1, int(round(h * scale)))
+                nw = max(1, int(round(w * scale)))
+                img = self.resize(img, nh, nw)
+                h, w = nh, nw
+            out_payloads.append(encode_png(img))
+            widths.append(w)
+            heights.append(h)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "payload": pa.array(out_payloads, type=pa.binary()),
+                "width": pa.array(widths, type=pa.int64()),
+                "height": pa.array(heights, type=pa.int64()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# ISO-BMFF (mp4) box walk — real container metadata without a codec.
+# Public spec: ISO/IEC 14496-12 base media file format.
+# ---------------------------------------------------------------------------
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _walk_boxes(data: bytes, start: int, end: int, out: dict) -> None:
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing container
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("mp4: malformed box size")
+        if tag in _CONTAINERS:
+            _walk_boxes(data, pos + hdr, pos + size, out)
+        elif tag == b"mdhd":
+            ver = data[pos + hdr]
+            if ver == 1:
+                timescale, duration = struct.unpack_from(">IQ", data, pos + hdr + 20)
+            else:
+                timescale, duration = struct.unpack_from(">II", data, pos + hdr + 12)
+            out.setdefault("timescale", int(timescale))
+            out.setdefault("duration", int(duration))
+        elif tag == b"stts":
+            (n_entries,) = struct.unpack_from(">I", data, pos + hdr + 4)
+            counts = np.frombuffer(
+                data, dtype=">u4", count=n_entries * 2, offset=pos + hdr + 8
+            ).reshape(n_entries, 2)
+            out["n_samples"] = out.get("n_samples", 0) + int(counts[:, 0].sum())
+        pos += size
+
+
+def mp4_sample_info(data: bytes) -> dict:
+    """Parse an ISO-BMFF stream → {n_samples, timescale, duration}.
+
+    Real box-tree walk (ftyp/moov/trak/.../stts); raises on malformed
+    input.  Feeds frame_sample_plan with true frame counts."""
+    out: dict = {}
+    _walk_boxes(data, 0, len(data), out)
+    if "n_samples" not in out:
+        raise ValueError("mp4: no stts box found (not a media container?)")
+    return {
+        "n_samples": out["n_samples"],
+        "timescale": out.get("timescale", 0),
+        "duration": out.get("duration", 0),
+    }
+
+
+class VideoFramePlan:
+    """Actor-pool stage: REAL mp4 box parse → frame-sampling plan
+    (every_n-th sample index) per payload."""
+
+    def __init__(self, every_n: int, id_col: str = "doc_id"):
+        self.every_n = int(every_n)
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        infos = [mp4_sample_info(p or b"") for p in batch["payload"].to_pylist()]
+        plans = [list(range(0, i["n_samples"], self.every_n)) for i in infos]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "n_samples": pa.array([i["n_samples"] for i in infos], pa.int64()),
+                "timescale": pa.array([i["timescale"] for i in infos], pa.int64()),
+                "frame_plan": pa.array(plans, type=pa.list_(pa.int64())),
+            }
+        )
+
+
 def resize_stub(max_px: int) -> "callable":
-    """Stage placeholder for image resize: passes payloads through and
-    records the target size (real implementation needs a codec)."""
+    """Metadata-only resize planner (kept for payloads whose format has
+    no decoder, e.g. jpeg): passes payloads through and records the
+    target size.  png payloads should use ImageResize (real)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -96,7 +269,8 @@ def resize_stub(max_px: int) -> "callable":
 
 def frame_sample_plan(n_frames_col: str, every_n: int) -> "callable":
     """Stage: compute which frame indices a video sampler would decode
-    (the plan is real; the decode itself is stubbed)."""
+    from an n_frames column (VideoFramePlan derives the counts from the
+    real mp4 container instead)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         n = batch[n_frames_col].to_numpy(zero_copy_only=False)

@@ -32,6 +32,8 @@ def test_queries_have_oracles_or_are_documented(ray_session):
         "emb_ivf_knn",
         "emb_kmeans",
         "mm_features",
+        "mm_image_features",
+        "mm_audio_features",
         "approx_distinct_parts",
         "approx_quantiles_price",
     }

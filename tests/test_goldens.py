@@ -20,6 +20,10 @@ _GOLDEN = {
     "emb_label_stats": (10, "5477897f8f5631e948f5fdd6e62d5e23650c78d0ebe87dcf9fa19544e2124066"),
     "docs_langid_quality": (500, "c567c6ace04993eda2fcd5431b432c6d7d9e3326aacad34f9785d0e91d578fe9"),
     "mm_features": (500, "606ec6e062b9d31da89c195018d0a3723cb5f8f03cfc264f92daed5a1f07657c"),
+    # real-codec paths: synth payload -> pure-Python PNG/WAV decode in
+    # an actor pool (tests/test_media.py proves the codecs themselves)
+    "mm_image_features": (500, "add8284d93717f5bdd72cbf49fc1cd4dda44f4cf024456409e9dc68ecc6c658e"),
+    "mm_audio_features": (500, "10cc698110d450121f5067ac39d8565c3be7a30f172efc061bd6e5ab72f0491c"),
 }
 
 
