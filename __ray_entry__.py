@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_conform": RQ.raster_conform,
         "raster_conform_bilinear": RQ.raster_conform_bilinear,
         "raster_overview": RQ.raster_overview,
+        "raster_geotiff_stats": RQ.raster_geotiff_stats,  # real binary GeoTIFF round trip inside the map
         # large-large partitioned kNN + multimodal plumbing
         "geo_knn_partitioned": S.knn_partitioned_query,
         "mm_features": D.docs_media_features,  # rows-only: fake codec
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_conform": RQ.RASTER_CONFORM_SQL,
         "raster_conform_bilinear": RQ.RASTER_CONFORM_BILINEAR_SQL,
         "raster_overview": RQ.RASTER_OVERVIEW_SQL,
+        "raster_geotiff_stats": RQ.RASTER_GEOTIFF_STATS_SQL,
         "geo_knn_partitioned": S.knn_partitioned_sql(),
         "docs_locations": D.docs_locations_sql(),
         "docs_extract_zonal": D.docs_extract_zonal_sql(),

@@ -687,7 +687,50 @@ class RasterArray:
             out_array[b] = self._cast_band(acc, valid, out_meta)
         return out_array
 
-    # --- tile-table mapping (Parquet replaces GeoTIFF in the sandbox) ----
+    # --- REAL GeoTIFF binary I/O (pure-Python codec; reference
+    # to_raster/from_raster write/read GeoTIFF via rasterio,
+    # raster_array.py:222-327 — here via functions/geotiff.py) --------
+
+    def to_geotiff(self, profile: dict | None = None) -> bytes:
+        """GeoTIFF bytes with the metadata profile's writer settings
+        (512x512 tiles, deflate 9, BIGTIFF=YES, pixel interleave by
+        default — profiles.py:81-88 parity)."""
+        from .geotiff import raster_to_geotiff
+
+        return raster_to_geotiff(self, profile)
+
+    @staticmethod
+    def from_geotiff(
+        data: bytes,
+        band_index=None,
+        target_nodata=None,
+        target_dtype=None,
+    ) -> "RasterArray":
+        """Decode GeoTIFF bytes, then apply from_raster's band-subset /
+        cast / nodata-rewrite semantics (raster_array.py:277-327,
+        truthiness quirks preserved via from_tile_row)."""
+        from .geotiff import decode_geotiff
+
+        arr, info = decode_geotiff(data)
+        row = {
+            "crs": int(info["epsg"]),
+            "count": arr.shape[0],
+            "width": arr.shape[2],
+            "height": arr.shape[1],
+            "dtype": arr.dtype.name,
+            "nodata": info["nodata"] if info["nodata"] is not None else 0,
+            "transform": list(info["transform"]),
+            "data": arr.ravel(),
+        }
+        return RasterArray.from_tile_row(
+            row,
+            band_index=band_index,
+            target_nodata=target_nodata,
+            target_dtype=target_dtype,
+        )
+
+    # --- tile-table mapping (Parquet tile tables for the columnar
+    # pipelines; to_geotiff/from_geotiff above is the binary path) ----
 
     def to_tile_row(self, tile_id: int) -> dict:
         """One Arrow-ready tile-table row (SURVEY.md §1.3 schema)."""

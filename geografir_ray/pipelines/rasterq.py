@@ -405,3 +405,79 @@ FROM (
 GROUP BY 1, 2, 3
 ORDER BY tile_id, py, px
 """
+
+
+# ---------------------------------------------------------------------------
+# GeoTIFF round trip (REAL binary I/O): every tile is encoded to
+# GeoTIFF bytes with the pure-Python codec (functions/geotiff.py,
+# reference writer profile: tiled/deflate-9/BigTIFF/pixel) and decoded
+# back before the stats run — so the EXACT SQL oracle covers the whole
+# binary path, not just the array math.  Per-tile encode/decode is a
+# pure map: zero shuffle, trivially parallel at any corpus size.
+# ---------------------------------------------------------------------------
+
+
+def raster_geotiff_stats(sf_dir: str):
+    from ..functions.geotiff import decode_geotiff, encode_geotiff
+
+    tiles = tiles_dataset(sf_dir)
+
+    def roundtrip_stats(t: pa.Table) -> pa.Table:
+        data = t["data"]
+        if isinstance(data, pa.ChunkedArray):
+            data = data.combine_chunks()
+        n = len(data)
+        vals = data.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+        tx = t["tile_x"].to_numpy(zero_copy_only=False)
+        ty = t["tile_y"].to_numpy(zero_copy_only=False)
+        n_valid = np.empty(n, dtype=np.int64)
+        sum_valid = np.empty(n, dtype=np.int64)
+        max_valid = np.empty(n, dtype=np.int64)
+        ok_geo = np.empty(n, dtype=np.int64)
+        for r in range(n):
+            arr = vals[r].reshape(1, TILE_PX, TILE_PX)
+            transform = (
+                1.0 / TILE_PX, 0.0, float(tx[r]) - 180.0,
+                0.0, -1.0 / TILE_PX, 90.0 - float(ty[r]),
+            )
+            tif = encode_geotiff(arr, transform, 4326, nodata=-1.0)
+            back, info = decode_geotiff(tif)
+            dec = back[0].reshape(-1)
+            valid = dec % NODATA_MOD != 0
+            n_valid[r] = int(valid.sum())
+            sum_valid[r] = int(dec[valid].sum())
+            max_valid[r] = int(dec[valid].max())
+            ok_geo[r] = int(
+                (dec == vals[r]).all()
+                and info["epsg"] == 4326
+                and info["nodata"] == -1.0
+                and np.allclose(info["transform"], transform)
+            )
+        return pa.table(
+            {
+                "tile_id": t["tile_id"],
+                "n_valid": pa.array(n_valid),
+                "sum_valid": pa.array(sum_valid),
+                "max_valid": pa.array(max_valid),
+                "roundtrip_ok": pa.array(ok_geo),
+            }
+        )
+
+    return tiles.map_batches(
+        roundtrip_stats, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("tile_id")
+
+
+RASTER_GEOTIFF_STATS_SQL = f"""
+SELECT p_partkey AS tile_id,
+       CAST(count(*) FILTER (WHERE v % {NODATA_MOD} <> 0) AS BIGINT) AS n_valid,
+       CAST(sum(v) FILTER (WHERE v % {NODATA_MOD} <> 0) AS BIGINT) AS sum_valid,
+       CAST(max(v) FILTER (WHERE v % {NODATA_MOD} <> 0) AS BIGINT) AS max_valid,
+       CAST(1 AS BIGINT) AS roundtrip_ok
+FROM (
+  SELECT p_partkey, p_partkey * {TILE_PX * TILE_PX} + i AS v
+  FROM part, generate_series(0, {TILE_PX * TILE_PX - 1}) AS t(i)
+)
+GROUP BY p_partkey
+ORDER BY tile_id
+"""
