@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_pairs": D.docs_jaccard_pairs,
         "docs_quality": D.docs_quality,
         "docs_text_passthrough": D.docs_text_passthrough,
+        "docs_html_extract": D.docs_html_extract,
         "docs_minhash_lsh": D.docs_minhash_lsh,  # rows-only: minhash seeds
         "docs_simhash": D.docs_simhash,  # rows-only: simhash bits
         "docs_langid_quality": D.docs_langid_quality,  # rows-only: heuristic model
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_jaccard_pairs": D.DOCS_JACCARD_SQL,
         "docs_quality": D.DOCS_QUALITY_SQL,
         "docs_text_passthrough": D.DOCS_TEXT_PASSTHROUGH_SQL,
+        "docs_html_extract": D.DOCS_HTML_EXTRACT_SQL,
         "emb_knn": M.EMB_KNN_SQL,
         "emb_neardup": M.EMB_NEARDUP_SQL,
         "emb_lsh_neardup": M.emb_lsh_neardup_sql(),

@@ -663,6 +663,41 @@ def docs_media_features(sf_dir: str):
     ).sort("doc_id")
 
 
+def docs_html_extract(sf_dir: str):
+    """REAL html→text extraction under an EXACT oracle: each document's
+    text is wrapped in deterministic realistic markup (head junk,
+    attributes, entities, in-body script, comments —
+    functions/htmltext.synthesize_html) and the stdlib-parser extractor
+    must recover the text BYTE-identically, so the oracle is simply the
+    raw text column.  This is the north rule's per-row invariant
+    ("byte-identical extracted text per url") as a first-class query."""
+    from ..functions.htmltext import extract_text, synthesize_html
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def wrap_and_extract(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        extracted = [
+            extract_text(synthesize_html(txt, int(i))) for i, txt in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pa.array(extracted, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(
+        wrap_and_extract, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
+
+
+DOCS_HTML_EXTRACT_SQL = """
+SELECT doc_id, text FROM documents ORDER BY doc_id
+"""
+
+
 def _synth_image(doc_id: int) -> "np.ndarray":
     """Deterministic RGB image per doc (splitmix pixel stream — stable
     across workers/platforms, no RNG-state dependence)."""

@@ -242,6 +242,21 @@ def dedup_by_url(
     return _shuffle_dedup(pages, n_buckets)
 
 
+def extract_text_from_html(pages, out_col: str = "text_extracted"):
+    """html:binary → extracted text (functions/htmltext.extract_text),
+    the WARC-ingest leg of the north-star chain.  Pure map (fusable,
+    no shuffle); the stored ``text`` column, when present, is untouched
+    so the byte-identical invariant can be asserted downstream."""
+    from ..functions.htmltext import extract_text
+
+    def fn(t: pa.Table) -> pa.Table:
+        extracted = [extract_text(h or b"") for h in t["html"].to_pylist()]
+        return t.append_column(out_col, pa.array(extracted, type=pa.string()))
+
+    return pages.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None)
+
+
 def extract_locations(pages):
     """text → exploded mention rows (url, name, lat, lon); text column
     only READ, never rewritten."""

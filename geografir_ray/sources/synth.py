@@ -58,7 +58,12 @@ def pages_batch(start: int, n: int, mentions_per_doc: int = 3) -> pa.Table:
 
     langs = ["en", "es", "zh", "de", "fr", "en", "en", "es", "zh", "en"]
     lang = [langs[int(k % 10)] for k in i]
-    html = [f"<html><body>{t}</body></html>".encode() for t in texts]
+    # realistic markup (head junk, attributes, in-body script, comments,
+    # entity escaping) built so functions/htmltext.extract_text recovers
+    # `text` byte-identically — the north rule's per-row invariant
+    from ..functions.htmltext import synthesize_html
+
+    html = [synthesize_html(t, int(k)) for t, k in zip(texts, i)]
 
     return pa.table(
         {
