@@ -13,9 +13,9 @@ library required:
   sample counts/timescale from moov/trak/mdia/stbl/stts, so the
   frame-sample plan runs on real containers.  Frame PIXEL decode
   (H.264 et al.) stays out of scope.
-- ``jpeg`` — still a documented stub: a conforming baseline-DCT
-  decoder is a full entropy-coding + IDCT implementation; wire a lib
-  (PIL/turbojpeg) into DECODERS when the deployment image has one.
+- ``jpeg`` — functions/jpeg.py (baseline sequential ITU-T T.81:
+  per-image optimal Huffman encode, decoder accepting arbitrary
+  DHT/DQT, 4:2:0/4:2:2 subsampling and restart intervals).
 - ``fake`` — deterministic stand-in retained for plumbing tests and
   payloads of unknown format.
 
@@ -32,6 +32,7 @@ import struct
 import numpy as np
 import pyarrow as pa
 
+from ..functions.jpeg import decode_jpeg, encode_jpeg
 from ..functions.png import decode_png, encode_png, resize_bilinear, resize_nearest
 from ..functions.wav import wav_features
 
@@ -65,6 +66,21 @@ def decode_png_features(payload: bytes) -> dict:
     }
 
 
+def decode_jpeg_features(payload: bytes) -> dict:
+    """REAL baseline-JPEG decode → pixel-level features (same column
+    contract as png/fake)."""
+    img = decode_jpeg(payload)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1).astype(np.int64)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_bytes": len(payload),
+        "byte_sum": int(flat.sum()),
+        "byte_mean_milli": int(flat.mean() * 1000) if len(flat) else 0,
+    }
+
+
 def _unimplemented(fmt: str):
     def decode(_payload: bytes) -> dict:
         raise NotImplementedError(
@@ -78,9 +94,18 @@ def _unimplemented(fmt: str):
 DECODERS = {
     "fake": decode_fake,
     "png": decode_png_features,
-    "jpeg": _unimplemented("jpeg"),
+    "jpeg": decode_jpeg_features,
     "mp4": _unimplemented("mp4"),  # pixel decode; sample counts: mp4_sample_info
 }
+
+
+def sniff_image(payload: bytes) -> str:
+    """Magic-byte format sniff for image payloads."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    raise ValueError("sniff_image: neither PNG nor JPEG magic")
 
 
 class MediaFeatures:
@@ -137,24 +162,33 @@ class AudioFeatures:
 
 
 class ImageResize:
-    """Actor-pool stage: REAL decode → resize → re-encode for png
-    payloads.  Output rows carry the resized payload (binary) plus the
+    """Actor-pool stage: REAL decode → resize → re-encode, format
+    sniffed per payload (png stays png, jpeg re-encodes jpeg at
+    ``jpeg_quality``).  Output rows carry the resized payload plus the
     new dimensions; aspect ratio is preserved by scaling the long edge
     to ``max_px`` (never upscales)."""
 
-    def __init__(self, max_px: int, id_col: str = "doc_id", method: str = "bilinear"):
+    def __init__(
+        self,
+        max_px: int,
+        id_col: str = "doc_id",
+        method: str = "bilinear",
+        jpeg_quality: int = 85,
+    ):
         if method not in ("bilinear", "nearest"):
             raise ValueError(f"ImageResize: method {method!r} unsupported")
         self.max_px = int(max_px)
         self.id_col = id_col
         self.resize = resize_bilinear if method == "bilinear" else resize_nearest
+        self.jpeg_quality = int(jpeg_quality)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_payloads: list[bytes] = []
         widths: list[int] = []
         heights: list[int] = []
         for p in batch["payload"].to_pylist():
-            img = decode_png(p)
+            fmt = sniff_image(p)
+            img = decode_png(p) if fmt == "png" else decode_jpeg(p)
             h, w = img.shape[:2]
             long_edge = max(h, w)
             if long_edge > self.max_px:
@@ -163,7 +197,11 @@ class ImageResize:
                 nw = max(1, int(round(w * scale)))
                 img = self.resize(img, nh, nw)
                 h, w = nh, nw
-            out_payloads.append(encode_png(img))
+            out_payloads.append(
+                encode_png(img)
+                if fmt == "png"
+                else encode_jpeg(img, self.jpeg_quality)
+            )
             widths.append(w)
             heights.append(h)
         return pa.table(
@@ -255,8 +293,8 @@ class VideoFramePlan:
 
 def resize_stub(max_px: int) -> "callable":
     """Metadata-only resize planner (kept for payloads whose format has
-    no decoder, e.g. jpeg): passes payloads through and records the
-    target size.  png payloads should use ImageResize (real)."""
+    no decoder): passes payloads through and records the target size.
+    png/jpeg payloads should use ImageResize (real)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         return batch.append_column(

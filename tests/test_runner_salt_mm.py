@@ -113,11 +113,12 @@ def test_media_features_stage(ray_session):
 
 
 def test_media_unimplemented_formats_raise():
-    """png/wav/mp4 now have REAL pure-Python codecs (tests/test_media.py);
-    only jpeg pixel decode (and mp4 pixel decode) remain library-gated."""
+    """png/jpeg/wav/mp4-metadata now have REAL pure-Python codecs
+    (tests/test_media.py, test_jpeg.py); only mp4 PIXEL decode (H.264)
+    remains library-gated."""
     from geografir_ray.stages.multimodal import DECODERS
 
-    for fmt in ("jpeg", "mp4"):
+    for fmt in ("mp4",):
         with pytest.raises(NotImplementedError, match="codec library"):
             DECODERS[fmt](b"xx")
 
