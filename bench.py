@@ -58,6 +58,15 @@ def bench_suite() -> dict[str, float]:
 
         return pages_zonal(pages_dataset(1_000_000))
 
+    def pages_html_e2e_1m(_sf_dir: str):
+        # the TRUE ingest shape per BASELINE.json input_hint: the text
+        # the gazetteer scans comes from html:binary via the fast
+        # extractor (functions/htmltext), not the stored text column
+        from geografir_ray.pipelines.pages import pages_zonal
+        from geografir_ray.sources.synth import pages_dataset
+
+        return pages_zonal(pages_dataset(1_000_000), from_html=True)
+
     def pip_partitioned_4m(_sf_dir: str):
         # the cell-partitioned PIP machinery (cover -> groupby(cell) ->
         # STR-tree probe) at 4M points — the no-broadcast path
@@ -238,6 +247,7 @@ def bench_suite() -> dict[str, float]:
     suite = {
         "flagship_pip_zonal": flagship,
         "pages_e2e_1m": pages_e2e,
+        "pages_html_e2e_1m": pages_html_e2e_1m,
         "pip_partitioned_4m": pip_partitioned_4m,
         "knn_partitioned_1m": knn_partitioned_1m,
         "ann_ivf_1m": ann_ivf_1m,

@@ -277,12 +277,29 @@ def extract_locations(pages):
                              batch_size=None)
 
 
-def pages_zonal(pages_ds):
+def pages_zonal(pages_ds, from_html: bool = False):
     """Full chain → per-zone mention counts (the flagship shape on the
-    pages schema)."""
+    pages schema).
+
+    ``from_html=True`` runs the true WARC-ingest shape: the text the
+    gazetteer scans is EXTRACTED from the html:binary column
+    (functions/htmltext) instead of read from the stored text column —
+    chain-equivalence with the stored-text path is proven in
+    tests/test_htmltext.py."""
     import ray
 
     deduped = dedup_by_url(pages_ds)
+    if from_html:
+        with_ext = extract_text_from_html(deduped)
+
+        def swap(t: pa.Table) -> pa.Table:
+            t = t.drop_columns(["text"])
+            i = t.schema.get_field_index("text_extracted")
+            return t.set_column(i, "text", t["text_extracted"])
+
+        deduped = with_ext.map_batches(
+            swap, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
     mentions = extract_locations(deduped)
     mentions = mentions.map_batches(
         geo_stages.add_cells(7, 10, 6), batch_format="pyarrow", batch_size=None

@@ -42,6 +42,30 @@ def test_extractor_drops_nontext_content():
     assert extract_text(b"<body><script><script>notext</script>tail</script>x</body>") == "tailx"
 
 
+def test_fast_scanner_matches_reference_parser():
+    """The fast str.find/regex scanner is equality-tested against the
+    stdlib HTMLParser implementation on markup soup.  (Known scoped
+    divergence: CPython's tolerant start-tag attr regex on garbage like
+    `<body&#97;</body&amq"r...` — ~1 in 32k random-soup docs; absent
+    from well-formed markup.)"""
+    import random
+
+    from geografir_ray.functions.htmltext import extract_text_reference
+
+    for seed in (42, 13):
+        random.seed(seed)
+        bits = [
+            "<p>", "</p>", "<body>", "</body>", "text ", "&amp;", "tok",
+            "<script>", "</script>", "<!--c-->", "<div a='1'>", "</div>",
+            "&#97;", " < ", ">", "<b>", "</b>", "<style>", "</style>",
+            "<!--", "-->", "<br/>", "&am", "p;", "</>", "</ body>",
+            "<body/>", "<script/>", "<x<y>", "=",
+        ]
+        for _ in range(2500):
+            doc = "".join(random.choice(bits) for _ in range(random.randint(1, 30)))
+            assert extract_text(doc) == extract_text_reference(doc), repr(doc)
+
+
 def test_synth_corpus_invariant():
     """Every synthetic page's html extracts back to its text column —
     the invariant the driver checks against real WARC-derived tables."""
