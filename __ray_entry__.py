@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": E.events_sliding,
         "events_running_total": E.events_running_total,
         "events_streaming_windows": E.events_streaming_windows,
+        "events_lead_lag": E.events_lead_lag,
         # documents (text analysis + dedup family)
         "docs_stats": D.docs_stats,
         "docs_term_topk": D.docs_term_topk,
@@ -69,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": D.docs_quality,
         "docs_text_passthrough": D.docs_text_passthrough,
         "docs_html_extract": D.docs_html_extract,
+        "docs_normalize_text": D.docs_normalize_text,
         "docs_minhash_lsh": D.docs_minhash_lsh,  # rows-only: minhash seeds
         "docs_simhash": D.docs_simhash,  # rows-only: simhash bits
         "docs_langid_quality": D.docs_langid_quality,  # rows-only: heuristic model
@@ -152,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": E.EVENTS_SLIDING_SQL,
         "events_running_total": E.EVENTS_RUNNING_TOTAL_SQL,
         "events_streaming_windows": E.EVENTS_STREAMING_WINDOWS_SQL,
+        "events_lead_lag": E.EVENTS_LEAD_LAG_SQL,
         "docs_stats": D.DOCS_STATS_SQL,
         "docs_term_topk": D.DOCS_TERM_TOPK_SQL,
         "docs_exact_dedup": D.DOCS_EXACT_DEDUP_SQL,
@@ -159,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality": D.DOCS_QUALITY_SQL,
         "docs_text_passthrough": D.DOCS_TEXT_PASSTHROUGH_SQL,
         "docs_html_extract": D.DOCS_HTML_EXTRACT_SQL,
+        "docs_normalize_text": D.DOCS_NORMALIZE_SQL,
         "emb_knn": M.EMB_KNN_SQL,
         "emb_neardup": M.EMB_NEARDUP_SQL,
         "emb_lsh_neardup": M.emb_lsh_neardup_sql(),

@@ -698,6 +698,43 @@ SELECT doc_id, text FROM documents ORDER BY doc_id
 """
 
 
+def docs_normalize_text(sf_dir: str):
+    """Text-cleaning operator (training-data normalize pass): lowercase
+    + collapse whitespace runs + trim, fully vectorized Arrow kernels
+    (utf8_lower / replace_substring_regex / trim) — zero Python per
+    row, pure map, no shuffle.  The stored ``text`` column is only
+    READ (passthrough invariant); the normalized form is a NEW column.
+    Exact SQL twin: lower/regexp_replace/trim in DuckDB (both engines
+    run RE2-class regex + Unicode-aware lower)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t["text"])
+        x = pc.replace_substring_regex(x, r"\s+", " ")
+        x = pc.utf8_trim_whitespace(x)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm_text": x,
+                "n_chars_norm": pc.cast(pc.utf8_length(x), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+DOCS_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+       CAST(strlen(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT)
+         AS n_chars_norm
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def _synth_image(doc_id: int) -> "np.ndarray":
     """Deterministic RGB image per doc (splitmix pixel stream — stable
     across workers/platforms, no RNG-state dependence)."""

@@ -818,3 +818,72 @@ FROM events
 GROUP BY user_id, date_trunc('hour', ts)
 ORDER BY user_id, window_start
 """
+
+
+# ---------------------------------------------------------------------------
+# Lead/lag window operator (per-user prev/next event + gap), the
+# scale-safe shape: ONE hash-partition exchange on a bounded bucket
+# count, vectorized lexsort + segment shifts inside each bucket (all of
+# a user's rows co-locate by construction; NO per-user Python calls —
+# CLAUDE.md rule 1).  NULL lead/lag encodes as -1 (COALESCE in the SQL
+# twin) so the oracle schema stays integer-exact.
+# ---------------------------------------------------------------------------
+
+
+def events_lead_lag(sf_dir: str, n_buckets: int = 32):
+    from ..functions.hashing import splitmix64
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(uid) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bkt", pa.array(b))
+
+    def window(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        )
+        order = np.lexsort((eid, ts, uid))
+        uo, eo, to = uid[order], eid[order], ts[order]
+        n = len(uo)
+        same_prev = np.zeros(n, dtype=bool)
+        same_prev[1:] = uo[1:] == uo[:-1]
+        same_next = np.zeros(n, dtype=bool)
+        same_next[:-1] = same_prev[1:]
+        prev_eid = np.full(n, -1, dtype=np.int64)
+        prev_eid[1:][same_prev[1:]] = eo[:-1][same_prev[1:]]
+        next_eid = np.full(n, -1, dtype=np.int64)
+        next_eid[:-1][same_next[:-1]] = eo[1:][same_next[:-1]]
+        gap = np.full(n, -1, dtype=np.int64)
+        gap[1:][same_prev[1:]] = (to[1:] - to[:-1])[same_prev[1:]]
+        return pa.table(
+            {
+                "event_id": pa.array(eo),
+                "user_id": pa.array(uo),
+                "prev_event_id": pa.array(prev_eid),
+                "next_event_id": pa.array(next_eid),
+                "gap_prev_us": pa.array(gap),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bkt")
+        .map_groups(window, batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
+EVENTS_LEAD_LAG_SQL = """
+SELECT event_id, user_id,
+       COALESCE(LAG(event_id)  OVER w, -1) AS prev_event_id,
+       COALESCE(LEAD(event_id) OVER w, -1) AS next_event_id,
+       COALESCE(CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS BIGINT), -1)
+         AS gap_prev_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
