@@ -62,6 +62,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": E.events_running_total,
         "events_streaming_windows": E.events_streaming_windows,
         "events_lead_lag": E.events_lead_lag,
+        "events_rank": E.events_rank,
+        "events_pivot": E.events_pivot,
+        "events_funnel": E.events_funnel,
         # documents (text analysis + dedup family)
         "docs_stats": D.docs_stats,
         "docs_term_topk": D.docs_term_topk,
@@ -71,6 +74,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_text_passthrough": D.docs_text_passthrough,
         "docs_html_extract": D.docs_html_extract,
         "docs_normalize_text": D.docs_normalize_text,
+        "docs_pii_redact": D.docs_pii_redact,
+        "docs_url_parse": D.docs_url_parse,
+        "docs_domain_stats": D.docs_domain_stats,
+        "docs_paragraph_dedup": D.docs_paragraph_dedup,
+        "docs_decontaminate": D.docs_decontaminate,
+        "docs_bpe_tokens": D.docs_bpe_token_count,
+        "docs_bigrams": D.docs_bigrams,
         "docs_minhash_lsh": D.docs_minhash_lsh,  # rows-only: minhash seeds
         "docs_simhash": D.docs_simhash,  # rows-only: simhash bits
         "docs_langid_quality": D.docs_langid_quality,  # rows-only: heuristic model
@@ -155,6 +165,9 @@ def oracle_sql() -> dict[str, str]:
         "events_running_total": E.EVENTS_RUNNING_TOTAL_SQL,
         "events_streaming_windows": E.EVENTS_STREAMING_WINDOWS_SQL,
         "events_lead_lag": E.EVENTS_LEAD_LAG_SQL,
+        "events_rank": E.EVENTS_RANK_SQL,
+        "events_pivot": E.EVENTS_PIVOT_SQL,
+        "events_funnel": E.EVENTS_FUNNEL_SQL,
         "docs_stats": D.DOCS_STATS_SQL,
         "docs_term_topk": D.DOCS_TERM_TOPK_SQL,
         "docs_exact_dedup": D.DOCS_EXACT_DEDUP_SQL,
@@ -163,6 +176,13 @@ def oracle_sql() -> dict[str, str]:
         "docs_text_passthrough": D.DOCS_TEXT_PASSTHROUGH_SQL,
         "docs_html_extract": D.DOCS_HTML_EXTRACT_SQL,
         "docs_normalize_text": D.DOCS_NORMALIZE_SQL,
+        "docs_pii_redact": D.DOCS_PII_REDACT_SQL,
+        "docs_url_parse": D.DOCS_URL_PARSE_SQL,
+        "docs_domain_stats": D.DOCS_DOMAIN_STATS_SQL,
+        "docs_paragraph_dedup": D.DOCS_PARAGRAPH_DEDUP_SQL,
+        "docs_decontaminate": D.DOCS_DECONTAMINATE_SQL,
+        "docs_bpe_tokens": D.DOCS_BPE_TOKEN_SQL,
+        "docs_bigrams": D.docs_bigrams_sql(),
         "emb_knn": M.EMB_KNN_SQL,
         "emb_neardup": M.EMB_NEARDUP_SQL,
         "emb_lsh_neardup": M.emb_lsh_neardup_sql(),

@@ -238,6 +238,59 @@ def bench_suite() -> dict[str, float]:
         Q = synth_vectors_clustered(qids)
         return ann_brute_topk(ds, qids, Q, k=10, qchunk=4096, dtype=np.float32)
 
+    def curation_2m(_sf_dir: str):
+        # web-corpus curation chain at 2M docs: vectorized text synth
+        # (list-take from vocab + binary_join, zero Python strings) ->
+        # deterministic PII inject (element-wise concat) -> 3x RE2
+        # redact -> paragraph explode + keep-first dedup (ONE shuffle
+        # grouped-min over the unbounded paragraph key)
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from geografir_ray.pipelines.documents import (
+            _PII_EMAIL_RE,
+            _PII_IP_RE,
+            _PII_PHONE_RE,
+            paragraph_dedup_ds,
+        )
+        from geografir_ray.sources.synth import _VOCAB
+
+        vocab = pa.array(list(_VOCAB), pa.string())
+
+        def build(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy().astype(np.int64)
+            L = 12 + (ids % 7)
+            offs = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(L, out=offs[1:])
+            j = np.arange(offs[-1], dtype=np.int64) - np.repeat(offs[:-1], L)
+            tok_idx = (np.repeat(ids, L) * 31 + j * 7) % len(_VOCAB)
+            toks = vocab.take(pa.array(tok_idx))
+            text = pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(offs.astype(np.int32)), toks), " "
+            )
+            sid = pc.cast(pa.array(ids), pa.string())
+            aug = pc.binary_join_element_wise(
+                text, " user", sid, "@mail",
+                pc.cast(pa.array(ids % 7), pa.string()),
+                ".example.com +1-555-",
+                pc.cast(pa.array(1000 + ids % 9000), pa.string()),
+                " 192.168.",
+                pc.cast(pa.array(ids % 256), pa.string()), ".",
+                pc.cast(pa.array((ids * 7) % 256), pa.string()),
+                "",
+            )
+            x = pc.replace_substring_regex(aug, _PII_EMAIL_RE, "<EMAIL>")
+            x = pc.replace_substring_regex(x, _PII_PHONE_RE, "<PHONE>")
+            x = pc.replace_substring_regex(x, _PII_IP_RE, "<IP>")
+            return pa.table({"doc_id": pa.array(ids), "text": x})
+
+        docs = rd.range(2_000_000, override_num_blocks=64).map_batches(
+            build, batch_format="pyarrow", batch_size=None
+        )
+        return paragraph_dedup_ds(docs)
+
     def join_orders_600k(_sf_dir: str):
         # Arrow-native bucketed hash join, lineitem x orders at sf0.1
         # (~600k x 150k rows): searchsorted gather per bucket, zero
@@ -252,6 +305,7 @@ def bench_suite() -> dict[str, float]:
         "knn_partitioned_1m": knn_partitioned_1m,
         "ann_ivf_1m": ann_ivf_1m,
         "dedup_url_12m": dedup_url_12m,
+        "curation_2m": curation_2m,
         "ann_brute_100kq": ann_brute_100kq,
         "join_orders_600k": join_orders_600k,
         "q1_pricing_summary": R.q1_pricing_summary,

@@ -1899,3 +1899,397 @@ def export_documents_shards(
         return out
 
     return cp.checkpointed_write(ds, out_dir, partition_fn, op_version)
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus curation operators: PII redaction, URL analytics,
+# paragraph-level dedup, benchmark decontamination.
+#
+# The synthetic documents table carries no urls/PII, so — exactly like
+# docs_html_extract's markup synthesis — each query first derives a
+# deterministic augmented column from (doc_id, source, lang) with
+# arithmetic both engines reproduce, then runs the REAL operator on it
+# under an exact SQL oracle.  All kernels are RE2-class regex in both
+# engines (pyarrow.compute and DuckDB both embed RE2), so match
+# semantics agree byte-for-byte.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"\+\d-\d{3}-\d{4}"
+_PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def docs_pii_redact(sf_dir: str):
+    """PII-redaction pass (training-data scrubbing): inject a
+    deterministic email/phone/IPv4 per doc, then redact all three
+    classes with vectorized RE2 replace kernels and count matches.
+    Pure map, no shuffle; ``text`` itself is only read (passthrough
+    invariant) — the scrubbed form is a new column."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def redact(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        email = [f"user{i}@mail{i % 7}.example.com" for i in ids]
+        phone = [f"+1-555-{1000 + i % 9000}" for i in ids]
+        ip = [f"192.168.{i % 256}.{(i * 7) % 256}" for i in ids]
+        aug = pc.binary_join_element_wise(
+            t["text"],
+            pa.array(email, pa.string()),
+            pa.array(phone, pa.string()),
+            pa.array(ip, pa.string()),
+            " ",
+        )
+        n_email = pc.count_substring_regex(aug, _PII_EMAIL_RE)
+        n_phone = pc.count_substring_regex(aug, _PII_PHONE_RE)
+        n_ip = pc.count_substring_regex(aug, _PII_IP_RE)
+        x = pc.replace_substring_regex(aug, _PII_EMAIL_RE, "<EMAIL>")
+        x = pc.replace_substring_regex(x, _PII_PHONE_RE, "<PHONE>")
+        x = pc.replace_substring_regex(x, _PII_IP_RE, "<IP>")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "clean_text": x,
+                "n_email": pc.cast(n_email, pa.int64()),
+                "n_phone": pc.cast(n_phone, pa.int64()),
+                "n_ip": pc.cast(n_ip, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+DOCS_PII_REDACT_SQL = rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' user' || CAST(doc_id AS VARCHAR) || '@mail'
+              || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+              || ' +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+              || ' 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST((doc_id * 7) % 256 AS VARCHAR) AS aug
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(aug,
+         '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{_PII_PHONE_RE}', '<PHONE>', 'g'),
+         '{_PII_IP_RE}', '<IP>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(aug, '{_PII_EMAIL_RE}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(aug, '{_PII_PHONE_RE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(aug, '{_PII_IP_RE}')) AS BIGINT) AS n_ip
+FROM aug
+ORDER BY doc_id
+"""
+
+
+_URL_HOST_RE = r"^https://(?P<host>[^/]+)/"
+_URL_DOMAIN_RE = r"(?P<dom>[A-Za-z0-9-]+\.[A-Za-z]+)$"
+_URL_TLD_RE = r"\.(?P<tld>[A-Za-z]+)$"
+
+
+def docs_url_parse(sf_dir: str):
+    """URL parsing/analytics over a Common-Crawl-style url column:
+    synthesize the deterministic url (scheme://www.<source>.example.<lang>
+    /<lang>/docs/<doc_id>.html), then extract host, registered domain,
+    TLD and path depth with vectorized RE2 extract kernels — the
+    canonical first stage of per-domain corpus curation."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            pa.array(["https://www."] * t.num_rows, pa.string()),
+            t["source"],
+            pa.array([".example."] * t.num_rows, pa.string()),
+            t["lang"],
+            pa.array(["/"] * t.num_rows, pa.string()),
+            t["lang"],
+            pa.array(["/docs/"] * t.num_rows, pa.string()),
+            pc.cast(t["doc_id"], pa.string()),
+            pa.array([".html"] * t.num_rows, pa.string()),
+            "",
+        )
+        host = pc.struct_field(pc.extract_regex(url, _URL_HOST_RE), "host")
+        domain = pc.struct_field(pc.extract_regex(host, _URL_DOMAIN_RE), "dom")
+        tld = pc.struct_field(pc.extract_regex(host, _URL_TLD_RE), "tld")
+        # path depth = '/' count minus the two scheme slashes and the
+        # host-terminating one is included: https://h/a/docs/x.html -> 3
+        depth = pc.subtract(
+            pc.cast(pc.count_substring(url, "/"), pa.int64()), pa.scalar(2, pa.int64())
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "url": url,
+                "host": host,
+                "domain": domain,
+                "tld": tld,
+                "path_depth": depth,
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+DOCS_URL_PARSE_SQL = rf"""
+WITH u AS (
+  SELECT doc_id,
+         'https://www.' || source || '.example.' || lang || '/' || lang
+           || '/docs/' || CAST(doc_id AS VARCHAR) || '.html' AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, '{_URL_HOST_RE}', 1) AS host,
+       regexp_extract(regexp_extract(url, '{_URL_HOST_RE}', 1),
+                      '{_URL_DOMAIN_RE}', 1) AS domain,
+       regexp_extract(regexp_extract(url, '{_URL_HOST_RE}', 1),
+                      '{_URL_TLD_RE}', 1) AS tld,
+       CAST(len(url) - len(replace(url, '/', '')) - 2 AS BIGINT) AS path_depth
+FROM u
+ORDER BY doc_id
+"""
+
+
+def docs_domain_stats(sf_dir: str):
+    """Per-domain corpus stats (the groupby that follows URL parsing):
+    doc count + total chars per host, combiner-first then a distributed
+    shuffle merge — hosts are UNBOUNDED on a real crawl, so no driver
+    merge (CLAUDE.md rule 2 applies only to provably bounded keys)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "lang", "n_chars"])
+
+    def host_of(t: pa.Table) -> pa.Table:
+        host = pc.binary_join_element_wise(
+            pa.array(["www."] * t.num_rows, pa.string()),
+            t["source"],
+            pa.array([".example."] * t.num_rows, pa.string()),
+            t["lang"],
+            "",
+        )
+        return pa.table(
+            {
+                "host": host,
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    ds = ds.map_batches(host_of, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sum(
+        ds,
+        ["host"],
+        {"n_docs": ("one", "sum"), "total_chars": ("n_chars", "sum")},
+    )
+    return out.sort("host")
+
+
+DOCS_DOMAIN_STATS_SQL = """
+SELECT 'www.' || source || '.example.' || lang AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+ORDER BY host
+"""
+
+
+def docs_paragraph_dedup(sf_dir: str):
+    """Paragraph-level exact dedup (the C4/RefinedWeb line-dedup shape):
+    explode each doc into paragraphs, keep the globally FIRST occurrence
+    of every distinct paragraph (min by (doc_id, para_idx)), emit the
+    survivors.  The synthetic corpus has no newlines, so the word
+    ``" part "`` serves as the deterministic paragraph boundary — the
+    operator shape (vectorized list explode -> distributed keep-first
+    grouped-min over an UNBOUNDED string key -> decode) is exactly the
+    100 TB design; only the separator is synthetic.
+
+    Explode is zero-Python: split_pattern -> list_flatten +
+    list_parent_indices, with the within-doc index recovered from the
+    list offsets.  Keep-first uses one shuffle grouped-min over an
+    encoded rank (doc_id << 20 | idx), never a driver merge."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return paragraph_dedup_ds(ds).sort(["doc_id", "para_idx"])
+
+
+def paragraph_dedup_ds(ds, sep: str = " part ", id_col: str = "doc_id"):
+    """Dataset-level paragraph keep-first dedup over (id_col, text);
+    see :func:`docs_paragraph_dedup`.  Unsorted output (callers sort)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["text"], sep)
+        parts = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        offs = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.arange(len(flat), dtype=np.int64) - offs[parent]
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[parent]
+        rank = (ids << np.int64(20)) | idx
+        return pa.table({"para": flat, "rank": pa.array(rank)})
+
+    ex = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    won = grouped_sum(ex, ["para"], {"rank": ("rank", "min")})
+
+    def decode(t: pa.Table) -> pa.Table:
+        rank = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(rank >> 20),
+                "para_idx": pa.array(rank & ((1 << 20) - 1)),
+                "para": t["para"],
+            }
+        )
+
+    return won.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_PARAGRAPH_DEDUP_SQL = """
+WITH ex AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' part ')) AS para,
+         generate_subscripts(string_split(text, ' part '), 1) AS idx1
+  FROM documents
+), ranked AS (
+  SELECT doc_id, idx1, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, idx1) AS rn
+  FROM ex
+)
+SELECT doc_id, CAST(idx1 - 1 AS BIGINT) AS para_idx, para
+FROM ranked WHERE rn = 1
+ORDER BY doc_id, para_idx
+"""
+
+
+def docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination (the eval-overlap scrub every training
+    corpus needs): a small 'benchmark' set — docs with doc_id % 97 == 0
+    — contributes one 40-char snippet each (its text prefix); every doc
+    is scanned for exact snippet containment and scored with the hit
+    count.  The benchmark side is tiny by construction, so it rides the
+    task closure as broadcast state (CLAUDE.md rule 3) and the scan is
+    a fused vectorized match_substring per snippet — no join, no
+    shuffle, stream-safe at any corpus size."""
+    bench = read_table_local(sf_dir, "documents", columns=["doc_id", "text"])
+    bid = bench["doc_id"].to_numpy().astype(np.int64)
+    keep = bid % 97 == 0
+    snippets = [s[:40] for s in bench["text"].to_numpy()[keep]]
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        hits = np.zeros(t.num_rows, dtype=np.int64)
+        for s in snippets:
+            hits += pc.cast(
+                pc.match_substring(t["text"], s), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_hits": pa.array(hits),
+                "contaminated": pa.array(hits > 0),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+DOCS_DECONTAMINATE_SQL = """
+SELECT d.doc_id,
+       CAST((SELECT count(*) FROM documents b
+             WHERE b.doc_id % 97 = 0
+               AND contains(d.text, substring(b.text, 1, 40))) AS BIGINT) AS n_hits,
+       (SELECT count(*) FROM documents b
+        WHERE b.doc_id % 97 = 0
+          AND contains(d.text, substring(b.text, 1, 40))) > 0 AS contaminated
+FROM documents d
+ORDER BY d.doc_id
+"""
+
+
+# BPE-ish tokenizer pass: the GPT-2 pretokenizer regex family, RE2-
+# compatible (no lookahead — RE2 has none, so the trailing-space
+# alternations are simplified).  Identical pattern string in both
+# engines => identical non-overlapping leftmost matches.
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def docs_bpe_token_count(sf_dir: str):
+    """Token counting for training-data budgeting: whitespace tokens
+    AND a BPE-ish regex pretokenization (SURVEY §2 text-analysis row),
+    both as vectorized RE2 count kernels — zero Python per row, pure
+    map, no shuffle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bpe": pc.cast(pc.count_substring_regex(t["text"], _BPE_RE), pa.int64()),
+                "n_ws": pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+DOCS_BPE_TOKEN_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}')) AS BIGINT) AS n_bpe,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def docs_bigrams(sf_dir: str, k: int = 30):
+    """Corpus-level bigram counts (LM-data n-gram statistics): build
+    consecutive-token pairs per doc with pure Arrow slicing (no Python
+    strings), combiner-first counting, one shuffle merge over the
+    UNBOUNDED bigram key, then global top-k.  The explode never ships
+    raw text — only (bigram, partial_count) rows cross the exchange."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parent = parent[nonempty]
+        if len(flat) < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "one": pa.array([], pa.int64())}
+            )
+        a = flat.slice(0, len(flat) - 1)
+        b = flat.slice(1)
+        same = pa.array(parent[1:] == parent[:-1])
+        bg = pc.binary_join_element_wise(a.filter(same), b.filter(same), " ")
+        return pa.table(
+            {"bigram": bg, "one": pa.array(np.ones(len(bg), dtype=np.int64))}
+        )
+
+    ds = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    counts = grouped_sum(ds, ["bigram"], {"n": ("one", "sum")})
+    return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+def docs_bigrams_sql(k: int = 30) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest({_TOKENS_SQL}) AS w,
+         generate_subscripts({_TOKENS_SQL}, 1) AS i
+  FROM documents
+)
+SELECT t1.w || ' ' || t2.w AS bigram, CAST(count(*) AS BIGINT) AS n
+FROM tok t1
+JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+GROUP BY 1
+ORDER BY n DESC, bigram
+LIMIT {k}
+"""

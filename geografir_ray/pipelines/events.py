@@ -887,3 +887,298 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Rank-family windows (row_number / rank / dense_rank / ntile) and a
+# conditional-aggregation pivot — per-user, fully vectorized segment
+# logic over hash buckets (no per-group Python, CLAUDE.md rule 1).
+# ---------------------------------------------------------------------------
+
+
+def events_rank(sf_dir: str, n_buckets: int = 32, ntiles: int = 4):
+    """row_number / rank / dense_rank / ntile per user.  Order within a
+    user is (event_type, ts, event_id) — event_type has 5 distinct
+    values, so rank vs dense_rank diverge on real ties while the full
+    key keeps row_number deterministic.  Users hash into buckets; the
+    ranks are computed with lexsort + run-boundary numpy logic over the
+    whole bucket at once."""
+    from ..functions.hashing import splitmix64
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(uid) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bkt", pa.array(b))
+
+    _OUT_SCHEMA = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("rown", pa.int64()),
+            ("rnk", pa.int64()),
+            ("drnk", pa.int64()),
+            ("nt", pa.int64()),
+        ]
+    )
+
+    def window(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # explicit dtypes for empty outputs (rule 8)
+            return _OUT_SCHEMA.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        )
+        # dictionary-encode event_type; np.unique sorts lexicographically
+        # so the integer codes order exactly like the strings
+        et_codes = pc.dictionary_encode(
+            g["event_type"].combine_chunks()
+            if isinstance(g["event_type"], pa.ChunkedArray)
+            else g["event_type"]
+        )
+        dict_vals = np.asarray(et_codes.dictionary.to_pylist())
+        lex = np.argsort(dict_vals, kind="stable")
+        remap = np.empty(len(dict_vals), dtype=np.int64)
+        remap[lex] = np.arange(len(dict_vals), dtype=np.int64)
+        et = remap[et_codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+
+        order = np.lexsort((eid, ts, et, uid))
+        uo, eo, to, eto = uid[order], eid[order], ts[order], et[order]
+        n = len(uo)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uo[1:] != uo[:-1]
+        seg_start = np.where(new_user)[0]
+        seg_id = np.cumsum(new_user) - 1
+        start_of = seg_start[seg_id]
+        rown = np.arange(n, dtype=np.int64) - start_of + 1
+
+        new_val = np.ones(n, dtype=bool)
+        new_val[1:] = (eto[1:] != eto[:-1]) | new_user[1:]
+        run_start = np.where(new_val)[0]
+        run_of = np.cumsum(new_val) - 1
+        rnk = run_start[run_of] - start_of + 1
+        # dense rank: count of runs since the segment start
+        runs_before_seg = (np.cumsum(new_val) - 1)[start_of]
+        drnk = (np.cumsum(new_val) - 1) - runs_before_seg + 1
+
+        # NTILE over the same per-user order: first (cnt % ntiles)
+        # buckets get base+1 rows (SQL semantics)
+        seg_len = np.diff(np.append(seg_start, n))
+        cnt = seg_len[seg_id]
+        base = cnt // ntiles
+        rem = cnt % ntiles
+        idx0 = rown - 1
+        big = rem * (base + 1)
+        in_big = idx0 < big
+        nt = np.where(
+            in_big,
+            idx0 // np.maximum(base + 1, 1) + 1,
+            rem + np.where(base > 0, (idx0 - big) // np.maximum(base, 1), 0) + 1,
+        ).astype(np.int64)
+
+        return pa.table(
+            {
+                "event_id": pa.array(eo),
+                "user_id": pa.array(uo),
+                "rown": pa.array(rown),
+                "rnk": pa.array(rnk),
+                "drnk": pa.array(drnk),
+                "nt": pa.array(nt),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bkt")
+        .map_groups(window, batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
+EVENTS_RANK_SQL = """
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY event_type, ts, event_id) AS rown,
+       RANK()       OVER (PARTITION BY user_id ORDER BY event_type) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS drnk,
+       NTILE(4)     OVER (PARTITION BY user_id
+                          ORDER BY event_type, ts, event_id) AS nt
+FROM events
+ORDER BY event_id
+"""
+
+
+def events_pivot(sf_dir: str):
+    """Pivot / conditional aggregation: one row per user with per-type
+    event counts and the exact purchase-revenue sum (integer-cents).
+    Indicators are built vectorized per batch, then a combiner-first
+    grouped_sum with a SHUFFLE merge — user_id is unbounded at corpus
+    scale, so no driver merge."""
+    from .common import floor_scale
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def indicators(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for et in ("click", "view", "purchase", "signup", "error"):
+            cols[f"n_{et}"] = pc.cast(pc.equal(t["event_type"], et), pa.int64())
+        cents = floor_scale(t["value"])
+        is_p = pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64())
+        cols["purchase_c"] = pc.multiply(cents, is_p)
+        return pa.table(cols)
+
+    ds = ds.map_batches(indicators, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_sum(
+        ds,
+        ["user_id"],
+        {
+            "n_click": ("n_click", "sum"),
+            "n_view": ("n_view", "sum"),
+            "n_purchase": ("n_purchase", "sum"),
+            "n_signup": ("n_signup", "sum"),
+            "n_error": ("n_error", "sum"),
+            "purchase_c": ("purchase_c", "sum"),
+        },
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in t.column_names if c != "purchase_c"}
+        cols["purchase_revenue"] = pc.divide(
+            pc.cast(t["purchase_c"], pa.float64()), 100.0
+        )
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(floor(value * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT
+           ) / 100.0 AS purchase_revenue
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def events_funnel(sf_dir: str):
+    """Funnel analysis (signup → click → purchase): for every user who
+    signed up, count clicks at-or-after their first signup and
+    purchases at-or-after their first qualifying click.  Three
+    combiner-first grouped aggregations chained by bucketed hash joins
+    — user_id is unbounded, so every merge is a shuffle and the funnel
+    state never touches the driver."""
+    from ..stages.join import hash_join
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def prep(et: str):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = pc.equal(t["event_type"], et)
+            t = t.filter(mask)
+            ts_us = pc.cast(t["ts"], pa.int64())
+            return pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "ts_us": ts_us,
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+
+        fn.__name__ = f"prep[{et}]"
+        return fn
+
+    signup = ds.map_batches(prep("signup"), batch_format="pyarrow", zero_copy_batch=True)
+    s = grouped_sum(signup, ["user_id"], {"signup_us": ("ts_us", "min")})
+
+    clicks = ds.map_batches(prep("click"), batch_format="pyarrow", zero_copy_batch=True)
+    cj = hash_join(
+        clicks,
+        s,
+        on="user_id",
+        left_cols=["user_id", "ts_us", "one"],
+        right_cols=["user_id", "signup_us"],
+    )
+    cj = cj.filter(expr="ts_us >= signup_us")
+    c = grouped_sum(
+        cj,
+        ["user_id"],
+        {"click_us": ("ts_us", "min"), "n_click_after": ("one", "sum")},
+    )
+
+    purch = ds.map_batches(prep("purchase"), batch_format="pyarrow", zero_copy_batch=True)
+    pj = hash_join(
+        purch,
+        c,
+        on="user_id",
+        left_cols=["user_id", "ts_us", "one"],
+        right_cols=["user_id", "click_us"],
+    )
+    pj = pj.filter(expr="ts_us >= click_us")
+    p = grouped_sum(pj, ["user_id"], {"n_purchase_after": ("one", "sum")})
+
+    out = hash_join(
+        s,
+        c,
+        on="user_id",
+        left_cols=["user_id", "signup_us"],
+        right_cols=["user_id", "n_click_after"],
+        how="left",
+    )
+    out = hash_join(
+        out,
+        p,
+        on="user_id",
+        left_cols=["user_id", "signup_us", "n_click_after"],
+        right_cols=["user_id", "n_purchase_after"],
+        how="left",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        z = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "signup_us": t["signup_us"],
+                "n_click_after": pc.fill_null(pc.cast(t["n_click_after"], pa.int64()), z),
+                "n_purchase_after": pc.fill_null(
+                    pc.cast(t["n_purchase_after"], pa.int64()), z
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
+EVENTS_FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS click_us,
+         count(*) AS n_click_after
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s.signup_us
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, count(*) AS n_purchase_after
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.click_us
+  GROUP BY 1
+)
+SELECT s.user_id, CAST(s.signup_us AS BIGINT) AS signup_us,
+       CAST(COALESCE(c.n_click_after, 0) AS BIGINT) AS n_click_after,
+       CAST(COALESCE(p.n_purchase_after, 0) AS BIGINT) AS n_purchase_after
+FROM s
+LEFT JOIN c ON s.user_id = c.user_id
+LEFT JOIN p ON s.user_id = p.user_id
+ORDER BY s.user_id
+"""

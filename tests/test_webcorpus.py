@@ -1,0 +1,168 @@
+"""Web-corpus curation operators: PII redaction, URL analytics,
+paragraph-level dedup, decontamination, rank windows, pivot.
+
+Each new queries() entry is exercised two ways: semantic invariants
+here, plus its exact SQL oracle at sf0.001 (the same comparison the
+driver runs at sf0.01)."""
+
+import re
+
+import duckdb
+import pandas as pd
+import pytest
+
+
+def _oracle(sf_small: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_small}/{t}.parquet'")
+    return con.execute(sql).df()
+
+
+def _cmp(got: pd.DataFrame, exp: pd.DataFrame):
+    got = got[sorted(got.columns)].reset_index(drop=True)
+    exp = exp[sorted(exp.columns)].reset_index(drop=True)
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_pii_redact_oracle_and_no_residual_pii(ray_session, sf_small):
+    from geografir_ray.pipelines.documents import (
+        _PII_EMAIL_RE,
+        _PII_IP_RE,
+        _PII_PHONE_RE,
+        DOCS_PII_REDACT_SQL,
+        docs_pii_redact,
+    )
+
+    got = docs_pii_redact(sf_small).to_pandas()
+    _cmp(got, _oracle(sf_small, DOCS_PII_REDACT_SQL))
+    # every injected PII instance was found and scrubbed
+    assert (got["n_email"] >= 1).all()
+    assert (got["n_phone"] >= 1).all()
+    assert (got["n_ip"] >= 1).all()
+    joined = " ".join(got["clean_text"].tolist())
+    for pat in (_PII_EMAIL_RE, _PII_PHONE_RE, _PII_IP_RE):
+        assert re.search(pat, joined) is None
+    assert "<EMAIL>" in joined and "<PHONE>" in joined and "<IP>" in joined
+
+
+def test_url_parse_and_domain_stats_oracle(ray_session, sf_small):
+    from geografir_ray.pipelines.documents import (
+        DOCS_DOMAIN_STATS_SQL,
+        DOCS_URL_PARSE_SQL,
+        docs_domain_stats,
+        docs_url_parse,
+    )
+
+    parsed = docs_url_parse(sf_small).to_pandas()
+    _cmp(parsed, _oracle(sf_small, DOCS_URL_PARSE_SQL))
+    assert (parsed["tld"] == parsed["domain"].str.split(".").str[-1]).all()
+    assert (parsed["path_depth"] == 3).all()
+
+    stats = docs_domain_stats(sf_small).to_pandas()
+    _cmp(stats, _oracle(sf_small, DOCS_DOMAIN_STATS_SQL))
+    assert stats["n_docs"].sum() == len(parsed)
+
+
+def test_paragraph_dedup_oracle_and_invariants(ray_session, sf_small):
+    from geografir_ray.pipelines.documents import (
+        DOCS_PARAGRAPH_DEDUP_SQL,
+        docs_paragraph_dedup,
+    )
+
+    got = docs_paragraph_dedup(sf_small).to_pandas()
+    _cmp(got, _oracle(sf_small, DOCS_PARAGRAPH_DEDUP_SQL))
+    # survivors are globally distinct, and dedup actually removed some
+    assert got["para"].is_unique
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(f"{sf_small}/documents.parquet", columns=["text"])
+    total = sum(len(t.split(" part ")) for t in texts["text"].to_pylist())
+    assert len(got) < total
+
+
+def test_decontaminate_oracle_and_bench_docs_flagged(ray_session, sf_small):
+    from geografir_ray.pipelines.documents import (
+        DOCS_DECONTAMINATE_SQL,
+        docs_decontaminate,
+    )
+
+    got = docs_decontaminate(sf_small).to_pandas()
+    _cmp(got, _oracle(sf_small, DOCS_DECONTAMINATE_SQL))
+    # every benchmark doc contains its own snippet
+    bench = got[got["doc_id"] % 97 == 0]
+    assert len(bench) >= 1
+    assert bench["contaminated"].all()
+
+
+def test_events_rank_oracle_and_bounds(ray_session, sf_small):
+    from geografir_ray.pipelines.events import EVENTS_RANK_SQL, events_rank
+
+    got = events_rank(sf_small).to_pandas()
+    _cmp(got, _oracle(sf_small, EVENTS_RANK_SQL))
+    assert got["nt"].between(1, 4).all()
+    # dense_rank <= rank <= row_number, everywhere
+    assert (got["drnk"] <= got["rnk"]).all()
+    assert (got["rnk"] <= got["rown"]).all()
+    # per user: row_number is a permutation of 1..n
+    per = got.groupby("user_id")["rown"]
+    assert (per.max() == per.count()).all()
+    assert (per.min() == 1).all()
+
+
+def test_events_pivot_oracle_and_totals(ray_session, sf_small):
+    from geografir_ray.pipelines.events import EVENTS_PIVOT_SQL, events_pivot
+
+    got = events_pivot(sf_small).to_pandas()
+    _cmp(got, _oracle(sf_small, EVENTS_PIVOT_SQL))
+    counts = got[["n_click", "n_view", "n_purchase", "n_signup", "n_error"]]
+    import pyarrow.parquet as pq
+
+    n_events = pq.read_table(f"{sf_small}/events.parquet", columns=["event_id"]).num_rows
+    assert int(counts.to_numpy().sum()) == n_events
+
+
+def test_bpe_token_count_oracle_and_ordering(ray_session, sf_small):
+    from geografir_ray.pipelines.documents import (
+        DOCS_BPE_TOKEN_SQL,
+        docs_bpe_token_count,
+    )
+
+    got = docs_bpe_token_count(sf_small).to_pandas()
+    _cmp(got, _oracle(sf_small, DOCS_BPE_TOKEN_SQL))
+    # a BPE-ish pretokenization never yields fewer tokens than
+    # whitespace splitting (it only splits finer)
+    assert (got["n_bpe"] >= got["n_ws"]).all()
+    assert (got["n_ws"] > 0).all()
+
+
+def test_bigrams_oracle_and_handcheck(ray_session, sf_small):
+    from geografir_ray.pipelines.documents import docs_bigrams, docs_bigrams_sql
+
+    got = docs_bigrams(sf_small, k=30).to_pandas()
+    _cmp(got, _oracle(sf_small, docs_bigrams_sql(30)))
+    # hand-check the global top bigram against a direct python count
+    import collections
+
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(f"{sf_small}/documents.parquet", columns=["text"])
+    counts = collections.Counter()
+    for t in texts["text"].to_pylist():
+        toks = [w for w in t.split(" ") if w]
+        counts.update(" ".join(p) for p in zip(toks, toks[1:]))
+    best = min(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:1])
+    assert (got["bigram"].iloc[0], got["n"].iloc[0]) == best
+
+
+def test_events_funnel_oracle_and_monotone(ray_session, sf_small):
+    from geografir_ray.pipelines.events import EVENTS_FUNNEL_SQL, events_funnel
+
+    got = events_funnel(sf_small).to_pandas()
+    _cmp(got, _oracle(sf_small, EVENTS_FUNNEL_SQL))
+    # funnel stages only narrow: purchases require a qualifying click
+    no_click = got[got["n_click_after"] == 0]
+    assert (no_click["n_purchase_after"] == 0).all()
+    assert got["user_id"].is_unique
