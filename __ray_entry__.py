@@ -81,6 +81,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": D.docs_decontaminate,
         "docs_bpe_tokens": D.docs_bpe_token_count,
         "docs_bigrams": D.docs_bigrams,
+        "docs_gopher_rules": D.docs_gopher_rules,
+        "docs_domain_quota": D.docs_domain_quota,
+        "docs_chunk_windows": D.docs_chunk_windows,
+        "docs_neardup_purge": D.docs_neardup_purge,
         "docs_minhash_lsh": D.docs_minhash_lsh,  # rows-only: minhash seeds
         "docs_simhash": D.docs_simhash,  # rows-only: simhash bits
         "docs_langid_quality": D.docs_langid_quality,  # rows-only: heuristic model
@@ -91,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_lsh_neardup": M.emb_lsh_neardup,
         "emb_label_stats": M.emb_label_stats,  # rows-only: float mean order
         "emb_ivf_knn": M.emb_ivf_knn,  # rows-only: approximate by design
+        "emb_dim_stats": M.emb_dim_stats,
         "emb_kmeans": M.emb_kmeans,  # rows-only: iterative Lloyd refinement
         # raster (tile tables / masked stats / burn / conform)
         "raster_tile_stats": RQ.raster_tile_stats,
@@ -183,6 +188,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontaminate": D.DOCS_DECONTAMINATE_SQL,
         "docs_bpe_tokens": D.DOCS_BPE_TOKEN_SQL,
         "docs_bigrams": D.docs_bigrams_sql(),
+        "docs_gopher_rules": D.DOCS_GOPHER_RULES_SQL,
+        "docs_domain_quota": D.docs_domain_quota_sql(),
+        "docs_chunk_windows": D.docs_chunk_windows_sql(),
+        "docs_neardup_purge": D.DOCS_NEARDUP_PURGE_SQL,
+        "emb_dim_stats": M.EMB_DIM_STATS_SQL,
         "emb_knn": M.EMB_KNN_SQL,
         "emb_neardup": M.EMB_NEARDUP_SQL,
         "emb_lsh_neardup": M.emb_lsh_neardup_sql(),

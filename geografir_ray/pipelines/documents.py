@@ -2293,3 +2293,303 @@ GROUP BY 1
 ORDER BY n DESC, bigram
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-3 curation batch 2: Gopher-style quality rules, per-domain
+# quota sampling, token-window chunking, end-to-end near-dup purge.
+# ---------------------------------------------------------------------------
+
+
+def docs_gopher_rules(sf_dir: str):
+    """Gopher-style composite quality filter (Rae et al. 2021 §A1.1,
+    public): word-count bounds, mean-word-length bounds, and a
+    minimum alphabetic-word fraction, evaluated with integer-only
+    arithmetic so the SQL twin is bit-exact.  Fully vectorized RE2
+    count kernels; pure map, no shuffle.
+
+    keep = 5 <= n_words <= 10000
+           AND 3*n_words <= nonspace_chars <= 10*n_words   (mean wlen 3..10)
+           AND 5*alpha_words >= 4*n_words                  (>= 80% alpha)
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def score(t: pa.Table) -> pa.Table:
+        nw = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        # nonspace chars = total chars - whitespace chars
+        n_ws = pc.cast(pc.count_substring_regex(t["text"], r"\s"), pa.int64())
+        nonspace = pc.subtract(
+            pc.cast(pc.utf8_length(t["text"]), pa.int64()), n_ws
+        )
+        alpha = pc.cast(
+            pc.count_substring_regex(t["text"], r"\S*[A-Za-z]\S*"), pa.int64()
+        )
+        nwn = nw.to_numpy(zero_copy_only=False)
+        nsn = nonspace.to_numpy(zero_copy_only=False)
+        aln = alpha.to_numpy(zero_copy_only=False)
+        keep = (
+            (nwn >= 5)
+            & (nwn <= 10000)
+            & (3 * nwn <= nsn)
+            & (nsn <= 10 * nwn)
+            & (5 * aln >= 4 * nwn)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": nw,
+                "nonspace_chars": nonspace,
+                "alpha_words": alpha,
+                "keep": pa.array(keep),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+DOCS_GOPHER_RULES_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+         CAST(strlen(text) - len(regexp_extract_all(text, '\s')) AS BIGINT)
+           AS nonspace_chars,
+         CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT)
+           AS alpha_words
+  FROM documents
+)
+SELECT doc_id, n_words, nonspace_chars, alpha_words,
+       (n_words >= 5 AND n_words <= 10000
+        AND 3 * n_words <= nonspace_chars AND nonspace_chars <= 10 * n_words
+        AND 5 * alpha_words >= 4 * n_words) AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+DOMAIN_QUOTA_BUCKETS = 64
+
+
+def docs_domain_quota(sf_dir: str, quota: int = 3):
+    """Per-domain quota sampling (cap every host's contribution — the
+    standard anti-domination pass over a crawl): keep the `quota`
+    docs with the LOWEST doc_id per host.
+
+    Scale shape: hosts are unbounded, so per-host ranking runs inside
+    a BOUNDED bucket co-partition — bucket = hash(host) % B, one
+    map_groups call per bucket (B = 64, never per host; CLAUDE.md
+    rule 1), with the in-bucket rank computed by one lexsort + one
+    vectorized segment-position pass."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        host = pc.binary_join_element_wise(
+            pa.array(["www."] * t.num_rows, pa.string()),
+            t["source"],
+            pa.array([".example."] * t.num_rows, pa.string()),
+            t["lang"],
+            "",
+        )
+        from ..functions.hashing import hash_strings
+
+        b = (hash_strings(host.to_pylist()) % np.uint64(DOMAIN_QUOTA_BUCKETS)).astype(
+            np.int64
+        )
+        return pa.table({"doc_id": t["doc_id"], "host": host, "bucket": pa.array(b)})
+
+    def rank_filter(t: pa.Table) -> pa.Table:
+        # dictionary-encode hosts -> int codes so the sort is numeric
+        henc = pc.dictionary_encode(t["host"].combine_chunks())
+        hcode = henc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, hcode))
+        h_sorted = hcode[order]
+        # segment-relative position: index within the run of equal hosts
+        starts = np.r_[0, np.flatnonzero(h_sorted[1:] != h_sorted[:-1]) + 1]
+        seg_id = np.searchsorted(starts, np.arange(len(order)), side="right") - 1
+        pos = np.arange(len(order)) - starts[seg_id]
+        kept = np.sort(order[pos < quota])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[kept]),
+                "host": t["host"].take(pa.array(kept)),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = prepped.groupby("bucket").map_groups(rank_filter, batch_format="pyarrow")
+    return out.sort("doc_id")
+
+
+def docs_domain_quota_sql(quota: int = 3) -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id, 'www.' || source || '.example.' || lang AS host,
+         row_number() OVER (PARTITION BY 'www.' || source || '.example.' || lang
+                            ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, host FROM h WHERE rn <= {quota} ORDER BY doc_id
+"""
+
+
+CHUNK_W = 32
+CHUNK_S = 16
+
+
+def docs_chunk_windows(sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S):
+    """Token-window chunking (the pretraining/RAG chunker): slide a
+    W-token window with stride S over each doc's token sequence and
+    emit (doc_id, win_idx, win_start, win_len, first_tok, last_tok).
+    Windows start while start < n_tokens; the last window may be short.
+
+    Zero-Python explode: split_pattern list offsets -> numpy repeat for
+    the per-doc window counts -> flat-array gathers for the boundary
+    tokens.  Pure map + explode, no shuffle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["text"], " ")
+        parts = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+        # tokenization contract: drop empties (multi-space runs)
+        mask = pc.not_equal(pc.list_flatten(parts), "")
+        flat_all = pc.list_flatten(parts)
+        offs = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = mask.to_numpy(zero_copy_only=False)
+        # per-doc token counts after the empty-drop
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        n_tok = np.bincount(parent[keep], minlength=t.num_rows).astype(np.int64)
+        flat = flat_all.filter(mask)
+        new_offs = np.r_[0, np.cumsum(n_tok)]
+        # windows per doc: ceil(n/s) for n>0 (start < n), 0 for empty
+        n_win = np.where(n_tok > 0, (n_tok + s - 1) // s, 0)
+        doc_rep = np.repeat(np.arange(t.num_rows, dtype=np.int64), n_win)
+        win_idx = np.arange(int(n_win.sum()), dtype=np.int64) - np.repeat(
+            np.r_[0, np.cumsum(n_win)][:-1], n_win
+        )
+        win_start = win_idx * s
+        win_len = np.minimum(w, n_tok[doc_rep] - win_start)
+        first_i = new_offs[doc_rep] + win_start
+        last_i = first_i + win_len - 1
+        first_tok = flat.take(pa.array(first_i))
+        last_tok = flat.take(pa.array(last_i))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_rep]),
+                "win_idx": pa.array(win_idx),
+                "win_start": pa.array(win_start),
+                "win_len": pa.array(win_len),
+                "first_tok": first_tok,
+                "last_tok": last_tok,
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["doc_id", "win_idx"]
+    )
+
+
+def docs_chunk_windows_sql(w: int = CHUNK_W, s: int = CHUNK_S) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks, len({_TOKENS_SQL}) AS n
+  FROM documents
+),
+win AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, CAST(ceil(n / {s}.0) AS BIGINT) - 1)) AS gs
+  FROM tok WHERE n > 0
+)
+SELECT doc_id,
+       CAST(gs AS BIGINT) AS win_idx,
+       CAST(gs * {s} AS BIGINT) AS win_start,
+       CAST(least({w}, n - gs * {s}) AS BIGINT) AS win_len,
+       toks[gs * {s} + 1] AS first_tok,
+       toks[gs * {s} + least({w}, n - gs * {s})] AS last_tok
+FROM win
+ORDER BY doc_id, win_idx
+"""
+
+
+def docs_neardup_purge(sf_dir: str):
+    """End-to-end near-duplicate REMOVAL (the full curation op the
+    dedup family builds toward): Jaccard pair graph -> connected
+    components (min-label propagation) -> keep each component's
+    canonical doc (its min doc_id == the propagated label) -> emit
+    the surviving corpus rows.  Because the component label IS the
+    component's minimum doc_id, the winner test is a vectorized
+    doc_id == component_id filter — no extra shuffle beyond the
+    component computation itself."""
+    comps = docs_dedup_components(sf_dir)
+
+    def winners(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["doc_id"], t["component_id"])
+        return t.filter(keep).select(["doc_id"])
+
+    surv = comps.map_batches(winners, batch_format="pyarrow", zero_copy_batch=True)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    from ..stages.join import hash_join
+
+    out = hash_join(
+        surv,
+        docs.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                    "lang": t["lang"],
+                    "n_chars": pc.cast(t["n_chars"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        on="doc_id",
+        left_cols=["doc_id"],
+        right_cols=["doc_id", "lang", "n_chars"],
+    )
+    return out.sort("doc_id")
+
+
+DOCS_NEARDUP_PURGE_SQL = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS token
+  FROM documents WHERE doc_id < {{limit}}
+),
+sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS sz FROM tok GROUP BY doc_id
+),
+common AS (
+  SELECT t1.doc_id AS a, t2.doc_id AS b, count(*)::BIGINT AS c
+  FROM tok t1 JOIN tok t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+  GROUP BY t1.doc_id, t2.doc_id
+),
+pairs AS (
+  SELECT a, b FROM common
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE c >= 0.8 * (sa.sz + sb.sz - c)
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b AS src, a AS dst FROM pairs
+),
+nodes AS (
+  SELECT CAST(doc_id AS BIGINT) AS node FROM documents
+  WHERE doc_id < {{limit}}
+),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(label) AS component_id FROM reach GROUP BY node
+)
+SELECT c.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+WHERE c.doc_id = c.component_id
+ORDER BY c.doc_id
+"""
+DOCS_NEARDUP_PURGE_SQL = DOCS_NEARDUP_PURGE_SQL.format(limit=JACCARD_DOC_LIMIT)

@@ -784,3 +784,75 @@ def emb_kmeans(sf_dir: str, k: int = 8, n_iters: int = 5):
         merge="driver",
     )
     return out.sort("cluster")
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics (feature-distribution audit)
+# ---------------------------------------------------------------------------
+
+
+def emb_dim_stats(sf_dir: str):
+    """Per-dimension stats over the embedding matrix (n, sum, min, max
+    per dim) — the feature-distribution audit a training pipeline runs
+    before normalizing embeddings.  Floats are made oracle-exact by the
+    integer-micros encoding (round(f64 * 1e6) as int64 on BOTH engines;
+    the stored f32 promotes to the same f64 in numpy and DuckDB, so
+    the rounding matches bit-for-bit).
+
+    Scale shape: one per-batch numpy reduction emits d partial rows per
+    batch; dims are bounded (d=64), so the merge is the driver fast
+    path (CLAUDE.md rule 2) — zero all-to-all."""
+    import pyarrow.compute as pc
+
+    from .common import grouped_sum
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)  # (n, d) float64
+        # floor(x + 0.5): round-half-up in BOTH engines (np.round would
+        # be banker's rounding, DuckDB round() half-away — mismatch)
+        s = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        d = s.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "n": pa.array(np.full(d, s.shape[0], dtype=np.int64)),
+                "sum_micros": pa.array(s.sum(axis=0)),
+                "min_micros": pa.array(s.min(axis=0)),
+                "max_micros": pa.array(s.max(axis=0)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sum(
+        parts,
+        ["dim"],
+        {
+            "n": ("n", "sum"),
+            "sum_micros": ("sum_micros", "sum"),
+            "min_micros": ("min_micros", "min"),
+            "max_micros": ("max_micros", "max"),
+        },
+        merge="driver",
+    )
+    return out.sort("dim")
+
+
+EMB_DIM_STATS_SQL = """
+WITH e AS (
+  SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS dim1
+  FROM embeddings
+)
+SELECT CAST(dim1 - 1 AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_micros,
+       CAST(min(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS min_micros,
+       CAST(max(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS max_micros
+FROM e
+GROUP BY dim1
+ORDER BY dim
+"""

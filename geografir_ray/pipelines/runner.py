@@ -187,6 +187,107 @@ def _content_hash(text_col: str = "text", out_col: str = "text_hash"):
     return fn
 
 
+@register_stage("normalize_text")
+def _normalize_text(text_col: str = "text", out_col: str = "norm_text"):
+    """Lowercase + collapse whitespace runs + trim (vectorized Arrow
+    kernels; the training-data normalize pass of docs_normalize_text)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t[text_col])
+        x = pc.replace_substring_regex(x, r"\s+", " ")
+        return t.append_column(out_col, pc.utf8_trim_whitespace(x))
+
+    fn.__name__ = f"normalize_text[{text_col}]"
+    return fn
+
+
+@register_stage("regex_replace")
+def _regex_replace(pattern: str, replacement: str, text_col: str = "text",
+                   out_col: str | None = None):
+    """Vectorized RE2 replace over a string column (in place unless
+    out_col names a new column)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = pc.replace_substring_regex(t[text_col], pattern, replacement)
+        dest = out_col or text_col
+        if dest in t.column_names:
+            return t.set_column(t.schema.get_field_index(dest), dest, x)
+        return t.append_column(dest, x)
+
+    fn.__name__ = f"regex_replace[{text_col}]"
+    return fn
+
+
+@register_stage("regex_extract")
+def _regex_extract(pattern: str, group: str, text_col: str = "text",
+                   out_col: str = "extracted"):
+    """First-match RE2 extract of a NAMED capture group into a new
+    column (null where no match)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = pc.struct_field(pc.extract_regex(t[text_col], pattern), group)
+        return t.append_column(out_col, x)
+
+    fn.__name__ = f"regex_extract[{text_col}]"
+    return fn
+
+
+@register_stage("pii_redact")
+def _pii_redact(text_col: str = "text", out_col: str = "clean_text"):
+    """Scrub emails / +D-DDD-DDDD phones / IPv4s with the vectorized
+    RE2 kernels of docs_pii_redact; appends <out_col> + n_pii."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .documents import _PII_EMAIL_RE, _PII_IP_RE, _PII_PHONE_RE
+
+    def fn(t: pa.Table) -> pa.Table:
+        src = t[text_col]
+        n = pc.add(
+            pc.add(
+                pc.count_substring_regex(src, _PII_EMAIL_RE),
+                pc.count_substring_regex(src, _PII_PHONE_RE),
+            ),
+            pc.count_substring_regex(src, _PII_IP_RE),
+        )
+        x = pc.replace_substring_regex(src, _PII_EMAIL_RE, "<EMAIL>")
+        x = pc.replace_substring_regex(x, _PII_PHONE_RE, "<PHONE>")
+        x = pc.replace_substring_regex(x, _PII_IP_RE, "<IP>")
+        t = t.append_column(out_col, x)
+        return t.append_column("n_pii", pc.cast(n, pa.int64()))
+
+    fn.__name__ = f"pii_redact[{text_col}]"
+    return fn
+
+
+@register_stage("decontaminate")
+def _decontaminate(snippets: list, text_col: str = "text"):
+    """Benchmark-decontamination scan: flag docs containing any of the
+    given eval snippets (list rides the task closure — broadcast state,
+    CLAUDE.md rule 3).  Appends n_hits + contaminated."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        hits = np.zeros(t.num_rows, dtype=np.int64)
+        for s in snippets:
+            hits += pc.cast(
+                pc.match_substring(t[text_col], s), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+        t = t.append_column("n_hits", pa.array(hits))
+        return t.append_column("contaminated", pa.array(hits > 0))
+
+    fn.__name__ = f"decontaminate[{len(snippets)}]"
+    return fn
+
+
 # --- config model --------------------------------------------------------
 
 try:  # pydantic v2 preferred; plain dataclass fallback

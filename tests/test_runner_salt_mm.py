@@ -30,6 +30,42 @@ def test_runner_config_pipeline(ray_session, sf_small):
     assert "derive_points" in stage_names().__repr__() or "derive_points" in stage_names()
 
 
+def test_runner_curation_stages():
+    # table->table stage functions: exercised directly, no Ray needed
+    from geografir_ray.pipelines.runner import _REGISTRY
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "  Contact a@b.com or +1-555-1234 NOW  ",
+                    "visit 10.0.0.1 and http://x part deux",
+                ]
+            ),
+        }
+    )
+    norm = _REGISTRY["normalize_text"]()(t)
+    assert norm["norm_text"].to_pylist()[0] == "contact a@b.com or +1-555-1234 now"
+
+    red = _REGISTRY["pii_redact"]()(t)
+    assert red["clean_text"].to_pylist()[0] == "  Contact <EMAIL> or <PHONE> NOW  "
+    assert red["clean_text"].to_pylist()[1] == "visit <IP> and http://x part deux"
+    assert red["n_pii"].to_pylist() == [2, 1]
+
+    rep = _REGISTRY["regex_replace"](pattern=r"\d+", replacement="#")(t)
+    assert "+#-#-#" in rep["text"].to_pylist()[0]
+
+    ext = _REGISTRY["regex_extract"](
+        pattern=r"(?P<word>[A-Z]{2,})", group="word", out_col="shout"
+    )(t)
+    assert ext["shout"].to_pylist() == ["NOW", None]
+
+    dec = _REGISTRY["decontaminate"](snippets=["part deux", "absent"])(t)
+    assert dec["n_hits"].to_pylist() == [0, 1]
+    assert dec["contaminated"].to_pylist() == [False, True]
+
+
 def test_runner_unknown_stage(ray_session, sf_small):
     from geografir_ray.pipelines.runner import build
 
