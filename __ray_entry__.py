@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bbox_by_nation": S.bbox_by_nation,
         "geo_cells": S.cell_assignment,  # rows-only: S2/hex ids not SQL-expressible
         "geo_geohash": S.geohash_assignment,
+        "geo_tile_pyramid": S.tile_pyramid,
+        "geo_bbox_join": S.bbox_overlap_join,
         # events (window / session / as-of)
         "events_hourly": E.events_hourly,
         "events_sessions": E.events_sessions,
@@ -160,6 +162,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_reproject": S.REPROJECT_SQL,
         "geo_bbox_by_nation": S.BBOX_BY_NATION_SQL,
         "geo_geohash": S.geohash_assignment_sql(),
+        "geo_tile_pyramid": S.tile_pyramid_sql(),
+        "geo_bbox_join": S.bbox_overlap_join_sql(),
         "events_hourly": E.EVENTS_HOURLY_SQL,
         "events_sessions": E.EVENTS_SESSIONS_SQL,
         "events_sessions_sorted": E.EVENTS_SESSIONS_SQL,

@@ -649,3 +649,272 @@ SELECT point_id,
 FROM interleaved
 ORDER BY point_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Tile pyramid — multi-resolution rollup (the tiling engine's product)
+# ---------------------------------------------------------------------------
+
+
+def tile_pyramid(sf_dir: str, precision: int = 5, min_level: int = 1):
+    """Multi-resolution tile pyramid: per-cell point counts at every
+    geohash level from `precision` down to `min_level` (the vector
+    analogue of `raster_overview`'s 2x overview chain; the map-tile
+    pyramid a tile server pre-computes).
+
+    Scale design: the corpus is scanned ONCE — per-batch combiners
+    collapse rows to finest-level cells before a single distributed
+    merge (finest cells are unbounded at corpus scale, so the merge is
+    the shuffle form). Every coarser level is then derived from the
+    PREVIOUS, already-aggregated level by 5-bit prefix truncation +
+    re-merge: each successive exchange is ~32x smaller, so the whole
+    rollup chain costs a vanishing fraction of the base scan. No stage
+    re-reads the input.
+    """
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = (
+            t["l_orderkey"].to_numpy(zero_copy_only=False) * 8
+            + t["l_linenumber"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        code = cells.geohash_int(synthgeo.synth_lat(k), synthgeo.synth_lon(k), precision)
+        return pa.table(
+            {
+                "cell": pa.array(code.view(np.int64)),
+                "one": pa.array(np.ones(len(k), dtype=np.int64)),
+            }
+        )
+
+    base = grouped_sum(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        ["cell"],
+        {"n_points": ("one", "sum")},
+    )
+
+    def with_level(lvl: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "level": pa.array(np.full(t.num_rows, lvl, dtype=np.int64)),
+                    "cell": t["cell"],
+                    "n_points": t["n_points"],
+                }
+            )
+
+        fn.__name__ = f"level[{lvl}]"
+        return fn
+
+    levels = [base.map_batches(with_level(precision), batch_format="pyarrow")]
+    prev = base
+    for lvl in range(precision - 1, min_level - 1, -1):
+
+        def shift(t: pa.Table, _s=5) -> pa.Table:  # prev level -> one level up
+            return pa.table(
+                {
+                    "cell": pc.shift_right(t["cell"], _s),
+                    "n_points": t["n_points"],
+                }
+            )
+
+        prev = grouped_sum(
+            prev.map_batches(shift, batch_format="pyarrow", zero_copy_batch=True),
+            ["cell"],
+            {"n_points": ("n_points", "sum")},
+        )
+        levels.append(prev.map_batches(with_level(lvl), batch_format="pyarrow"))
+
+    out = levels[0].union(*levels[1:])
+    # union of many tiny groupby outputs -> coalesce before the sort
+    # (CLAUDE.md rule 9: sort cost scales with block COUNT)
+    return out.repartition(8).sort(["level", "cell"])
+
+
+def tile_pyramid_sql(precision: int = 5, min_level: int = 1) -> str:
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    key = "(l_orderkey * 8 + l_linenumber)"
+    lat = synth_lat_sql(key)
+    lon = synth_lon_sql(key)
+    latq = (
+        f"LEAST(GREATEST(CAST(floor((({lat}) + 90.0) / 180.0 * {1 << lat_bits}"
+        f".0) AS BIGINT), 0), {(1 << lat_bits) - 1})"
+    )
+    lonq = (
+        f"LEAST(GREATEST(CAST(floor((({lon}) + 180.0) / 360.0 * {1 << lon_bits}"
+        f".0) AS BIGINT), 0), {(1 << lon_bits) - 1})"
+    )
+    per_level = "\nUNION ALL\n".join(
+        f"SELECT CAST({lvl} AS BIGINT) AS level,"
+        f" cell5 >> {5 * (precision - lvl)} AS cell,"
+        f" count(*) AS n_points FROM q GROUP BY 2"
+        for lvl in range(precision, min_level - 1, -1)
+    )
+    return f"""
+WITH pts AS (
+  SELECT {latq} AS lat_q, {lonq} AS lon_q FROM lineitem
+),
+q AS (
+  -- MSB-first interleave, lon at even offsets (odd total bit count)
+  SELECT CAST(SUM(CASE WHEN j % 2 = 0
+      THEN ((lon_q >> ({lon_bits - 1} - j // 2)) & 1) << ({nbits - 1} - j)
+      ELSE ((lat_q >> ({lat_bits - 1} - j // 2)) & 1) << ({nbits - 1} - j)
+      END) AS BIGINT) AS cell5
+  FROM (SELECT row_number() OVER () AS rid, lat_q, lon_q FROM pts),
+       generate_series(0, {nbits - 1}) AS t(j)
+  GROUP BY rid
+)
+{per_level}
+ORDER BY level, cell
+"""
+
+
+# ---------------------------------------------------------------------------
+# BBox overlap join — rectangle x rectangle spatial join
+# ---------------------------------------------------------------------------
+
+BBOX_GRID_DEG = 2.0
+BBOX_JOIN_BUCKETS = 64
+
+
+def bbox_overlap_join(sf_dir: str, grid_deg: float = BBOX_GRID_DEG,
+                      n_buckets: int = BBOX_JOIN_BUCKETS):
+    """Rectangle-rectangle overlap join (planar closed-interval
+    intersection) between customer- and supplier-derived boxes,
+    the third spatial-join class next to PIP and kNN.
+
+    Scale design — the textbook partitioned spatial join:
+    1. cover-explode each box into the coarse grid cells it touches
+       (<= 3x3 cells at these box sizes);
+    2. co-partition both sides by hash(cell) % B into B BOUNDED
+       buckets (one map_groups call per bucket, never per cell —
+       CLAUDE.md rule 1);
+    3. inside a bucket: sort-searchsorted equi-match on cell, then the
+       vectorized overlap predicate;
+    4. de-duplicate multi-cell matches with the REFERENCE-POINT rule
+       (Dittrich & Seeger, ICDE 2000, public): a pair is emitted only
+       in the grid cell containing the intersection's lower-left
+       corner — that cell is covered by both boxes by construction, so
+       each qualifying pair is emitted exactly once, with no
+       post-shuffle distinct pass.
+    """
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey"])
+
+    def boxes(key_col: str, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            cy = synthgeo.synth_lat(k)
+            cx = synthgeo.synth_lon(k)
+            hw = (k % 7 + 1) * 0.25
+            hh = (k % 5 + 1) * 0.25
+            # covered cell range (grid anchored at lon -180 / lat -90)
+            gx0 = np.floor((cx - hw + 180.0) / grid_deg).astype(np.int64)
+            gx1 = np.floor((cx + hw + 180.0) / grid_deg).astype(np.int64)
+            gy0 = np.floor((cy - hh + 90.0) / grid_deg).astype(np.int64)
+            gy1 = np.floor((cy + hh + 90.0) / grid_deg).astype(np.int64)
+            nx = gx1 - gx0 + 1
+            ny = gy1 - gy0 + 1
+            n_cover = nx * ny
+            ridx = np.repeat(np.arange(len(k), dtype=np.int64), n_cover)
+            offs = np.arange(int(n_cover.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(n_cover) - n_cover, n_cover
+            )
+            gx = gx0[ridx] + offs % nx[ridx]
+            gy = gy0[ridx] + offs // nx[ridx]
+            cell = gx * np.int64(1 << 20) + gy
+            return pa.table(
+                {
+                    "cell": pa.array(cell),
+                    "bucket": pa.array(
+                        ((cell * np.int64(2654435761)) % np.int64(n_buckets) + n_buckets)
+                        % n_buckets
+                    ),
+                    "side": pa.array(np.full(len(cell), side, dtype=np.int8)),
+                    "id": pa.array(k[ridx]),
+                    "cx": pa.array(cx[ridx]),
+                    "cy": pa.array(cy[ridx]),
+                    "hw": pa.array(hw[ridx]),
+                    "hh": pa.array(hh[ridx]),
+                }
+            )
+
+        fn.__name__ = f"boxes[{key_col}]"
+        return fn
+
+    left = cust.map_batches(boxes("c_custkey", 0), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    right = supp.map_batches(boxes("s_suppkey", 1), batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def probe(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy(zero_copy_only=False)
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        cx = t["cx"].to_numpy(zero_copy_only=False)
+        cy = t["cy"].to_numpy(zero_copy_only=False)
+        hw = t["hw"].to_numpy(zero_copy_only=False)
+        hh = t["hh"].to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        empty = pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "s_suppkey": pa.array([], pa.int64()),
+            }
+        )
+        if li.size == 0 or ri.size == 0:
+            return empty
+        order = np.argsort(cell[ri], kind="stable")
+        ri = ri[order]
+        rcell = cell[ri]
+        lo = np.searchsorted(rcell, cell[li], side="left")
+        hi = np.searchsorted(rcell, cell[li], side="right")
+        cnt = hi - lo
+        if int(cnt.sum()) == 0:
+            return empty
+        lrep = np.repeat(li, cnt)
+        offs = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        rrep = ri[np.repeat(lo, cnt) + offs]
+        # closed-interval overlap
+        ok = (np.abs(cx[lrep] - cx[rrep]) <= hw[lrep] + hw[rrep]) & (
+            np.abs(cy[lrep] - cy[rrep]) <= hh[lrep] + hh[rrep]
+        )
+        lrep, rrep = lrep[ok], rrep[ok]
+        # reference point: intersection's lower-left corner
+        refx = np.maximum(cx[lrep] - hw[lrep], cx[rrep] - hw[rrep])
+        refy = np.maximum(cy[lrep] - hh[lrep], cy[rrep] - hh[rrep])
+        refc = np.floor((refx + 180.0) / grid_deg).astype(np.int64) * np.int64(
+            1 << 20
+        ) + np.floor((refy + 90.0) / grid_deg).astype(np.int64)
+        keep = refc == cell[lrep]
+        return pa.table(
+            {
+                "c_custkey": pa.array(ids[lrep[keep]]),
+                "s_suppkey": pa.array(ids[rrep[keep]]),
+            }
+        )
+
+    out = left.union(right).groupby("bucket").map_groups(
+        probe, batch_format="pyarrow"
+    )
+    return out.repartition(4).sort(["c_custkey", "s_suppkey"])
+
+
+def bbox_overlap_join_sql() -> str:
+    clat = synth_lat_sql("c.c_custkey")
+    clon = synth_lon_sql("c.c_custkey")
+    slat = synth_lat_sql("s.s_suppkey")
+    slon = synth_lon_sql("s.s_suppkey")
+    return f"""
+SELECT c.c_custkey, s.s_suppkey
+FROM customer c CROSS JOIN supplier s
+WHERE abs(({clon}) - ({slon}))
+        <= (c.c_custkey % 7 + 1) * 0.25 + (s.s_suppkey % 7 + 1) * 0.25
+  AND abs(({clat}) - ({slat}))
+        <= (c.c_custkey % 5 + 1) * 0.25 + (s.s_suppkey % 5 + 1) * 0.25
+ORDER BY c_custkey, s_suppkey
+"""

@@ -701,3 +701,54 @@ def test_emb_kmeans_query_runs(ray_session, sf_small):
     assert df["n_vecs"].sum() > 0
     assert (df["inertia_c"] >= 0).all()
     assert list(df.columns) == ["cluster", "n_vecs", "inertia_c"]
+
+
+def test_tile_pyramid_invariants(ray_session, sf_small):
+    """Every pyramid level conserves total mass; each parent's count is
+    the sum of its (<=32) children; level-1 has <=32 cells."""
+    from geografir_ray.pipelines.spatial import tile_pyramid
+
+    df = tile_pyramid(sf_small).to_pandas()
+    totals = df.groupby("level")["n_points"].sum()
+    assert totals.nunique() == 1  # mass conservation across levels
+    lv = {l: g.set_index("cell")["n_points"] for l, g in df.groupby("level")}
+    for child, parent in [(5, 4), (4, 3), (3, 2), (2, 1)]:
+        rolled = lv[child].groupby(lv[child].index.to_numpy() >> 5).sum()
+        assert rolled.sort_index().equals(lv[parent].sort_index())
+    assert len(lv[1]) <= 32
+    assert (df.groupby("level")["cell"].nunique() == df.groupby("level").size()).all()
+
+
+def test_bbox_overlap_join_exact(ray_session, sf_small):
+    """Partitioned overlap join + reference-point dedup == brute force."""
+    import pyarrow.parquet as pq
+
+    from geografir_ray.functions import synthgeo
+    from geografir_ray.pipelines.spatial import bbox_overlap_join
+
+    out = bbox_overlap_join(sf_small).to_pandas()
+    # no duplicate pairs (reference-point rule emits each pair once)
+    assert not out.duplicated(["c_custkey", "s_suppkey"]).any()
+
+    ck = pq.read_table(f"{sf_small}/customer.parquet", columns=["c_custkey"])[
+        "c_custkey"
+    ].to_numpy().astype(np.int64)
+    sk = pq.read_table(f"{sf_small}/supplier.parquet", columns=["s_suppkey"])[
+        "s_suppkey"
+    ].to_numpy().astype(np.int64)
+
+    def rect(k):
+        return (
+            synthgeo.synth_lon(k), synthgeo.synth_lat(k),
+            (k % 7 + 1) * 0.25, (k % 5 + 1) * 0.25,
+        )
+
+    cx, cy, chw, chh = rect(ck)
+    sx, sy, shw, shh = rect(sk)
+    ok = (np.abs(cx[:, None] - sx[None, :]) <= chw[:, None] + shw[None, :]) & (
+        np.abs(cy[:, None] - sy[None, :]) <= chh[:, None] + shh[None, :]
+    )
+    ci, si = np.nonzero(ok)
+    expect = set(zip(ck[ci].tolist(), sk[si].tolist()))
+    got = set(zip(out["c_custkey"].tolist(), out["s_suppkey"].tolist()))
+    assert got == expect
