@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_geohash": S.geohash_assignment,
         "geo_tile_pyramid": S.tile_pyramid,
         "geo_bbox_join": S.bbox_overlap_join,
+        "geo_cluster_points": S.cluster_points,
         # events (window / session / as-of)
         "events_hourly": E.events_hourly,
         "events_sessions": E.events_sessions,
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_geohash": S.geohash_assignment_sql(),
         "geo_tile_pyramid": S.tile_pyramid_sql(),
         "geo_bbox_join": S.bbox_overlap_join_sql(),
+        "geo_cluster_points": S.cluster_points_sql(),
         "events_hourly": E.EVENTS_HOURLY_SQL,
         "events_sessions": E.EVENTS_SESSIONS_SQL,
         "events_sessions_sorted": E.EVENTS_SESSIONS_SQL,

@@ -1303,7 +1303,7 @@ ORDER BY doc_id
 
 
 def docs_dedup_components(sf_dir: str, max_iters: int = 25):
-    from ..stages.join import hash_join
+    from ..stages.components import min_label_components
 
     pairs = docs_jaccard_pairs(sf_dir)
 
@@ -1332,37 +1332,9 @@ def docs_dedup_components(sf_dir: str, max_iters: int = 25):
         )
         .materialize()
     )
-    prev_sum = labels.sum("label")
-
-    converged = False
-    for _ in range(max_iters):
-        msgs = hash_join(
-            edges,
-            labels,
-            on="node",
-            left_cols=["node", "dst"],
-            right_cols=["node", "label"],
-        ).map_batches(
-            lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
-            batch_format="pyarrow",
-        )
-        labels = grouped_sum(
-            labels.union(msgs), ["node"], {"label": ("label", "min")}
-        ).materialize()
-        cur_sum = labels.sum("label")
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
-    if not converged:
-        # the SQL oracle computes FULL transitive closure; exiting the
-        # cap mid-propagation would silently diverge (a component with
-        # graph diameter > max_iters) — fail loudly instead.
-        raise RuntimeError(
-            f"docs_dedup_components: min-label propagation did not reach a "
-            f"fixpoint within max_iters={max_iters} (label sum still "
-            f"changing); raise max_iters for long near-dup chains"
-        )
+    labels = min_label_components(
+        edges, labels, max_iters=max_iters, op_name="docs_dedup_components"
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["node"], "component_id": t["label"]})

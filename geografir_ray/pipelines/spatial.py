@@ -918,3 +918,163 @@ WHERE abs(({clon}) - ({slon}))
         <= (c.c_custkey % 5 + 1) * 0.25 + (s.s_suppkey % 5 + 1) * 0.25
 ORDER BY c_custkey, s_suppkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Spatial point clustering — grid-bucketed eps-graph connected components
+# ---------------------------------------------------------------------------
+
+CLUSTER_EPS_DEG = 0.5
+CLUSTER_POINT_LIMIT = 800  # oracle window: recursive closure stays tractable
+CLUSTER_BUCKETS = 64
+
+
+def cluster_points(sf_dir: str, eps: float = CLUSTER_EPS_DEG,
+                   limit: int = CLUSTER_POINT_LIMIT,
+                   n_buckets: int = CLUSTER_BUCKETS):
+    """Density clustering of points (DBSCAN's eps-graph with min_pts=1,
+    i.e. single-linkage at radius eps): two points are linked when
+    their planar squared distance is <= eps^2; clusters are the
+    connected components; cluster_id = min point_id in the component.
+
+    Scale design: NO all-pairs — each point homes in its eps-sized grid
+    cell and probes only the 3x3 neighborhood, co-partitioned into B
+    BOUNDED hash buckets (one map_groups call per bucket, CLAUDE.md
+    rule 1); a genuine edge is found exactly once per direction (the
+    home cell of its far end is unique).  Components run on the shared
+    min-label engine (stages/components.py) — one bucketed hash join +
+    one grouped min per round, rounds = cluster diameter in hops.
+
+    The `limit` window exists ONLY so the SQL twin's recursive
+    transitive closure stays tractable (same device as
+    docs_jaccard_pairs' JACCARD_DOC_LIMIT); the Ray path never
+    materializes pairs beyond grid neighborhoods.
+    """
+    from ..stages.components import min_label_components
+
+    pts = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = k[k < limit]
+        return pa.table(
+            {
+                "point_id": pa.array(k),
+                "lon": pa.array(synthgeo.synth_lon(k)),
+                "lat": pa.array(synthgeo.synth_lat(k)),
+            }
+        )
+
+    base = pts.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+    def explode(t: pa.Table) -> pa.Table:
+        pid = t["point_id"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        gx = np.floor((lon + 180.0) / eps).astype(np.int64)
+        gy = np.floor((lat + 90.0) / eps).astype(np.int64)
+        home = gx * np.int64(1 << 20) + gy
+        n = len(pid)
+        # role 0: home copy (one per point); role 1: probe copies into
+        # the 3x3 neighborhood (including own cell — matches there too)
+        cells_ = [home]
+        roles = [np.zeros(n, dtype=np.int8)]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cells_.append(home + np.int64(dx) * np.int64(1 << 20) + np.int64(dy))
+                roles.append(np.ones(n, dtype=np.int8))
+        cell = np.concatenate(cells_)
+        role = np.concatenate(roles)
+        rep = np.tile(np.arange(n, dtype=np.int64), 10)
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "bucket": pa.array(
+                    ((cell * np.int64(2654435761)) % np.int64(n_buckets) + n_buckets)
+                    % n_buckets
+                ),
+                "role": pa.array(role),
+                "point_id": pa.array(pid[rep]),
+                "lon": pa.array(lon[rep]),
+                "lat": pa.array(lat[rep]),
+            }
+        )
+
+    exploded = base.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def probe(t: pa.Table) -> pa.Table:
+        role = t["role"].to_numpy(zero_copy_only=False)
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        pid = t["point_id"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        hi_ = np.flatnonzero(role == 0)
+        pi_ = np.flatnonzero(role == 1)
+        empty = pa.table(
+            {"node": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+        if hi_.size == 0 or pi_.size == 0:
+            return empty
+        order = np.argsort(cell[hi_], kind="stable")
+        hi_ = hi_[order]
+        hcell = cell[hi_]
+        lo = np.searchsorted(hcell, cell[pi_], side="left")
+        hi = np.searchsorted(hcell, cell[pi_], side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        prep = np.repeat(pi_, cnt)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        hrep = hi_[np.repeat(lo, cnt) + offs]
+        dx = lon[prep] - lon[hrep]
+        dy = lat[prep] - lat[hrep]
+        ok = (dx * dx + dy * dy <= eps * eps) & (pid[prep] != pid[hrep])
+        return pa.table(
+            {
+                "node": pa.array(pid[prep[ok]]),
+                "dst": pa.array(pid[hrep[ok]]),
+            }
+        )
+
+    edges = (
+        exploded.groupby("bucket")
+        .map_groups(probe, batch_format="pyarrow")
+        .materialize()
+    )
+    labels = base.map_batches(
+        lambda t: pa.table({"node": t["point_id"], "label": t["point_id"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    labels = min_label_components(edges, labels, op_name="cluster_points")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"point_id": t["node"], "cluster_id": t["label"]})
+
+    return labels.map_batches(finish, batch_format="pyarrow").sort("point_id")
+
+
+def cluster_points_sql(eps: float = CLUSTER_EPS_DEG,
+                       limit: int = CLUSTER_POINT_LIMIT) -> str:
+    lat = synth_lat_sql("c_custkey")
+    lon = synth_lon_sql("c_custkey")
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT CAST(c_custkey AS BIGINT) AS node, {lon} AS lon, {lat} AS lat
+  FROM customer WHERE c_custkey < {limit}
+),
+edges AS (
+  SELECT p.node AS src, q.node AS dst
+  FROM pts p JOIN pts q ON p.node <> q.node
+  WHERE (p.lon - q.lon) * (p.lon - q.lon)
+      + (p.lat - q.lat) * (p.lat - q.lat) <= {eps} * {eps}
+),
+reach(node, label) AS (
+  SELECT node, node FROM pts
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS point_id, MIN(label) AS cluster_id
+FROM reach GROUP BY node ORDER BY point_id
+"""

@@ -752,3 +752,42 @@ def test_bbox_overlap_join_exact(ray_session, sf_small):
     expect = set(zip(ck[ci].tolist(), sk[si].tolist()))
     got = set(zip(out["c_custkey"].tolist(), out["s_suppkey"].tolist()))
     assert got == expect
+
+
+def test_cluster_points_exact(ray_session, sf_small):
+    """Grid-bucketed eps-graph components == brute-force union-find."""
+    import pyarrow.parquet as pq
+
+    from geografir_ray.functions import synthgeo
+    from geografir_ray.pipelines.spatial import (
+        CLUSTER_EPS_DEG,
+        CLUSTER_POINT_LIMIT,
+        cluster_points,
+    )
+
+    out = cluster_points(sf_small).to_pandas()
+    k = pq.read_table(f"{sf_small}/customer.parquet", columns=["c_custkey"])[
+        "c_custkey"
+    ].to_numpy().astype(np.int64)
+    k = np.sort(k[k < CLUSTER_POINT_LIMIT])
+    lon, lat = synthgeo.synth_lon(k), synthgeo.synth_lat(k)
+    eps = CLUSTER_EPS_DEG
+
+    parent = {int(i): int(i) for i in k}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(k)):
+        dx = lon - lon[i]
+        dy = lat - lat[i]
+        for j in np.flatnonzero(dx * dx + dy * dy <= eps * eps):
+            a, b = find(int(k[i])), find(int(k[j]))
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+    expect = {int(i): find(int(i)) for i in k}
+    got = dict(zip(out["point_id"].tolist(), out["cluster_id"].tolist()))
+    assert got == expect
