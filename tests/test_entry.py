@@ -30,6 +30,7 @@ def test_queries_have_oracles_or_are_documented(ray_session):
         "docs_fingerprints",
         "emb_label_stats",
         "emb_ivf_knn",
+        "emb_pq_knn",
         "emb_kmeans",
         "mm_features",
         "mm_image_features",

@@ -791,3 +791,18 @@ def test_cluster_points_exact(ray_session, sf_small):
     expect = {int(i): find(int(i)) for i in k}
     got = dict(zip(out["point_id"].tolist(), out["cluster_id"].tolist()))
     assert got == expect
+
+
+def test_pq_knn_recall_vs_brute_force(ray_session, sf_small):
+    """PQ-ADC top-5 recovers most of the true cosine top-5 (16 codes x
+    8 sub-spaces on dim-64 vectors), and emits the exact shape contract."""
+    from geografir_ray.pipelines.embeddings import emb_knn, emb_pq_knn
+
+    exact = emb_knn(sf_small).to_pandas()
+    approx = emb_pq_knn(sf_small).to_pandas()
+    assert len(approx) == len(exact)
+    assert (approx.groupby("query_id")["rank"].max() == 5).all()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
