@@ -481,3 +481,191 @@ FROM (
 GROUP BY p_partkey
 ORDER BY tile_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Focal (neighborhood) raster op with cross-tile HALO EXCHANGE: 3x3
+# valid-masked box sum over the global pixel grid.  The distributed-
+# raster pattern none of the per-tile ops need: a pixel's window spans
+# tile borders, so tiles must exchange edge strips.
+# ---------------------------------------------------------------------------
+
+FOCAL_BUCKETS = 64
+
+
+def raster_focal_sum(sf_dir: str, n_buckets: int = FOCAL_BUCKETS):
+    """3x3 focal sum/count of VALID (non-nodata) pixels over the global
+    mosaic, per pixel.  Missing neighbor tiles contribute nothing (the
+    mosaic is sparse); nodata pixels are excluded from every window.
+
+    Scale design — halo exchange, not tile replication: each tile
+    emits its full body to ITS OWN key plus only the 8 edge strips its
+    neighbors need (2x16 + 2x16 + 4 = 68 px vs 8x256 for whole-tile
+    replication).  Both streams co-partition on hash(dest_tile) % B
+    bounded buckets; inside a bucket every destination tile assembles
+    an 18x18 padded array and the 3x3 window reduces as 9 shifted adds
+    over the whole (tiles, 18, 18) stack — no per-pixel Python, no
+    per-tile call.  Strips destined to absent tiles are dropped by the
+    center-presence filter.  The SQL twin computes the same windows by
+    9-way equi-join on global pixel coordinates."""
+    tiles = tiles_dataset(sf_dir)
+
+    # (direction -> (dx, dy, source-pixel slice in the 16x16 tile))
+    # dx/dy are the NEIGHBOR's offset from the emitting tile; the strip
+    # lands on the opposite edge of the destination's 18x18 pad.
+    def halo(t: pa.Table) -> pa.Table:
+        data = t["data"]
+        if isinstance(data, pa.ChunkedArray):
+            data = data.combine_chunks()
+        n = len(data)
+        vals = data.flatten().to_numpy(zero_copy_only=False).reshape(
+            n, TILE_PX, TILE_PX
+        )
+        tid = t["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tx = tid % 360
+        ty = tid // 360
+        out_dest, out_kind, out_vals = [], [], []
+        # kind 0: the tile body itself (256 px)
+        out_dest.append(tid)
+        out_kind.append(np.zeros(n, dtype=np.int8))
+        out_vals.append(vals.reshape(n, -1))
+        # kinds 1..8: strips to each neighbor  (dx, dy, slice)
+        strips = [
+            (1, -1, 0, np.s_[:, :, :1]),    # W neighbor gets our left col
+            (2, 1, 0, np.s_[:, :, -1:]),    # E neighbor gets our right col
+            (3, 0, -1, np.s_[:, :1, :]),    # S (lower ty) gets our bottom row
+            (4, 0, 1, np.s_[:, -1:, :]),    # N gets our top row
+            (5, -1, -1, np.s_[:, :1, :1]),  # SW corner
+            (6, 1, -1, np.s_[:, :1, -1:]),  # SE corner
+            (7, -1, 1, np.s_[:, -1:, :1]),  # NW corner
+            (8, 1, 1, np.s_[:, -1:, -1:]),  # NE corner
+        ]
+        for kind, dx, dy, sl in strips:
+            ntx, nty = tx + dx, ty + dy
+            ok = (ntx >= 0) & (ntx < 360) & (nty >= 0) & (nty < 180)
+            dest = nty * 360 + ntx
+            strip = vals[sl].reshape(n, -1)
+            out_dest.append(dest[ok])
+            out_kind.append(np.full(int(ok.sum()), kind, dtype=np.int8))
+            out_vals.append(strip[ok])
+        dest = np.concatenate(out_dest)
+        kind = np.concatenate(out_kind)
+        flat_parts = [v.ravel() for v in out_vals]
+        lens = np.concatenate(
+            [np.full(v.shape[0], v.shape[1], dtype=np.int64) for v in out_vals]
+        )
+        offs = np.r_[0, np.cumsum(lens)]
+        return pa.table(
+            {
+                "dest": pa.array(dest),
+                "bucket": pa.array(
+                    ((dest * np.int64(2654435761)) % np.int64(n_buckets) + n_buckets)
+                    % n_buckets
+                ),
+                "kind": pa.array(kind),
+                "vals": pa.ListArray.from_arrays(
+                    pa.array(offs, type=pa.int64()), pa.array(np.concatenate(flat_parts))
+                ),
+            }
+        )
+
+    # where each kind lands in the destination's 18x18 pad
+    _PLACE = {
+        0: (np.s_[1:17, 1:17], (TILE_PX, TILE_PX)),
+        1: (np.s_[1:17, 17:18], (TILE_PX, 1)),   # from E emitter's view: W nbr
+        2: (np.s_[1:17, 0:1], (TILE_PX, 1)),
+        3: (np.s_[17:18, 1:17], (1, TILE_PX)),
+        4: (np.s_[0:1, 1:17], (1, TILE_PX)),
+        5: (np.s_[17:18, 17:18], (1, 1)),
+        6: (np.s_[17:18, 0:1], (1, 1)),
+        7: (np.s_[0:1, 17:18], (1, 1)),
+        8: (np.s_[0:1, 0:1], (1, 1)),
+    }
+
+    _OUT = pa.schema(
+        [
+            ("tile_id", pa.int64()),
+            ("pix", pa.int64()),
+            ("focal_sum", pa.int64()),
+            ("n_valid", pa.int64()),
+        ]
+    )
+
+    def assemble(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        dest = t["dest"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        vcol = t["vals"]
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        flat = vcol.flatten().to_numpy(zero_copy_only=False)
+        offs = vcol.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        # destinations that actually exist = have a kind-0 body row
+        centers = dest[kind == 0]
+        uniq = np.unique(centers)
+        m = len(uniq)
+        pad = np.zeros((m, TILE_PX + 2, TILE_PX + 2), dtype=np.int64)
+        has = np.zeros((m, TILE_PX + 2, TILE_PX + 2), dtype=bool)
+        for k, (sl, shape) in _PLACE.items():
+            rows = np.flatnonzero(kind == k)
+            if rows.size == 0:
+                continue
+            # drop strips destined to absent tiles (no kind-0 body)
+            p = np.searchsorted(uniq, dest[rows])
+            p_ok = (p < m) & (uniq[np.minimum(p, m - 1)] == dest[rows])
+            rows = rows[p_ok]
+            if rows.size == 0:
+                continue
+            idx = p[p_ok]
+            L = shape[0] * shape[1]
+            gather = offs[rows][:, None] + np.arange(L, dtype=np.int64)[None, :]
+            chunk = flat[gather].reshape(len(rows), *shape)
+            pad[(idx, *sl)] = chunk
+            has[(idx, *sl)] = True
+        valid = has & (pad % NODATA_MOD != 0)
+        vv = np.where(valid, pad, 0)
+        fs = np.zeros((m, TILE_PX, TILE_PX), dtype=np.int64)
+        nv = np.zeros((m, TILE_PX, TILE_PX), dtype=np.int64)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                fs += vv[:, dy : dy + TILE_PX, dx : dx + TILE_PX]
+                nv += valid[:, dy : dy + TILE_PX, dx : dx + TILE_PX]
+        pix = np.tile(np.arange(TILE_PX * TILE_PX, dtype=np.int64), m)
+        return pa.table(
+            {
+                "tile_id": pa.array(np.repeat(uniq, TILE_PX * TILE_PX)),
+                "pix": pa.array(pix),
+                "focal_sum": pa.array(fs.reshape(-1)),
+                "n_valid": pa.array(nv.reshape(-1)),
+            }
+        )
+
+    out = (
+        tiles.map_batches(halo, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(assemble, batch_format="pyarrow")
+    )
+    return out.repartition(8).sort(["tile_id", "pix"])
+
+
+RASTER_FOCAL_SUM_SQL = f"""
+WITH px AS (
+  SELECT p_partkey AS tile_id, i,
+         (p_partkey % 360) * {TILE_PX} + (i % {TILE_PX}) AS gx,
+         ((p_partkey // 360) % 180) * {TILE_PX} + (i // {TILE_PX}) AS gy,
+         p_partkey * {TILE_PX * TILE_PX} + i AS v
+  FROM part, generate_series(0, {TILE_PX * TILE_PX - 1}) AS t(i)
+),
+valid AS (SELECT gx, gy, v FROM px WHERE v % {NODATA_MOD} <> 0),
+offs AS (SELECT dx, dy FROM (VALUES (-1),(0),(1)) a(dx), (VALUES (-1),(0),(1)) b(dy))
+SELECT a.tile_id,
+       CAST(a.i AS BIGINT) AS pix,
+       CAST(COALESCE(sum(b.v), 0) AS BIGINT) AS focal_sum,
+       CAST(count(b.v) AS BIGINT) AS n_valid
+FROM px a
+CROSS JOIN offs o
+LEFT JOIN valid b ON b.gx = a.gx + o.dx AND b.gy = a.gy + o.dy
+GROUP BY a.tile_id, a.i
+ORDER BY tile_id, pix
+"""

@@ -483,3 +483,59 @@ def test_gdal_creation_options_round_trip():
     assert back["predictor"] == "2"
     cog = apply_cog_profile({"tiled": True})  # stripped as COG-invalid
     assert "tiled" not in cog
+
+
+def test_focal_sum_halo_exchange(ray_session, sf_small):
+    """3x3 focal sums match a brute-force dense mosaic — including
+    pixels whose window crosses tile borders (the halo-exchange path)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.rasterq import (
+        NODATA_MOD,
+        TILE_PX,
+        raster_focal_sum,
+        synth_tile_values,
+    )
+
+    out = raster_focal_sum(sf_small).to_pandas()
+
+    pk = pq.read_table(f"{sf_small}/part.parquet", columns=["p_partkey"])[
+        "p_partkey"
+    ].to_numpy().astype(np.int64)
+    vals = synth_tile_values(pk)
+    # dense world mosaic (valid mask; absent tiles contribute nothing)
+    W, H = 360 * TILE_PX, 180 * TILE_PX
+    dense = np.zeros((H, W), dtype=np.int64)
+    present = np.zeros((H, W), dtype=bool)
+    for j, p in enumerate(pk):
+        tx, ty = int(p % 360), int((p // 360) % 180)
+        v = vals[j].reshape(TILE_PX, TILE_PX)
+        ok = v % NODATA_MOD != 0
+        dense[ty * TILE_PX : (ty + 1) * TILE_PX, tx * TILE_PX : (tx + 1) * TILE_PX] = (
+            np.where(ok, v, 0)
+        )
+        present[
+            ty * TILE_PX : (ty + 1) * TILE_PX, tx * TILE_PX : (tx + 1) * TILE_PX
+        ] = ok
+
+    crossed = 0
+    by_tile = {t: g for t, g in out.groupby("tile_id")}
+    for j, p in enumerate(pk[:40]):  # 40 tiles x 256 px is plenty
+        tx, ty = int(p % 360), int((p // 360) % 180)
+        g = by_tile[p].sort_values("pix")
+        fs = g["focal_sum"].to_numpy().reshape(TILE_PX, TILE_PX)
+        nv = g["n_valid"].to_numpy().reshape(TILE_PX, TILE_PX)
+        for py in range(TILE_PX):
+            for px_ in range(TILE_PX):
+                gy, gx = ty * TILE_PX + py, tx * TILE_PX + px_
+                ys = slice(max(gy - 1, 0), min(gy + 2, H))
+                xs = slice(max(gx - 1, 0), min(gx + 2, W))
+                assert fs[py, px_] == dense[ys, xs].sum()
+                assert nv[py, px_] == present[ys, xs].sum()
+                if nv[py, px_] > present[
+                    ty * TILE_PX : (ty + 1) * TILE_PX,
+                    tx * TILE_PX : (tx + 1) * TILE_PX,
+                ][max(py - 1, 0) : py + 2, max(px_ - 1, 0) : px_ + 2].sum():
+                    crossed += 1
+    assert crossed > 0  # some windows genuinely used neighbor-tile pixels
