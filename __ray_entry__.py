@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_stats": M.emb_label_stats,  # rows-only: float mean order
         "emb_ivf_knn": M.emb_ivf_knn,  # rows-only: approximate by design
         "emb_pq_knn": M.emb_pq_knn,  # rows-only: PQ-quantized scores
+        "emb_ivfpq_knn": M.emb_ivfpq_knn,  # rows-only: IVF-pruned PQ scores
         "emb_dim_stats": M.emb_dim_stats,
         "emb_kmeans": M.emb_kmeans,  # rows-only: iterative Lloyd refinement
         # raster (tile tables / masked stats / burn / conform)

@@ -1014,3 +1014,92 @@ def emb_pq_knn(sf_dir: str):
     qids, qn = _queries_payload(sf_dir)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ann_pq_topk(ds, qids, qn, cbs, k=TOP_K, exclude_self=True)
+
+
+def ann_ivfpq_topk(
+    ds, qids: np.ndarray, qmat: np.ndarray, centroids: np.ndarray,
+    codebooks: np.ndarray, k: int = 10, nprobe: int = 8,
+    exclude_self: bool = False,
+):
+    """IVF-PQ: the composed billion-scale ANN path (FAISS's IVFADC
+    shape, Jegou et al. 2011) — IVF cell partitioning prunes the
+    candidate set to the probed cells (compute bound), PQ codes stand
+    in for the raw vectors (memory bound: 32 B/vector).  Per batch:
+    one cell assignment + one PQ encode, then per probed cell a
+    decode+sgemm against only that cell's probing queries (the same
+    cell-inverted structure as ann_ivf_topk — no per-query Python).
+    Exchange bounded at ~k rows per (query, batch) by the per-batch
+    partial top-k; merge via the shared sort+segment path."""
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    qcells = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    n_cells = len(cent)
+    probes = [np.flatnonzero((qcells == c).any(axis=1)) for c in range(n_cells)]
+    qn32 = qn.astype(np.float32)
+    cbs32 = codebooks.astype(np.float32)
+    ref = ray.put(
+        (np.asarray(qids, dtype=np.int64), qn32, cent, probes, cbs32, codebooks)
+    )
+
+    def score(state, t: pa.Table) -> pa.Table:
+        qids, qn32, cent, probes, cbs32, cbs = state
+        empty = pa.schema(
+            [("query_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
+        ).empty_table()
+        if t.num_rows == 0:
+            return empty
+        m = _emb_matrix(t)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = np.argmax(m @ cent.T, axis=1)
+        codes = pq_encode(m, cbs)
+        dsub = cbs32.shape[2]
+        dim = cbs32.shape[0] * dsub
+        xhat = np.empty((len(vid), dim), dtype=np.float32)
+        for s in range(cbs32.shape[0]):
+            xhat[:, s * dsub : (s + 1) * dsub] = cbs32[s][codes[:, s]]
+        parts = []
+        for c in np.unique(cell):
+            qsel = probes[int(c)]
+            if len(qsel) == 0:
+                continue
+            rows = np.flatnonzero(cell == c)
+            sims = (qn32[qsel] @ xhat[rows].T).astype(np.float64)
+            if exclude_self:
+                _mask_self(sims, vid[rows], qids[qsel])
+            parts.append(_partial_topk_rows(qids[qsel], sims, vid[rows], k))
+        if not parts:
+            return empty
+        return pa.concat_tables(parts)
+
+    scored = ds.map_batches(
+        with_broadcast(ref, score, "ann_ivfpq"), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _merge_topk(scored, k)
+
+
+def emb_ivfpq_knn(sf_dir: str, n_cells: int = 8, nprobe: int = 3):
+    """IVF-PQ approximate top-5 (rows-only: quantized + pruned scores
+    have no SQL twin; recall gated in tests).  Centroids = first
+    n_cells vectors (deterministic, same rule as emb_ivf_knn);
+    codebooks trained on the local table."""
+    head = (
+        read_table_local(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .sort_values("vec_id")
+    )
+    cent = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in head.head(n_cells)["embedding"]]
+    )
+    train = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"]])
+    train = train / np.linalg.norm(train, axis=1, keepdims=True)
+    cbs = pq_fit(train)
+    qids, qn = _queries_payload(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_ivfpq_topk(
+        ds, qids, qn, cent, cbs, k=TOP_K, nprobe=nprobe, exclude_self=True
+    )

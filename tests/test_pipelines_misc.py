@@ -806,3 +806,17 @@ def test_pq_knn_recall_vs_brute_force(ray_session, sf_small):
     a = set(zip(approx["query_id"], approx["neighbor_id"]))
     recall = len(e & a) / len(e)
     assert recall >= 0.5, recall
+
+
+def test_ivfpq_knn_recall_vs_brute_force(ray_session, sf_small):
+    """Composed IVF-PQ recovers a usable fraction of true top-5 even on
+    uniform vectors (both quantization AND cell pruning in play)."""
+    from geografir_ray.pipelines.embeddings import emb_ivfpq_knn, emb_knn
+
+    exact = emb_knn(sf_small).to_pandas()
+    approx = emb_ivfpq_knn(sf_small).to_pandas()
+    assert len(approx) == len(exact)
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, recall
