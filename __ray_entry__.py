@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rank": E.events_rank,
         "events_pivot": E.events_pivot,
         "events_funnel": E.events_funnel,
+        "events_retention": E.events_retention,
         # documents (text analysis + dedup family)
         "docs_stats": D.docs_stats,
         "docs_term_topk": D.docs_term_topk,
@@ -182,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rank": E.EVENTS_RANK_SQL,
         "events_pivot": E.EVENTS_PIVOT_SQL,
         "events_funnel": E.EVENTS_FUNNEL_SQL,
+        "events_retention": E.EVENTS_RETENTION_SQL,
         "docs_stats": D.DOCS_STATS_SQL,
         "docs_term_topk": D.DOCS_TERM_TOPK_SQL,
         "docs_exact_dedup": D.DOCS_EXACT_DEDUP_SQL,

@@ -1182,3 +1182,85 @@ LEFT JOIN c ON s.user_id = c.user_id
 LEFT JOIN p ON s.user_id = p.user_id
 ORDER BY s.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — the classic product-analytics matrix: users grouped
+# by first-activity day, counted on each subsequent active day offset.
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+def events_retention(sf_dir: str):
+    """Retention matrix (cohort_day, day_offset) -> n_users.
+
+    Scale shape: user_id is unbounded, so every per-user step is a
+    shuffle over pre-combined partials — (1) distinct (user, day)
+    pairs via grouped min (per-batch combiner first), (2) per-user
+    cohort day via grouped min over the pairs, (3) one bucketed hash
+    join pairs x cohorts on user_id, (4) the final (cohort, offset)
+    count is bounded (days x days window) and merges on the driver.
+    """
+    from ..stages.join import hash_join
+    from .common import grouped_sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        day = ts.astype(np.int64) // _US_PER_DAY
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "day": pa.array(day),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    pairs = grouped_sum(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "day"],
+        {"one": ("one", "min")},
+    )
+    firsts = grouped_sum(pairs, ["user_id"], {"cohort": ("day", "min")})
+    joined = hash_join(
+        pairs,
+        firsts,
+        on="user_id",
+        left_cols=["user_id", "day"],
+        right_cols=["user_id", "cohort"],
+    )
+
+    def offset(t: pa.Table) -> pa.Table:
+        day = t["day"].to_numpy(zero_copy_only=False)
+        coh = t["cohort"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cohort_day": pa.array(coh),
+                "day_offset": pa.array(day - coh),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    out = grouped_sum(
+        joined.map_batches(offset, batch_format="pyarrow", zero_copy_batch=True),
+        ["cohort_day", "day_offset"],
+        {"n_users": ("one", "sum")},
+        merge="driver",  # bounded: observation-window days squared
+    )
+    return out.sort(["cohort_day", "day_offset"])
+
+
+EVENTS_RETENTION_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS day FROM events
+),
+f AS (SELECT user_id, MIN(day) AS cohort FROM ud GROUP BY user_id)
+SELECT CAST(f.cohort AS BIGINT) AS cohort_day,
+       CAST(ud.day - f.cohort AS BIGINT) AS day_offset,
+       count(*) AS n_users
+FROM ud JOIN f USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_day, day_offset
+"""

@@ -820,3 +820,22 @@ def test_ivfpq_knn_recall_vs_brute_force(ray_session, sf_small):
     a = set(zip(approx["query_id"], approx["neighbor_id"]))
     recall = len(e & a) / len(e)
     assert recall >= 0.4, recall
+
+
+def test_retention_invariants(ray_session, sf_small):
+    """Offset-0 row of each cohort counts every user of that cohort;
+    total offset-0 users == distinct users overall."""
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.events import events_retention
+
+    df = events_retention(sf_small).to_pandas()
+    assert (df["day_offset"] >= 0).all()
+    ev = pq.read_table(f"{sf_small}/events.parquet", columns=["user_id"])
+    n_users = len(set(ev["user_id"].to_pylist()))
+    day0 = df[df["day_offset"] == 0]
+    assert day0["n_users"].sum() == n_users
+    # retention never exceeds the cohort size at any offset
+    coh = day0.set_index("cohort_day")["n_users"]
+    for c, g in df.groupby("cohort_day"):
+        assert (g["n_users"] <= coh[c]).all()
