@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": R.q3_top_orders,
         "q5_nation_revenue": R.q5_nation_revenue,
         "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q4_late_orders": R.q4_late_orders,
         "brand_revenue": R.brand_revenue,
         "set_ops_orders": R.set_ops_orders,
         # spatial
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_orders": R.Q3_SQL,
         "q5_nation_revenue": R.Q5_SQL,
         "q6_forecast_revenue": R.Q6_SQL,
+        "q4_late_orders": R.Q4_LATE_ORDERS_SQL,
         "brand_revenue": R.BRAND_REVENUE_SQL,
         "set_ops_orders": R.SET_OPS_SQL,
         "geo_tile_assign": S.tile_assign_sql(),

@@ -1056,3 +1056,102 @@ def approx_quantiles_price(sf_dir: str, eps: float = 0.01):
         }
     )
     return ray.data.from_pandas(out)
+
+
+# ---------------------------------------------------------------------------
+# Q4-style late-shipment count: EXISTS semi-join orders <- lineitem with
+# a cross-table date predicate (l_shipdate > o_orderdate + 60 days).
+# ---------------------------------------------------------------------------
+
+_LATE_US = 60 * 86_400_000_000  # 60 days in microseconds
+
+
+def q4_late_orders(sf_dir: str):
+    """Per-priority count of orders with at least one lineitem shipped
+    more than 60 days after the order date.
+
+    Scale shape: the EXISTS is a large-large bucketed hash join
+    (orderkey co-partition) carrying both date columns; the predicate
+    filters inside the join output, the distinct collapses per-order
+    duplicates with a combiner-first grouped min over the UNBOUNDED
+    orderkey, and only the bounded 5-row priority count merges on the
+    driver.  Priorities ride as their leading digit so every exchange
+    stays integer."""
+    from ..stages.join import hash_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "ship_us": pa.array(ship.astype(np.int64)),
+            }
+        )
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        prio = pc.cast(pc.utf8_slice_codeunits(t["o_orderpriority"], 0, 1), pa.int64())
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "order_us": pa.array(od.astype(np.int64)),
+                "prio": prio,
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(prep_li, batch_format="pyarrow", zero_copy_batch=True),
+        orders.map_batches(prep_orders, batch_format="pyarrow", zero_copy_batch=True),
+        on="l_orderkey",
+        left_cols=["l_orderkey", "ship_us"],
+        right_cols=["l_orderkey", "order_us", "prio"],
+    )
+
+    def late(t: pa.Table) -> pa.Table:
+        ship = t["ship_us"].to_numpy(zero_copy_only=False)
+        od = t["order_us"].to_numpy(zero_copy_only=False)
+        keep = ship > od + _LATE_US
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].filter(pa.array(keep)),
+                "prio": t["prio"].filter(pa.array(keep)),
+            }
+        )
+
+    lates = joined.map_batches(late, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = grouped_sum(lates, ["l_orderkey"], {"prio": ("prio", "min")})
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "prio": t["prio"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    out = grouped_sum(
+        distinct.map_batches(ones, batch_format="pyarrow"),
+        ["prio"],
+        {"n_late": ("one", "sum")},
+        merge="driver",  # bounded: 5 priorities
+    )
+    return out.sort("prio")
+
+
+Q4_LATE_ORDERS_SQL = """
+SELECT CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS prio,
+       count(*) AS n_late
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY 1
+ORDER BY prio
+"""
