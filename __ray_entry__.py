@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_assign": S.tile_assign,
         "geo_hot_tiles": S.hot_tiles,
         "geo_pip_join": S.pip_customer_zones,
+        "geo_pip_anti": S.pip_anti_join,
         "geo_pip_zonal": S.pip_zonal_stats,
         "geo_knn": S.knn_doc_suppliers,
         "geo_reproject": S.reproject_customers,
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_tile_assign": S.tile_assign_sql(),
         "geo_hot_tiles": S.hot_tiles_sql(),
         "geo_pip_join": S.PIP_CUSTOMER_SQL,
+        "geo_pip_anti": S.PIP_ANTI_SQL,
         "geo_pip_zonal": S.PIP_ZONAL_SQL,
         "geo_knn": S.knn_doc_suppliers_sql(),
         "geo_reproject": S.REPROJECT_SQL,

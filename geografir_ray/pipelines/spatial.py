@@ -1078,3 +1078,40 @@ reach(node, label) AS (
 SELECT node AS point_id, MIN(label) AS cluster_id
 FROM reach GROUP BY node ORDER BY point_id
 """
+
+
+def pip_anti_join(sf_dir: str):
+    """Spatial ANTI-join: customer points contained by NO zone (the
+    'uncovered points' audit every coverage pipeline needs).
+
+    Scale shape: the matched side comes from the partitioned PIP join
+    (cover-explode + bucket co-partition, no broadcast assumption);
+    the uncovered set is then a bucketed ANTI hash join of the full
+    point stream against the matched point_ids — both sides unbounded,
+    one co-partitioned exchange, no driver set."""
+    from ..stages.join import hash_join
+
+    pts = _points_ds(sf_dir, "customer", "c_custkey")
+    matched = pip_join_partitioned(pts, _zones_table())
+
+    def ids_only(t: pa.Table) -> pa.Table:
+        return pa.table({"point_id": t["point_id"]})
+
+    out = hash_join(
+        pts.map_batches(ids_only, batch_format="pyarrow"),
+        matched.map_batches(ids_only, batch_format="pyarrow"),
+        on="point_id",
+        how="anti",
+    )
+    return out.sort("point_id")
+
+
+PIP_ANTI_SQL = f"""
+WITH z AS (SELECT CAST(n_nationkey AS BIGINT) AS zkey FROM nation)
+SELECT c_custkey AS point_id
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM z WHERE {_pip_condition_sql('c.c_custkey')}
+)
+ORDER BY point_id
+"""
