@@ -277,3 +277,38 @@ def test_runner_text_stages(ray_session, sf_small):
 
     expect = docs_stratified_sample(sf_small).to_pandas()
     assert sorted(out["doc_id"]) == sorted(expect["doc_id"])
+
+
+def test_runner_curation_chain_e2e(ray_session, sf_small):
+    """A YAML-shaped config chains the curation stages end-to-end over
+    the documents table through build(): normalize -> redact ->
+    decontaminate, with metrics from run()."""
+    from geografir_ray.pipelines.runner import build, run
+
+    cfg = {
+        "table": "documents",
+        "columns": ["doc_id", "text"],
+        "stages": [
+            {"name": "norm", "stage": "normalize_text", "params": {}},
+            {"name": "pii", "stage": "pii_redact", "params": {"text_col": "norm_text"}},
+            {
+                "name": "decon",
+                "stage": "decontaminate",
+                "params": {"snippets": ["the fast key"], "text_col": "clean_text"},
+            },
+        ],
+    }
+    df = build(cfg, sf_small).to_pandas()
+    assert {"doc_id", "norm_text", "clean_text", "n_pii", "contaminated"} <= set(
+        df.columns
+    )
+    assert len(df) == 500
+    # normalize really lowercased + collapsed whitespace
+    assert df["norm_text"].str.contains(r"[A-Z]").sum() == 0
+    assert not df["norm_text"].str.contains("  ", regex=False).any()
+    # decontaminate matched at least one doc on the known corpus phrase
+    assert df["contaminated"].any()
+
+    metrics = run(cfg, sf_small)
+    assert metrics["rows"] == 500
+    assert metrics["rows_per_sec"] is None or metrics["rows_per_sec"] > 0
