@@ -977,7 +977,8 @@ def ann_pq_topk(
         # DECODE + BLAS instead of per-sub-space LUT gathers: the
         # quantized similarity sum_s LUT_s[code_s] equals q . x_hat
         # where x_hat concatenates the assigned codewords, so one sgemm
-        # against the reconstructed batch gives bit-identical scores.
+        # against the reconstructed batch gives the same quantity
+        # (up to float addition order; ranks tie-break by vec_id).
         # LUT gathers move O(nb * nq * m_sub) bytes of random rows —
         # memory-bound and ~10x slower at 32 concurrent workers —
         # while the decode is O(nb * dim) + a compute-dense matmul.
