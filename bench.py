@@ -367,6 +367,34 @@ def bench_suite() -> dict[str, float]:
     return out
 
 
+
+def _host_probe() -> dict:
+    """Record host state alongside the numbers: on this shared
+    hypervisor, first-touch page faults episodically cost ~0.5 ms/page
+    (vs ~1 us healthy) while warm compute stays normal — memory-heavy
+    entries inflate 3-10x during such episodes with unchanged code
+    (BASELINE.md round-3 caveat). This makes each bench JSON
+    self-describing about the environment it ran in."""
+    import numpy as np
+
+    a = np.random.rand(1000, 1000)
+    a @ a  # untimed: first-touch + BLAS spin-up
+    warm_ms = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a @ a
+        warm_ms = min(warm_ms, (time.perf_counter() - t0) * 1e3)
+    n = 16_000_000  # 128 MB fresh
+    t0 = time.perf_counter()
+    b = np.empty(n, dtype=np.float64)
+    b[:] = 1.0
+    ft = time.perf_counter() - t0
+    return {
+        "warm_matmul_ms": round(warm_ms, 2),
+        "first_touch_us_per_page": round(ft / (n * 8 / 4096) * 1e6, 2),
+    }
+
+
 def run_single() -> dict:
     import ray
 
@@ -389,6 +417,7 @@ def run_single() -> dict:
         lambda b: b, batch_format="pyarrow"
     ).count()
 
+    host = _host_probe()
     t0 = time.perf_counter()
     queries = bench_suite()
     total = round(time.perf_counter() - t0, 3)
@@ -400,6 +429,7 @@ def run_single() -> dict:
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        "host": host,
     }
 
 
