@@ -1104,3 +1104,97 @@ def emb_ivfpq_knn(sf_dir: str, n_cells: int = 8, nprobe: int = 3):
     return ann_ivfpq_topk(
         ds, qids, qn, cent, cbs, k=TOP_K, nprobe=nprobe, exclude_self=True
     )
+
+
+def pq_encode_dataset(ds, codebooks: np.ndarray):
+    """Encode a (vec_id, embedding) Dataset into the persisted-codes
+    shape: (vec_id, codes list<int8-ish>) — the encode-at-ingest step.
+    Codes are 1 byte of information per sub-space (k<=256); stored
+    int16 for Arrow simplicity, still ~16x smaller than the raw
+    float32 matrix at dim 64 / m_sub 32."""
+    import ray
+    import pyarrow.compute as pc
+
+    from ..stages.broadcast import with_broadcast
+
+    ref = ray.put(codebooks)
+
+    def encode(state, t: pa.Table) -> pa.Table:
+        cbs = state
+        empty = pa.schema(
+            [("vec_id", pa.int64()), ("codes", pa.list_(pa.int16()))]
+        ).empty_table()
+        if t.num_rows == 0:
+            return empty
+        m = _emb_matrix(t)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        codes = pq_encode(m, cbs).astype(np.int16)
+        n, msub = codes.shape
+        offs = pa.array(np.arange(0, (n + 1) * msub, msub, dtype=np.int32))
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "codes": pa.ListArray.from_arrays(offs, pa.array(codes.ravel())),
+            }
+        )
+
+    return ds.map_batches(
+        with_broadcast(ref, encode, "pq_encode"), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def ann_pq_codes_topk(
+    codes_ds, qids: np.ndarray, qmat: np.ndarray, codebooks: np.ndarray,
+    k: int = 10, exclude_self: bool = False, qchunk: int = 8192,
+):
+    """Approximate cosine top-k scanning a PERSISTED codes table
+    (vec_id, codes) — the production shape where encoding happened once
+    at ingest and the scan never touches raw embeddings: per batch it
+    decodes codes -> x_hat and runs one sgemm, so the table read moves
+    ~16x fewer bytes than the raw-matrix scan.  Scores are identical to
+    ann_pq_topk over the raw table (same codebooks, same codes)."""
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn32 = qn.astype(np.float32)
+    cbs32 = codebooks.astype(np.float32)
+    ref = ray.put((np.asarray(qids, dtype=np.int64), qn32, cbs32))
+
+    def score(state, t: pa.Table) -> pa.Table:
+        qids, qn32, cbs32 = state
+        empty = pa.schema(
+            [("query_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
+        ).empty_table()
+        if t.num_rows == 0:
+            return empty
+        col = t["codes"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        msub = cbs32.shape[0]
+        codes = (
+            col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            .reshape(len(col), msub)
+        )
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dsub = cbs32.shape[2]
+        xhat = np.empty((len(vid), msub * dsub), dtype=np.float32)
+        for s in range(msub):
+            xhat[:, s * dsub : (s + 1) * dsub] = cbs32[s][codes[:, s]]
+        nq = len(qids)
+        parts = []
+        for lo in range(0, nq, qchunk):
+            hi = min(lo + qchunk, nq)
+            sims = (qn32[lo:hi] @ xhat.T).astype(np.float64)
+            if exclude_self:
+                _mask_self(sims, vid, qids[lo:hi])
+            parts.append(_partial_topk_rows(qids[lo:hi], sims, vid, k))
+        return pa.concat_tables(parts) if parts else empty
+
+    scored = codes_ds.map_batches(
+        with_broadcast(ref, score, "ann_pq_codes"), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _merge_topk(scored, k)

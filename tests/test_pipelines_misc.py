@@ -839,3 +839,40 @@ def test_retention_invariants(ray_session, sf_small):
     coh = day0.set_index("cohort_day")["n_users"]
     for c, g in df.groupby("cohort_day"):
         assert (g["n_users"] <= coh[c]).all()
+
+
+def test_pq_codes_table_scan_matches_raw_scan(ray_session, sf_small):
+    """Encode-at-ingest round trip: scanning the persisted codes table
+    returns exactly the same ranks as the raw-table PQ scan (same
+    codebooks, same codes), and codes stay within [0, k_codes)."""
+    import numpy as np
+
+    from geografir_ray.pipelines.embeddings import (
+        PQ_K_CODES,
+        TOP_K,
+        _queries_payload,
+        ann_pq_codes_topk,
+        ann_pq_topk,
+        pq_encode_dataset,
+        pq_fit,
+    )
+    from geografir_ray.sources.tables import read_table, read_table_local
+
+    t = read_table_local(sf_small, "embeddings", columns=["vec_id", "embedding"])
+    train = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    train = train / np.linalg.norm(train, axis=1, keepdims=True)
+    cbs = pq_fit(train)
+    qids, qn = _queries_payload(sf_small)
+
+    raw = read_table(sf_small, "embeddings", columns=["vec_id", "embedding"])
+    codes_ds = pq_encode_dataset(raw, cbs).materialize()
+    sample = codes_ds.take(5)
+    for r in sample:
+        assert len(r["codes"]) == cbs.shape[0]
+        assert 0 <= min(r["codes"]) and max(r["codes"]) < PQ_K_CODES
+
+    a = ann_pq_topk(raw, qids, qn, cbs, k=TOP_K, exclude_self=True).to_pandas()
+    b = ann_pq_codes_topk(
+        codes_ds, qids, qn, cbs, k=TOP_K, exclude_self=True
+    ).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
