@@ -166,3 +166,53 @@ def test_events_funnel_oracle_and_monotone(ray_session, sf_small):
     no_click = got[got["n_click_after"] == 0]
     assert (no_click["n_purchase_after"] == 0).all()
     assert got["user_id"].is_unique
+
+
+def test_chunk_windows_edge_cases(ray_session, tmp_path):
+    """The zero-Python window explode agrees with the DuckDB twin on
+    adversarial docs the synth corpus never contains: empty text,
+    all-spaces, single token, exact window/stride boundaries."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.documents import (
+        CHUNK_S,
+        CHUNK_W,
+        docs_chunk_windows,
+        docs_chunk_windows_sql,
+    )
+
+    texts = [
+        "",  # no tokens -> no windows
+        "   ",  # only separators -> no tokens
+        "solo",  # one token -> one window of len 1
+        "a  b   c",  # multi-space runs collapse
+        " ".join(f"t{i}" for i in range(CHUNK_S)),  # exactly one stride
+        " ".join(f"t{i}" for i in range(CHUNK_W)),  # exactly one window
+        " ".join(f"t{i}" for i in range(CHUNK_W + 1)),  # spills into window 2
+        " ".join(f"t{i}" for i in range(3 * CHUNK_S + 5)),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "edge"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = docs_chunk_windows(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    exp = con.execute(docs_chunk_windows_sql()).df()
+    assert got.values.tolist() == exp.values.tolist()
+    assert set(got[got["doc_id"] < 2]["doc_id"]) == set()  # empty docs: no rows
+    con.close()
