@@ -170,12 +170,13 @@ def bench_suite() -> dict[str, float]:
 
     def ann_pq_1m(_sf_dir: str):
         # PQ-ADC ANN: 128 queries x 1M clustered 64-dim vectors, 32x256
-        # codebooks trained on a 25k driver-side sample — scoring is 32
-        # byte-code table gathers per batch, no matmul against the raw
-        # matrix (the memory-bound 100 TB path: 32 B/vector vs 512 B;
-        # measured recall@10 = 0.82 vs brute on the clustered synth).
-        # ADC is pure memory traffic (~proportional to queries), so the
-        # entry is sized to stay bandwidth-sane at 32 workers
+        # codebooks trained on a 25k driver-side sample.  Scoring
+        # decodes each batch's byte codes to the quantized vectors and
+        # runs ONE sgemm against the query matrix — the compute-dense
+        # ADC form (the LUT-gather form computes the same quantity but
+        # measured ~10x slower under 32 concurrent workers; CLAUDE.md
+        # rule 17).  Memory story: 32 B/vector codes vs 512 B raw
+        # (16x), recall@10 = 0.82 vs brute on the clustered synth.
         import numpy as np
         import pyarrow as pa
         import ray.data as rd

@@ -2096,6 +2096,19 @@ def paragraph_dedup_ds(ds, sep: str = " part ", id_col: str = "doc_id"):
         offs = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         idx = np.arange(len(flat), dtype=np.int64) - offs[parent]
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[parent]
+        # the packed rank is only injective while idx fits 20 bits and
+        # ids fit the remaining 43 — guard loudly rather than silently
+        # corrupting the keep-first winner (a >=2^20-paragraph doc or a
+        # >=2^43 doc_id is plausible at corpus scale)
+        if len(ids) and (
+            int(idx.max()) >= (1 << 20)
+            or int(ids.max()) >= (1 << 43)
+            or int(ids.min()) < 0
+        ):
+            raise ValueError(
+                "paragraph_dedup_ds rank overflow: need 0 <= para_idx < 2^20 "
+                "and 0 <= doc_id < 2^43; widen to a two-column grouped-min"
+            )
         rank = (ids << np.int64(20)) | idx
         return pa.table({"para": flat, "rank": pa.array(rank)})
 
@@ -2141,12 +2154,25 @@ def docs_decontaminate(sf_dir: str):
     task closure as broadcast state (CLAUDE.md rule 3) and the scan is
     a fused vectorized match_substring per snippet — no join, no
     shuffle, stream-safe at any corpus size."""
-    bench = read_table_local(sf_dir, "documents", columns=["doc_id", "text"])
-    bid = bench["doc_id"].to_numpy().astype(np.int64)
-    keep = bid % 97 == 0
-    snippets = [s[:40] for s in bench["text"].to_numpy()[keep]]
-
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # the benchmark set is derived by a distributed filter + slice, so
+    # only the (tiny) snippet rows land on the driver — never the full
+    # text column (the corpus is the big side here)
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = pa.array(ids % 97 == 0)
+        return pa.table(
+            {"snippet": pc.utf8_slice_codeunits(t["text"].filter(m), 0, 40)}
+        )
+
+    snippets = [
+        s.as_py()
+        for b in ds.map_batches(
+            pick, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+        for s in b["snippet"]
+    ]
 
     def scan(t: pa.Table) -> pa.Table:
         hits = np.zeros(t.num_rows, dtype=np.int64)
@@ -2325,7 +2351,7 @@ DOCS_GOPHER_RULES_SQL = r"""
 WITH m AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
-         CAST(strlen(text) - len(regexp_extract_all(text, '\s')) AS BIGINT)
+         CAST(length(text) - len(regexp_extract_all(text, '\s')) AS BIGINT)
            AS nonspace_chars,
          CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT)
            AS alpha_words

@@ -522,12 +522,19 @@ def raster_focal_sum(sf_dir: str, n_buckets: int = FOCAL_BUCKETS):
             n, TILE_PX, TILE_PX
         )
         tid = t["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # WRAPPED world-grid coordinates (tiles_dataset's georeference):
+        # tiles whose ids exceed 360*180 overlay earlier world cells, and
+        # the SQL twin joins on the wrapped (gx, gy) — so every exchange
+        # key here is the wrapped world CELL, with the emitting tile_id
+        # carried alongside so output stays per source tile.
         tx = tid % 360
-        ty = tid // 360
-        out_dest, out_kind, out_vals = [], [], []
+        ty = (tid // 360) % 180
+        wcell = ty * 360 + tx
+        out_dest, out_kind, out_src, out_vals = [], [], [], []
         # kind 0: the tile body itself (256 px)
-        out_dest.append(tid)
+        out_dest.append(wcell)
         out_kind.append(np.zeros(n, dtype=np.int8))
+        out_src.append(tid)
         out_vals.append(vals.reshape(n, -1))
         # kinds 1..8: strips to each neighbor  (dx, dy, slice)
         strips = [
@@ -547,9 +554,11 @@ def raster_focal_sum(sf_dir: str, n_buckets: int = FOCAL_BUCKETS):
             strip = vals[sl].reshape(n, -1)
             out_dest.append(dest[ok])
             out_kind.append(np.full(int(ok.sum()), kind, dtype=np.int8))
+            out_src.append(np.full(int(ok.sum()), -1, dtype=np.int64))
             out_vals.append(strip[ok])
         dest = np.concatenate(out_dest)
         kind = np.concatenate(out_kind)
+        src = np.concatenate(out_src)
         flat_parts = [v.ravel() for v in out_vals]
         lens = np.concatenate(
             [np.full(v.shape[0], v.shape[1], dtype=np.int64) for v in out_vals]
@@ -563,6 +572,7 @@ def raster_focal_sum(sf_dir: str, n_buckets: int = FOCAL_BUCKETS):
                     % n_buckets
                 ),
                 "kind": pa.array(kind),
+                "src": pa.array(src),
                 "vals": pa.ListArray.from_arrays(
                     pa.array(offs, type=pa.int64()), pa.array(np.concatenate(flat_parts))
                 ),
@@ -596,22 +606,29 @@ def raster_focal_sum(sf_dir: str, n_buckets: int = FOCAL_BUCKETS):
             return _OUT.empty_table()
         dest = t["dest"].to_numpy(zero_copy_only=False).astype(np.int64)
         kind = t["kind"].to_numpy(zero_copy_only=False)
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         vcol = t["vals"]
         if isinstance(vcol, pa.ChunkedArray):
             vcol = vcol.combine_chunks()
         flat = vcol.flatten().to_numpy(zero_copy_only=False)
         offs = vcol.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        # destinations that actually exist = have a kind-0 body row
-        centers = dest[kind == 0]
-        uniq = np.unique(centers)
+        # world cells that actually exist = have >= 1 kind-0 body row
+        body_rows = np.flatnonzero(kind == 0)
+        uniq = np.unique(dest[body_rows])
         m = len(uniq)
-        pad = np.zeros((m, TILE_PX + 2, TILE_PX + 2), dtype=np.int64)
-        has = np.zeros((m, TILE_PX + 2, TILE_PX + 2), dtype=bool)
+        if m == 0:  # bucket holds only strips to absent world cells
+            return _OUT.empty_table()
+        # accumulate per-SOURCE-valid contributions: each contributing
+        # pixel counts iff its own value v % NODATA_MOD != 0, and
+        # overlaying tiles (wrapped ids) ADD — exactly the SQL twin's
+        # LEFT JOIN against the valid-pixel mosaic.
+        vsum = np.zeros((m, TILE_PX + 2, TILE_PX + 2), dtype=np.int64)
+        vcnt = np.zeros((m, TILE_PX + 2, TILE_PX + 2), dtype=np.int64)
         for k, (sl, shape) in _PLACE.items():
             rows = np.flatnonzero(kind == k)
             if rows.size == 0:
                 continue
-            # drop strips destined to absent tiles (no kind-0 body)
+            # drop strips destined to absent world cells (no body)
             p = np.searchsorted(uniq, dest[rows])
             p_ok = (p < m) & (uniq[np.minimum(p, m - 1)] == dest[rows])
             rows = rows[p_ok]
@@ -621,23 +638,34 @@ def raster_focal_sum(sf_dir: str, n_buckets: int = FOCAL_BUCKETS):
             L = shape[0] * shape[1]
             gather = offs[rows][:, None] + np.arange(L, dtype=np.int64)[None, :]
             chunk = flat[gather].reshape(len(rows), *shape)
-            pad[(idx, *sl)] = chunk
-            has[(idx, *sl)] = True
-        valid = has & (pad % NODATA_MOD != 0)
-        vv = np.where(valid, pad, 0)
+            ok = chunk % NODATA_MOD != 0
+            masked = np.where(ok, chunk, 0)
+            cnt = ok.astype(np.int64)
+            if len(np.unique(idx)) == len(idx):
+                # no overlay at this (cell, kind): fast fancy-index add
+                vsum[(idx, *sl)] += masked
+                vcnt[(idx, *sl)] += cnt
+            else:
+                np.add.at(vsum, (idx, *sl), masked)
+                np.add.at(vcnt, (idx, *sl), cnt)
         fs = np.zeros((m, TILE_PX, TILE_PX), dtype=np.int64)
         nv = np.zeros((m, TILE_PX, TILE_PX), dtype=np.int64)
         for dy in (0, 1, 2):
             for dx in (0, 1, 2):
-                fs += vv[:, dy : dy + TILE_PX, dx : dx + TILE_PX]
-                nv += valid[:, dy : dy + TILE_PX, dx : dx + TILE_PX]
-        pix = np.tile(np.arange(TILE_PX * TILE_PX, dtype=np.int64), m)
+                fs += vsum[:, dy : dy + TILE_PX, dx : dx + TILE_PX]
+                nv += vcnt[:, dy : dy + TILE_PX, dx : dx + TILE_PX]
+        # one output stripe per SOURCE tile: every tile overlaying a
+        # world cell reads that cell's mosaic windows
+        out_tiles = src[body_rows]
+        cell_idx = np.searchsorted(uniq, dest[body_rows])
+        nt = len(out_tiles)
+        pix = np.tile(np.arange(TILE_PX * TILE_PX, dtype=np.int64), nt)
         return pa.table(
             {
-                "tile_id": pa.array(np.repeat(uniq, TILE_PX * TILE_PX)),
+                "tile_id": pa.array(np.repeat(out_tiles, TILE_PX * TILE_PX)),
                 "pix": pa.array(pix),
-                "focal_sum": pa.array(fs.reshape(-1)),
-                "n_valid": pa.array(nv.reshape(-1)),
+                "focal_sum": pa.array(fs[cell_idx].reshape(-1)),
+                "n_valid": pa.array(nv[cell_idx].reshape(-1)),
             }
         )
 

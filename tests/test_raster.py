@@ -539,3 +539,54 @@ def test_focal_sum_halo_exchange(ray_session, sf_small):
                 ][max(py - 1, 0) : py + 2, max(px_ - 1, 0) : px_ + 2].sum():
                     crossed += 1
     assert crossed > 0  # some windows genuinely used neighbor-tile pixels
+
+
+def test_focal_sum_wrapped_overlay(ray_session, tmp_path):
+    """Tiles whose ids exceed the 360x180 world grid WRAP onto earlier
+    cells (tiles_dataset georeference); overlaying valid pixels compose
+    ADDITIVELY in every window, exactly as the SQL twin's join against
+    the wrapped mosaic.  Regression for the pre-r4 halo that keyed on
+    the unwrapped tile_id and dropped all wrapped strips (ADVICE r3)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.rasterq import (
+        RASTER_FOCAL_SUM_SQL,
+        raster_focal_sum,
+    )
+
+    world = 360 * 180
+    # neighbors + two overlay pairs + a triple overlay, away from edges
+    pk = np.array(
+        [725, 726, 1085, 725 + world, 1085 + world, 1085 + 2 * world, 900],
+        dtype=np.int64,
+    )
+    pq.write_table(pa.table({"p_partkey": pa.array(pk)}), str(tmp_path / "part.parquet"))
+
+    got = (
+        raster_focal_sum(str(tmp_path))
+        .to_pandas()
+        .sort_values(["tile_id", "pix"])
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM read_parquet('{tmp_path}/part.parquet')"
+    )
+    want = con.execute(RASTER_FOCAL_SUM_SQL).df()
+    con.close()
+
+    assert len(got) == len(want) == len(pk) * 256
+    for col in ("tile_id", "pix", "focal_sum", "n_valid"):
+        np.testing.assert_array_equal(
+            got[col].to_numpy().astype(np.int64),
+            want[col].to_numpy().astype(np.int64),
+            err_msg=col,
+        )
+    # the overlaid cell really did compose: its windows exceed what any
+    # single tile could produce alone (9 valid px max without overlay)
+    tri = got[got.tile_id == 1085]["n_valid"].max()
+    assert tri > 9
