@@ -44,8 +44,12 @@ def _consume(result) -> int:
     return result.count()  # ray Dataset: full streaming execution
 
 
-def bench_suite() -> dict[str, float]:
-    """name -> seconds for each headline pipeline (executed once)."""
+def bench_suite() -> dict:
+    """name -> zero-arg-ish builder (called with SF_DIR) for each
+    headline pipeline.  Timing happens in run_single: interleaved
+    min-of-N per entry with per-entry host-probe stamps (VERDICT r3
+    item 1 — a single pass cannot defend itself against this host's
+    load waves)."""
     from geografir_ray.pipelines import relational as R
     from geografir_ray.pipelines import spatial as S
     from geografir_ray.pipelines.flagship import flagship
@@ -341,6 +345,120 @@ def bench_suite() -> dict[str, float]:
         # pandas (VERDICT r2 item 4 evidence)
         return R.join_orders_bucketed(_sf_dir)
 
+    def pq_encode_10m(_sf_dir: str):
+        # encode-at-ingest at 10M vectors: synth -> normalize -> PQ
+        # byte codes -> persisted parquet codes table (the 100 TB
+        # memory story: 32 B/vector codes vs 512 B raw).  Timed as the
+        # ingest-side cost; the scan entry below reads what this wrote.
+        import shutil
+
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from geografir_ray.pipelines.embeddings import (
+            pq_encode_dataset,
+            synth_vectors_clustered,
+        )
+
+        DIM = 64
+
+        def build(t):
+            ids = t["id"].to_numpy()
+            vecs = synth_vectors_clustered(ids).astype(np.float32)
+            flat = pa.array(vecs.ravel())
+            offs = pa.array(np.arange(0, (len(ids) + 1) * DIM, DIM, dtype=np.int32))
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "embedding": pa.ListArray.from_arrays(offs, flat),
+                }
+            )
+
+        ds = rd.range(10_000_000, override_num_blocks=128).map_batches(
+            build, batch_format="pyarrow", batch_size=None
+        )
+        shutil.rmtree(_PQ10M_DIR, ignore_errors=True)
+        os.makedirs(_PQ10M_DIR, exist_ok=True)
+        codes = pq_encode_dataset(ds, _pq10m_codebooks())
+        codes.write_parquet(_PQ10M_DIR)
+        import pyarrow as pa2
+
+        return pa2.table({"written": pa2.array([10_000_000], pa2.int64())})
+
+    def ann_pq_codes_10m(_sf_dir: str):
+        # ANN over the PERSISTED codes table at 10M vectors x 128
+        # queries: the scan never touches raw embeddings — it reads
+        # ~16x fewer bytes and decodes+sgemms per batch (VERDICT r3
+        # item 3: the encode-at-ingest path at bench scale).
+        import numpy as np
+        import ray.data as rd
+
+        from geografir_ray.pipelines.embeddings import (
+            ann_pq_codes_topk,
+            synth_vectors_clustered,
+        )
+
+        codes = rd.read_parquet(_PQ10M_DIR)
+        qids = np.arange(10_000_000, 10_000_128)
+        Q = synth_vectors_clustered(qids)
+        return ann_pq_codes_topk(codes, qids, Q, _pq10m_codebooks(), k=10)
+
+    def skew_salted_50m(_sf_dir: str):
+        # 80%-hot-key aggregation, SALTED two-phase (stages/salt.py):
+        # phase 1 groups on (key, salt) so no reducer ever holds the
+        # hot key alone; phase 2 merges the tiny partials.
+        from geografir_ray.stages.salt import salted_grouped_sum
+
+        return salted_grouped_sum(
+            _skew_dataset(50_000_000), "key", {"v_sum": ("v", "sum")}, n_salts=32
+        )
+
+    def skew_naive_50m(_sf_dir: str):
+        # the same input through Ray's native groupby.aggregate with NO
+        # per-batch combiner and NO salt — the naive plan a user would
+        # write first; the hot key's 40M rows land in one range
+        # partition.  Kept as the comparison baseline for the entry
+        # above (the engine default, pipelines.common.grouped_sum,
+        # combines per batch and needs neither).
+        from ray.data.aggregate import Sum
+
+        return _skew_dataset(50_000_000).groupby("key").aggregate(Sum("v", alias_name="v_sum"))
+
+    def bbox_join_1m(_sf_dir: str):
+        # rectangle-overlap join at 1M x 100k boxes (VERDICT r3 item
+        # 5): cover-explode -> hash-bucket co-partition -> in-bucket
+        # searchsorted + vectorized predicate, reference-point dedup.
+        import pyarrow as pa
+        import ray.data as rd
+
+        from geografir_ray.pipelines.spatial import bbox_overlap_join
+
+        def keyed(name):
+            def fn(t):
+                return pa.table({name: t["id"]})
+
+            return fn
+
+        cust = rd.range(1_000_000, override_num_blocks=64).map_batches(
+            keyed("c_custkey"), batch_format="pyarrow", batch_size=None
+        )
+        supp = rd.range(100_000, override_num_blocks=16).map_batches(
+            keyed("s_suppkey"), batch_format="pyarrow", batch_size=None
+        )
+        return bbox_overlap_join(_sf_dir, cust=cust, supp=supp)
+
+    def streaming_5m(_sf_dir: str):
+        # watermark/late-data windowed aggregation at 5M events through
+        # 8 shard actors (VERDICT r3 item 8): ordered chunk replay,
+        # vectorized per-chunk ingest, bounded open-window state.
+        from geografir_ray.stages.streaming import streaming_replay_bench
+
+        out, _late = streaming_replay_bench(
+            n_rows=5_000_000, n_shards=8, chunk_rows=250_000
+        )
+        return out
+
     suite = {
         "flagship_pip_zonal": flagship,
         "pages_e2e_1m": pages_e2e,
@@ -349,23 +467,105 @@ def bench_suite() -> dict[str, float]:
         "knn_partitioned_1m": knn_partitioned_1m,
         "ann_ivf_1m": ann_ivf_1m,
         "ann_pq_1m": ann_pq_1m,
+        "pq_encode_10m": pq_encode_10m,
+        "ann_pq_codes_10m": ann_pq_codes_10m,
         "dedup_url_12m": dedup_url_12m,
         "curation_2m": curation_2m,
         "ann_brute_100kq": ann_brute_100kq,
         "join_orders_600k": join_orders_600k,
+        "skew_salted_50m": skew_salted_50m,
+        "skew_naive_50m": skew_naive_50m,
+        "bbox_join_1m": bbox_join_1m,
+        "streaming_5m": streaming_5m,
         "q1_pricing_summary": R.q1_pricing_summary,
         "q5_nation_revenue": R.q5_nation_revenue,
         "geo_tile_assign": S.tile_assign,
         "geo_knn": S.knn_doc_suppliers,
         "geo_cells": S.cell_assignment,
     }
-    out: dict[str, float] = {}
-    for name, fn in suite.items():
-        t0 = time.perf_counter()
-        n = _consume(fn(SF_DIR))
-        out[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {out[name]:.3f}s ({n} rows)", file=sys.stderr)
-    return out
+    return suite
+
+
+_PQ10M_DIR = "/tmp/graft_bench/pq_codes_10m"
+_PQ10M_CBS = {}
+
+
+def _pq10m_codebooks():
+    """Deterministic PQ codebooks shared by the encode + scan entries
+    (same 25k training sample as ann_pq_1m; fit once per process)."""
+    if "cbs" not in _PQ10M_CBS:
+        import numpy as np
+
+        from geografir_ray.pipelines.embeddings import pq_fit, synth_vectors_clustered
+
+        train = synth_vectors_clustered(np.arange(2_000_000, 2_025_000))
+        train = train / np.linalg.norm(train, axis=1, keepdims=True)
+        _PQ10M_CBS["cbs"] = pq_fit(train, n_iters=3)
+    return _PQ10M_CBS["cbs"]
+
+
+def _skew_dataset(n_rows: int):
+    """80%-hot synthetic keyed rows: 80% of rows carry key 0, the rest
+    spread over 100k keys — the zipf-hot shape salting exists for."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    def build(t):
+        i = t["id"].to_numpy().astype(np.int64)
+        hot = (i % 10) < 8
+        key = np.where(hot, 0, 1 + i % 100_000)
+        return pa.table(
+            {"key": pa.array(key), "v": pa.array((i % 1000).astype(np.int64))}
+        )
+
+    return rd.range(n_rows, override_num_blocks=128).map_batches(
+        build, batch_format="pyarrow", batch_size=None
+    )
+
+
+def run_gates() -> dict:
+    """Untimed quality gates recorded alongside the timings: recall@10
+    of the persisted-codes ANN path at 10M vectors vs the exact brute
+    ranking on the same input (VERDICT r3 item 3's >=0.8 bar)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geografir_ray.pipelines.embeddings import (
+        ann_brute_topk,
+        ann_pq_codes_topk,
+        synth_vectors_clustered,
+    )
+
+    DIM = 64
+    qids = np.arange(10_000_000, 10_000_032)
+    Q = synth_vectors_clustered(qids)
+
+    codes = rd.read_parquet(_PQ10M_DIR)
+    pq_res = ann_pq_codes_topk(codes, qids, Q, _pq10m_codebooks(), k=10).to_pandas()
+
+    def build(t):
+        ids = t["id"].to_numpy()
+        vecs = synth_vectors_clustered(ids).astype(np.float32)
+        flat = pa.array(vecs.ravel())
+        offs = pa.array(np.arange(0, (len(ids) + 1) * DIM, DIM, dtype=np.int32))
+        return pa.table(
+            {"vec_id": pa.array(ids), "embedding": pa.ListArray.from_arrays(offs, flat)}
+        )
+
+    raw = rd.range(10_000_000, override_num_blocks=128).map_batches(
+        build, batch_format="pyarrow", batch_size=None
+    )
+    gt = ann_brute_topk(raw, qids, Q, k=10, qchunk=4096, dtype=np.float32).to_pandas()
+
+    hits = 0
+    for q in qids:
+        got = set(pq_res[pq_res["query_id"] == q]["neighbor_id"])
+        want = set(gt[gt["query_id"] == q]["neighbor_id"])
+        hits += len(got & want)
+    recall = hits / (len(qids) * 10)
+    return {"ann_pq_codes_10m_recall_at10": round(recall, 4)}
 
 
 
@@ -396,6 +596,22 @@ def _host_probe() -> dict:
     }
 
 
+def _probe_light() -> float:
+    """Per-entry host stamp: first-touch fault cost (us/page) on a
+    32 MB fresh allocation — cheap when the host is healthy (~1 us),
+    and exactly what blows up during the hypervisor's memory-pressure
+    episodes (BASELINE.md round-3 caveat)."""
+    import numpy as np
+
+    n = 4_000_000
+    t0 = time.perf_counter()
+    b = np.empty(n, dtype=np.float64)
+    b[:] = 1.0
+    ft = time.perf_counter() - t0
+    del b
+    return round(ft / (n * 8 / 4096) * 1e6, 2)
+
+
 def run_single() -> dict:
     import ray
 
@@ -419,15 +635,40 @@ def run_single() -> dict:
     ).count()
 
     host = _host_probe()
-    t0 = time.perf_counter()
-    queries = bench_suite()
-    total = round(time.perf_counter() - t0, 3)
+    suite = bench_suite()
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+    only = os.environ.get("GRAFT_BENCH_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",")]
+        suite = {n: suite[n] for n in names}
+    raw: dict[str, list[float]] = {n: [] for n in suite}
+    probes: dict[str, list[float]] = {n: [] for n in suite}
+    # interleaved min-of-N: one full pass over every entry, repeated —
+    # adjacent passes sample different phases of the shared host's load
+    # waves, and min-per-entry approximates quiet-box behavior (the
+    # same pattern --scaling always used).  Each run is stamped with a
+    # first-touch probe so the JSON is self-describing about WHICH
+    # environment produced each number.
+    for rep in range(reps):
+        for name, fn in suite.items():
+            probes[name].append(_probe_light())
+            t0 = time.perf_counter()
+            n = _consume(fn(SF_DIR))
+            dt = round(time.perf_counter() - t0, 3)
+            raw[name].append(dt)
+            print(f"# rep{rep} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+    queries = {n: min(v) for n, v in raw.items()}
+    gates = run_gates() if not only else {}
     ray.shutdown()
     return {
         "metric": "headline_suite_seconds",
-        "value": total,
+        "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "queries_raw": raw,
+        "probe_us_per_page": {n: v for n, v in probes.items()},
+        "reps": reps,
+        "gates": gates,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "host": host,

@@ -296,3 +296,105 @@ def minhash_bands_batch(sigs: np.ndarray, n_bands: int = 16) -> np.ndarray:
                 h = splitmix64(h ^ sigs[:, band * rows + r])
             out[:, band] = h
     return out
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native minhash: token FNV-1a + shingling + signatures computed
+# over the Arrow string buffers — bit-identical to the per-doc
+# tokenize/token_hashes/shingle_hashes path, with zero Python-string
+# materialization (VERDICT r3 item 7: band_stage's to_pylist was the
+# one Python materialization left in the curation chain).
+# ---------------------------------------------------------------------------
+
+
+def token_hashes_arrow(arr) -> np.ndarray:
+    """FNV-1a u64 per element of an Arrow string array; identical values
+    to :func:`token_hashes` (utf-8 bytes, same constants), vectorized
+    byte-position-wise: sort by length desc, then each byte position
+    updates a contiguous PREFIX of the live hash lanes."""
+    from .hashing import _str_buffers
+
+    starts, lens, data = _str_buffers(arr)
+    n = len(lens)
+    out = np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    if n == 0 or len(data) == 0:
+        return out
+    order = np.argsort(lens, kind="stable")[::-1]
+    s_starts, s_lens = starts[order], lens[order]
+    lens_asc = s_lens[::-1]
+    h = np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(int(s_lens[0])):
+            m = n - int(np.searchsorted(lens_asc, j, side="right"))  # lens > j
+            if m == 0:
+                break
+            b = data[s_starts[:m] + j].astype(np.uint64)
+            h[:m] = (h[:m] ^ b) * prime
+    out[order] = h
+    return out
+
+
+def shingle_hashes_flat(
+    th: np.ndarray, counts: np.ndarray, k: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc k-shingle hashes over FLAT doc-major token hashes.
+
+    Returns ``(shingles, n_shingles)``: ``shingles`` is the doc-major
+    concatenation of every doc's shingle hashes, ``n_shingles`` the
+    per-doc count.  Matches :func:`shingle_hashes` exactly, including
+    its short-doc rule (0 < n_tokens < k → splitmix64 of each token)."""
+    from .hashing import splitmix64
+
+    counts = np.asarray(counts, dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    n_sh = np.where(counts >= k, counts - k + 1, counts)
+    tot = int(n_sh.sum())
+    if tot == 0:
+        return np.empty(0, dtype=np.uint64), n_sh
+    # start position (flat) of every shingle: each doc contributes a
+    # PREFIX of its token range, length n_sh[d]
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), n_sh)
+    local = np.arange(tot, dtype=np.int64) - np.concatenate(([0], np.cumsum(n_sh)))[:-1][doc_of]
+    start = offs[:-1][doc_of] + local
+    is_short = (counts < k)[doc_of]
+    with np.errstate(over="ignore"):
+        acc = th[start].copy()
+        last = len(th) - 1
+        for j in range(1, k):
+            nxt = th[np.minimum(start + j, last)]  # clipped reads are
+            # overwritten below for short docs, harmless for long ones
+            acc = splitmix64(acc * np.uint64(1099511628211) + nxt)
+        if is_short.any():
+            acc[is_short] = splitmix64(th[start[is_short]])
+    return acc, n_sh
+
+
+def minhash_signatures_arrow(col, num_perm: int = 128, k: int = 3) -> np.ndarray:
+    """(n_docs, num_perm) MinHash signatures straight from an Arrow
+    string column — tokenize (flat_tokens), FNV token hashes, shingles
+    and per-permutation segment minima, all vectorized; identical
+    output to :func:`minhash_signatures_batch` on the same texts."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_docs = len(col)
+    flat, _docidx, counts = flat_tokens(col)
+    th = token_hashes_arrow(flat)
+    shingles, n_sh = shingle_hashes_flat(th, counts, k)
+    out = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nonempty = n_sh > 0
+    if not nonempty.any():
+        return out
+    offsets = np.concatenate(([0], np.cumsum(n_sh[nonempty])))[:-1]
+    a, b = _minhash_coeffs(num_perm)
+    with np.errstate(over="ignore"):
+        chunk = max(1, min(num_perm, (1 << 24) // max(len(shingles), 1)))
+        res = np.empty((int(nonempty.sum()), num_perm), dtype=np.uint64)
+        for p0 in range(0, num_perm, chunk):
+            p1 = min(p0 + chunk, num_perm)
+            v = shingles[:, None] * a[None, p0:p1] + b[None, p0:p1]
+            res[:, p0:p1] = np.minimum.reduceat(v, offsets, axis=0)
+    out[nonempty] = res
+    return out

@@ -83,24 +83,13 @@ ORDER BY hour, event_type
 
 
 def events_sessions(sf_dir: str):
-    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    """Delegates to the sort-based engine (:func:`events_sessions_sorted`).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = g["ts"].values
-        gaps = np.diff(ts) > np.timedelta64(SESSION_GAP_MIN * 60, "s")
-        n_sessions = 1 + int(gaps.sum())
-        return pd.DataFrame(
-            {
-                "user_id": [np.int64(g["user_id"].iloc[0])],
-                "n_sessions": [np.int64(n_sessions)],
-                "n_events": [np.int64(len(g))],
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").sort(
-        "user_id"
-    )
+    The original per-user ``groupby.map_groups`` form paid one Python
+    call per user_id — the per-group trap on an unbounded key
+    (CLAUDE.md rule 1); it was retired in r4 so no caller can pick it
+    at scale.  Same oracle, same output."""
+    return events_sessions_sorted(sf_dir)
 
 
 EVENTS_SESSIONS_SQL = f"""
@@ -128,47 +117,14 @@ ORDER BY user_id
 
 
 def events_asof_signup(sf_dir: str):
-    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    """Delegates to the sort-merge engine
+    (:func:`events_asof_signup_sorted`).
 
-    def keep(t: pa.Table) -> pa.Table:
-        m = pc.or_(
-            pc.equal(t["event_type"], "purchase"), pc.equal(t["event_type"], "signup")
-        )
-        return t.filter(m)
-
-    ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        purchases = g[g["event_type"] == "purchase"]
-        signups = g[g["event_type"] == "signup"].sort_values(
-            ["ts", "event_id"], kind="mergesort"
-        )
-        empty = pd.DataFrame(
-            {
-                "event_id": pd.Series([], dtype=np.int64),
-                "signup_event_id": pd.Series([], dtype=np.int64),
-            }
-        )
-        if len(purchases) == 0:
-            return empty
-        sts = signups["ts"].values
-        sid = signups["event_id"].values
-        # index of last signup with ts <= purchase ts; sorted by (ts,
-        # event_id) so position idx-1 is max ts then max event_id
-        pos = np.searchsorted(sts, purchases["ts"].values, side="right") - 1
-        matched = pos >= 0
-        if not matched.any():
-            return empty
-        return pd.DataFrame(
-            {
-                "event_id": purchases["event_id"].values[matched].astype(np.int64),
-                "signup_event_id": sid[pos[matched]].astype(np.int64),
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").sort(
-        "event_id"
-    )
+    The original per-user ``groupby.map_groups`` form paid one Python
+    call per user_id — the per-group trap on an unbounded key
+    (CLAUDE.md rule 1); it was retired in r4 so no caller can pick it
+    at scale.  Same oracle, same output."""
+    return events_asof_signup_sorted(sf_dir)
 
 
 EVENTS_ASOF_SQL = """

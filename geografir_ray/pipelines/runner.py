@@ -178,7 +178,7 @@ def _content_hash(text_col: str = "text", out_col: str = "text_hash"):
     from ..functions.hashing import hash_strings
 
     def fn(t: pa.Table) -> pa.Table:
-        h = hash_strings(t[text_col].to_pylist())
+        h = hash_strings(t[text_col])
         return t.append_column(
             out_col, pa.array((h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64))
         )

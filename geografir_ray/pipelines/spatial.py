@@ -779,7 +779,8 @@ BBOX_JOIN_BUCKETS = 64
 
 
 def bbox_overlap_join(sf_dir: str, grid_deg: float = BBOX_GRID_DEG,
-                      n_buckets: int = BBOX_JOIN_BUCKETS):
+                      n_buckets: int = BBOX_JOIN_BUCKETS,
+                      cust=None, supp=None):
     """Rectangle-rectangle overlap join (planar closed-interval
     intersection) between customer- and supplier-derived boxes,
     the third spatial-join class next to PIP and kNN.
@@ -799,8 +800,10 @@ def bbox_overlap_join(sf_dir: str, grid_deg: float = BBOX_GRID_DEG,
        each qualifying pair is emitted exactly once, with no
        post-shuffle distinct pass.
     """
-    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
-    supp = read_table(sf_dir, "supplier", columns=["s_suppkey"])
+    if cust is None:
+        cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    if supp is None:
+        supp = read_table(sf_dir, "supplier", columns=["s_suppkey"])
 
     def boxes(key_col: str, side: int):
         def fn(t: pa.Table) -> pa.Table:

@@ -37,18 +37,35 @@ class WindowShardLogic:
         self.late_rows = 0
 
     def ingest(self, keys: np.ndarray, ts_us: np.ndarray, values: np.ndarray) -> None:
+        """Chunk ingest, vectorized: the watermark only advances AFTER
+        the chunk (matching the original row-loop, whose cutoff was also
+        computed once per chunk), so aggregating the chunk by (key,
+        window) first is exactly equivalent — and turns the per-ROW
+        Python loop into a lexsort + reduceat plus one dict update per
+        DISTINCT (key, window) in the chunk."""
         wins = (ts_us // self.window_us).astype(np.int64)
         closed_cutoff = (self.watermark - self.lateness_us) // self.window_us
-        for k, w, v in zip(keys.tolist(), wins.tolist(), values.tolist()):
-            if w < closed_cutoff:
-                self.late_rows += 1  # window already closed -> dropped, counted
-                continue
-            acc = self.open.get((k, w))
-            if acc is None:
-                self.open[(k, w)] = [1, v]
-            else:
-                acc[0] += 1
-                acc[1] += v
+        live = wins >= closed_cutoff
+        self.late_rows += int(len(wins) - live.sum())
+        k, w, v = keys[live], wins[live], values[live]
+        if len(k):
+            order = np.lexsort((w, k))
+            k, w, v = k[order], w[order], v[order]
+            first = np.ones(len(k), dtype=bool)
+            first[1:] = (k[1:] != k[:-1]) | (w[1:] != w[:-1])
+            starts = np.flatnonzero(first)
+            cnt = np.diff(np.concatenate((starts, [len(k)])))
+            vsum = np.add.reduceat(v, starts)
+            open_ = self.open
+            for kk, ww, c, s in zip(
+                k[starts].tolist(), w[starts].tolist(), cnt.tolist(), vsum.tolist()
+            ):
+                acc = open_.get((kk, ww))
+                if acc is None:
+                    open_[(kk, ww)] = [c, s]
+                else:
+                    acc[0] += c
+                    acc[1] += s
         if len(ts_us):
             self.watermark = max(self.watermark, int(ts_us.max()))
         self._close_expired()
@@ -135,4 +152,64 @@ def streaming_window_counts(
     out = out[["user_id", "window_start", "n_events", "sum_value"]].sort_values(
         ["user_id", "window_start"], kind="mergesort"
     ).reset_index(drop=True)
+    return out, late_total
+
+
+def bench_rows(i: np.ndarray, n_users: int = 100_000):
+    """Deterministic synthetic event rows for the streaming bench:
+    ~1.2 events/sec global advance, +-10 min jitter, and every 1000th
+    row a 3-hour straggler (well past the lateness horizon, so the
+    late-drop path is genuinely exercised)."""
+    base = np.int64(1_577_836_800_000_000)  # 2020-01-01 in us
+    keys = (i * 2654435761) % n_users
+    ts_us = base + i * 800_000 + ((i * 48271) % 1_200_000_000) - 600_000_000
+    ts_us = ts_us - (i % 1000 == 7) * np.int64(3 * 3600 * 1_000_000)
+    vals = i % 1000
+    return keys, ts_us, vals
+
+
+def streaming_replay_bench(
+    n_rows: int = 5_000_000,
+    n_shards: int = 8,
+    chunk_rows: int = 250_000,
+    window_min: int = 60,
+    lateness_min: int = 5,
+    n_users: int = 100_000,
+):
+    """Bench-scale deterministic replay through WindowShard actors —
+    the same state machine streaming_window_counts drives from the
+    events table, sized to measure the shard-parallel ingest path:
+    time advances mostly monotonically with a +-10 min deterministic
+    jitter, so the watermark closes windows as it goes (bounded open
+    state) and a small deterministic fraction arrives late."""
+    import pandas as pd
+    import ray
+
+    Shard = ray.remote(WindowShardLogic)
+
+    window_us = window_min * 60 * 1_000_000
+    lateness_us = lateness_min * 60 * 1_000_000
+    shards = [Shard.remote(window_us, lateness_us) for _ in range(n_shards)]
+
+    pending = []
+    for start in range(0, n_rows, chunk_rows):
+        end = min(start + chunk_rows, n_rows)
+        i = np.arange(start, end, dtype=np.int64)
+        keys, ts_us, vals = bench_rows(i, n_users)
+        shard_of = keys % n_shards
+        for s in range(n_shards):
+            m = shard_of == s
+            if m.any():
+                pending.append(
+                    shards[s].ingest.remote(keys[m], ts_us[m], vals[m])
+                )
+    # no per-chunk barrier needed: actor tasks from one submitter run
+    # in submission order, which IS the ordered-replay contract
+    ray.get(pending)
+
+    rows = []
+    for s in range(n_shards):
+        rows.extend(ray.get(shards[s].flush.remote()))
+    late_total = sum(ray.get([s.late_count.remote() for s in shards]))
+    out = pd.DataFrame(rows, columns=["key", "window", "n_events", "sum_value"])
     return out, late_total

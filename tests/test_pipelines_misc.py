@@ -876,3 +876,84 @@ def test_pq_codes_table_scan_matches_raw_scan(ray_session, sf_small):
         codes_ds, qids, qn, cbs, k=TOP_K, exclude_self=True
     ).to_pandas()
     assert a.values.tolist() == b.values.tolist()
+
+
+def test_streaming_replay_bench_mini(ray_session):
+    """The bench-scale replay produces the same totals as a plain
+    groupby over the same synthetic rows minus late-dropped rows, and
+    is deterministic across runs."""
+    import numpy as np
+
+    from geografir_ray.stages.streaming import streaming_replay_bench
+
+    out1, late1 = streaming_replay_bench(n_rows=60_000, n_shards=4, chunk_rows=7_000)
+    out2, late2 = streaming_replay_bench(n_rows=60_000, n_shards=4, chunk_rows=7_000)
+    k = lambda d: sorted(map(tuple, d.values.tolist()))
+    assert k(out1) == k(out2) and late1 == late2
+    assert out1["n_events"].sum() + late1 == 60_000
+    assert late1 > 0  # the jitter really produces late arrivals
+    # exact replay oracle: re-simulate the watermark per shard in numpy
+    from geografir_ray.stages.streaming import bench_rows
+
+    i = np.arange(60_000, dtype=np.int64)
+    keys, ts, vals = bench_rows(i, 100_000)
+    win_us = 60 * 60 * 1_000_000
+    late_us = 5 * 60 * 1_000_000
+    want = {}
+    n_late = 0
+    for s in range(4):
+        wm = -(1 << 62)
+        sel = (keys % 4) == s
+        for c0 in range(0, 60_000, 7_000):
+            m = sel[c0 : c0 + 7_000]
+            kk, tt, vv = keys[c0 : c0 + 7_000][m], ts[c0 : c0 + 7_000][m], vals[c0 : c0 + 7_000][m]
+            if not len(kk):
+                continue
+            cut = (wm - late_us) // win_us
+            for k_, t_, v_ in zip(kk, tt, vv):
+                w_ = t_ // win_us
+                if w_ < cut:
+                    n_late += 1
+                    continue
+                acc = want.setdefault((int(k_), int(w_)), [0, 0])
+                acc[0] += 1
+                acc[1] += int(v_)
+            wm = max(wm, int(tt.max()))
+    got = {(int(r.key), int(r.window)): [int(r.n_events), int(r.sum_value)]
+           for r in out1.itertuples()}
+    assert got == want and late1 == n_late
+
+
+def test_skew_salted_matches_naive_groupby(ray_session):
+    """salted_grouped_sum == Ray native groupby == engine grouped_sum
+    on the 80%-hot bench input (mini scale)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+    from ray.data.aggregate import Sum
+
+    from geografir_ray.pipelines.common import grouped_sum
+    from geografir_ray.stages.salt import salted_grouped_sum
+
+    ds = bench._skew_dataset(100_000)
+    a = (
+        salted_grouped_sum(ds, "key", {"v_sum": ("v", "sum")}, n_salts=8)
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    )
+    b = (
+        ds.groupby("key").aggregate(Sum("v", alias_name="v_sum"))
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    )
+    c = (
+        grouped_sum(ds, ["key"], {"v_sum": ("v", "sum")})
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    )
+    import numpy as np
+
+    for other in (b, c):
+        assert np.array_equal(a["key"].to_numpy(), other["key"].to_numpy())
+        assert np.array_equal(
+            a["v_sum"].to_numpy().astype(np.int64),
+            other["v_sum"].to_numpy().astype(np.int64),
+        )

@@ -166,3 +166,62 @@ def test_flat_tokens_vectorized_matches_per_row():
     assert flat.to_pylist() == [w for ws in expect for w in ws]
     assert counts.tolist() == [len(ws) for ws in expect]
     assert docidx.tolist() == [i for i, ws in enumerate(expect) for _ in ws]
+
+
+def test_siphash24_arrow_matches_pandas_path():
+    """The Arrow-buffer siphash fast path is bit-identical to the
+    pandas hash_pandas_object values hash_strings always produced."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from geografir_ray.functions.hashing import hash_strings, siphash24_arrow
+
+    rng = np.random.default_rng(7)
+    vals = ["", "a", "hello", "x" * 8, "y" * 16, "z" * 23,
+            "héllo wörld 中文テスト", "https://site42.example/1234567"]
+    vals += ["s%d/%s" % (i, "t" * int(rng.integers(0, 40))) for i in range(2000)]
+    want = pd.util.hash_pandas_object(
+        pd.Series(vals, dtype=object), index=False, hash_key="geografir_ray_00"
+    ).values
+    arr = pa.array(vals, pa.string())
+    assert np.array_equal(siphash24_arrow(arr), want)
+    assert np.array_equal(hash_strings(arr), want)  # fast path dispatch
+    assert np.array_equal(hash_strings(vals), want)  # legacy list path
+    # offset-sliced and chunked inputs
+    assert np.array_equal(siphash24_arrow(arr.slice(3, 1000)), want[3:1003])
+    ch = pa.chunked_array([arr.slice(0, 100), arr.slice(100)])
+    assert np.array_equal(siphash24_arrow(ch), want)
+    # large_string + binary types
+    assert np.array_equal(siphash24_arrow(pa.array(vals, pa.large_string())), want)
+
+
+def test_minhash_signatures_arrow_matches_batch():
+    """Arrow-native minhash (buffer FNV + flat shingling) is
+    bit-identical to minhash_signatures_batch, including empty docs,
+    short docs (< k tokens), repeated separators and multibyte text."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geografir_ray.functions import text as T
+
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "x", "yy"]
+    texts = []
+    for i in range(1500):
+        L = int(rng.integers(0, 9))
+        toks = [vocab[int(rng.integers(0, len(vocab)))] + str(i % 13) for _ in range(L)]
+        sep = "  " if i % 17 == 0 else " "
+        texts.append(sep.join(toks))
+    texts += ["", " ", "  ", "one", "one two", "one two three",
+              "héllo wörld 中文 test five six"]
+    col = pa.array(texts, pa.string())
+    for k in (2, 3, 5):
+        want = T.minhash_signatures_batch(texts, 64, k=k)
+        got = T.minhash_signatures_arrow(col, 64, k=k)
+        assert np.array_equal(got, want), f"k={k}"
+    # token-level FNV parity
+    toks = [t for txt in texts for t in T.tokenize(txt)]
+    assert np.array_equal(
+        T.token_hashes_arrow(pa.array(toks, pa.string())), T.token_hashes(toks)
+    )
