@@ -405,25 +405,44 @@ def bench_suite() -> dict:
         return ann_pq_codes_topk(codes, qids, Q, _pq10m_codebooks(), k=10)
 
     def skew_salted_50m(_sf_dir: str):
-        # 80%-hot-key aggregation, SALTED two-phase (stages/salt.py):
-        # phase 1 groups on (key, salt) so no reducer ever holds the
-        # hot key alone; phase 2 merges the tiny partials.
+        # 80%-hot-key aggregation, SALTED (stages/salt.py) with the
+        # per-batch combiner OFF so the exchange carries the same 50M
+        # raw rows as the naive entry below — the pair isolates what
+        # salting alone buys: the hot key's 40M rows spread over 32
+        # reducers instead of landing in one range partition.  This is
+        # the regime salting exists for (holistic / non-combinable
+        # per-key work); for mergeable aggs the engine default is the
+        # combiner entry below, which beats both.
         from geografir_ray.stages.salt import salted_grouped_sum
 
         return salted_grouped_sum(
-            _skew_dataset(50_000_000), "key", {"v_sum": ("v", "sum")}, n_salts=32
+            _skew_dataset(50_000_000),
+            "key",
+            {"v_sum": ("v", "sum")},
+            n_salts=32,
+            combine_per_batch=False,
         )
 
     def skew_naive_50m(_sf_dir: str):
         # the same input through Ray's native groupby.aggregate with NO
         # per-batch combiner and NO salt — the naive plan a user would
         # write first; the hot key's 40M rows land in one range
-        # partition.  Kept as the comparison baseline for the entry
-        # above (the engine default, pipelines.common.grouped_sum,
-        # combines per batch and needs neither).
+        # partition (single-reducer bottleneck).
         from ray.data.aggregate import Sum
 
         return _skew_dataset(50_000_000).groupby("key").aggregate(Sum("v", alias_name="v_sum"))
+
+    def skew_combiner_50m(_sf_dir: str):
+        # the ENGINE DEFAULT on the same skewed input: per-batch pyarrow
+        # combiner collapses the hot key to one row per batch before the
+        # exchange (pipelines.common.grouped_sum) — no salt needed for
+        # mergeable aggs; this is the recommended plan and the fastest
+        # of the three.
+        from geografir_ray.pipelines.common import grouped_sum
+
+        return grouped_sum(
+            _skew_dataset(50_000_000), ["key"], {"v_sum": ("v", "sum")}
+        )
 
     def bbox_join_1m(_sf_dir: str):
         # rectangle-overlap join at 1M x 100k boxes (VERDICT r3 item
@@ -455,7 +474,7 @@ def bench_suite() -> dict:
         from geografir_ray.stages.streaming import streaming_replay_bench
 
         out, _late = streaming_replay_bench(
-            n_rows=5_000_000, n_shards=8, chunk_rows=250_000
+            n_rows=5_000_000, n_shards=8, chunk_rows=250_000, n_users=10_000
         )
         return out
 
@@ -475,6 +494,7 @@ def bench_suite() -> dict:
         "join_orders_600k": join_orders_600k,
         "skew_salted_50m": skew_salted_50m,
         "skew_naive_50m": skew_naive_50m,
+        "skew_combiner_50m": skew_combiner_50m,
         "bbox_join_1m": bbox_join_1m,
         "streaming_5m": streaming_5m,
         "q1_pricing_summary": R.q1_pricing_summary,

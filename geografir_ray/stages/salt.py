@@ -31,19 +31,52 @@ def add_salt(key_col: str, n_salts: int, out_col: str = "__salt") -> "callable":
     return fn
 
 
-def salted_grouped_sum(ds, key: str, aggs: dict[str, tuple[str, str]], n_salts: int = 16):
+def salted_grouped_sum(
+    ds,
+    key: str,
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+    combine_per_batch: bool = True,
+):
     """Two-shuffle salted aggregation: groupby((key, salt)) partials →
     groupby(key) final.  ``aggs`` as in pipelines.common.grouped_sum
     (sum/count/min/max only — all mergeable).
+
+    ``combine_per_batch=True`` (default, the engine recommendation)
+    additionally pre-aggregates inside each batch, so for these
+    mergeable aggs the hot key collapses to one row per (batch, salt)
+    BEFORE the exchange.  ``False`` exchanges the raw rows — the mode
+    that isolates what salting alone buys (the hot key's rows spread
+    over n_salts reducers instead of landing on one), which is the
+    regime salting exists for: holistic / non-combinable per-key work
+    where a per-batch combiner cannot shrink the payload.
     """
     from ray.data.aggregate import Max, Min, Sum
 
     from ..pipelines.common import merge_fn_for, partial_groupby
 
     salted = ds.map_batches(add_salt(key, n_salts), batch_format="pyarrow")
-    phase1 = salted.map_batches(
-        partial_groupby([key, "__salt"], aggs), batch_format="pyarrow"
-    )
+    if combine_per_batch:
+        phase1 = salted.map_batches(
+            partial_groupby([key, "__salt"], aggs), batch_format="pyarrow"
+        )
+    else:
+        # raw rows ride the exchange; rename value columns to the output
+        # names so the same Ray aggs apply (sum of raw == sum of partials;
+        # count must pre-combine to stay mergeable, so it is rejected here)
+        for _out, (_col, how) in aggs.items():
+            if merge_fn_for(how) != how:
+                raise ValueError(
+                    f"combine_per_batch=False requires self-mergeable aggs; {how!r} is not"
+                )
+
+        def rename(batch: pa.Table) -> pa.Table:
+            cols = {key: batch[key], "__salt": batch["__salt"]}
+            for out, (col, _how) in aggs.items():
+                cols[out] = batch[col]
+            return pa.table(cols)
+
+        phase1 = salted.map_batches(rename, batch_format="pyarrow")
 
     ray_aggs1 = []
     for out, (_, how) in aggs.items():

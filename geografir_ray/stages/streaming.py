@@ -85,6 +85,24 @@ class WindowShardLogic:
         self.closed = []
         return out
 
+    def flush_arrays(self):
+        """flush(), but returned as four packed numpy columns — the
+        bench-scale path: a shard may close millions of windows, and
+        shipping tuple lists to the driver (then building a DataFrame
+        row-wise) would measure Python object churn, not the engine.
+        The np.asarray conversion runs shard-side, in parallel."""
+        rows = self.flush()
+        if not rows:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z, np.empty(0, dtype=np.float64)
+        a = np.asarray(rows, dtype=np.float64)
+        return (
+            a[:, 0].astype(np.int64),
+            a[:, 1].astype(np.int64),
+            a[:, 2].astype(np.int64),
+            a[:, 3],
+        )
+
     def drain_closed(self) -> list[tuple[int, int, int, float]]:
         out = self.closed
         self.closed = []
@@ -157,12 +175,14 @@ def streaming_window_counts(
 
 def bench_rows(i: np.ndarray, n_users: int = 100_000):
     """Deterministic synthetic event rows for the streaming bench:
-    ~1.2 events/sec global advance, +-10 min jitter, and every 1000th
-    row a 3-hour straggler (well past the lateness horizon, so the
-    late-drop path is genuinely exercised)."""
+    ~10 events/sec global advance (dense enough that 60-min windows
+    genuinely aggregate, ~4 events per (key, window) at n_users=10k),
+    +-10 min jitter, and every 1000th row a 3-hour straggler (well past
+    the lateness horizon, so the late-drop path is genuinely
+    exercised)."""
     base = np.int64(1_577_836_800_000_000)  # 2020-01-01 in us
     keys = (i * 2654435761) % n_users
-    ts_us = base + i * 800_000 + ((i * 48271) % 1_200_000_000) - 600_000_000
+    ts_us = base + i * 100_000 + ((i * 48271) % 1_200_000_000) - 600_000_000
     ts_us = ts_us - (i % 1000 == 7) * np.int64(3 * 3600 * 1_000_000)
     vals = i % 1000
     return keys, ts_us, vals
@@ -207,9 +227,14 @@ def streaming_replay_bench(
     # in submission order, which IS the ordered-replay contract
     ray.get(pending)
 
-    rows = []
-    for s in range(n_shards):
-        rows.extend(ray.get(shards[s].flush.remote()))
+    cols = ray.get([s.flush_arrays.remote() for s in shards])
     late_total = sum(ray.get([s.late_count.remote() for s in shards]))
-    out = pd.DataFrame(rows, columns=["key", "window", "n_events", "sum_value"])
+    out = pd.DataFrame(
+        {
+            "key": np.concatenate([c[0] for c in cols]),
+            "window": np.concatenate([c[1] for c in cols]),
+            "n_events": np.concatenate([c[2] for c in cols]),
+            "sum_value": np.concatenate([c[3] for c in cols]),
+        }
+    )
     return out, late_total

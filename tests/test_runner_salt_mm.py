@@ -102,6 +102,26 @@ def test_salted_grouped_sum_matches_plain(ray_session):
         .reset_index(drop=True)
     )
     assert plain.equals(salted[plain.columns])
+    # raw-row mode (combine_per_batch=False): same answer, the exchange
+    # carries raw rows spread over salts — the bench-isolation mode
+    raw_mode = (
+        salted_grouped_sum(
+            rd.from_arrow(t),
+            "key",
+            {"total": ("val", "sum"), "n": ("one", "sum")},
+            n_salts=8,
+            combine_per_batch=False,
+        )
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    assert plain.equals(raw_mode[plain.columns])
+    # non-self-mergeable aggs are rejected in raw-row mode
+    with pytest.raises(ValueError, match="self-mergeable"):
+        salted_grouped_sum(
+            rd.from_arrow(t), "key", {"n": ("val", "count")}, combine_per_batch=False
+        )
     # ground truth
     import pandas as pd
 
