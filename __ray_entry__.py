@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_bucketed": R.join_orders_bucketed,
         "events_range_join": E.events_range_join,
         "distinct_parts_per_flag": R.distinct_parts_per_flag,
+        "distinct_supps_per_part": R.distinct_supps_per_part,
     }
 
 
@@ -240,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_bucketed": R.JOIN_ORDERS_SQL,
         "events_range_join": E.EVENTS_RANGE_JOIN_SQL,
         "distinct_parts_per_flag": R.DISTINCT_PARTS_SQL,
+        "distinct_supps_per_part": R.DISTINCT_SUPPS_SQL,
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_simhash, docs_langid_quality, docs_fingerprints,
         # emb_label_stats, emb_ivf_knn, emb_kmeans, mm_features,

@@ -404,30 +404,18 @@ def bench_suite() -> dict:
         Q = synth_vectors_clustered(qids)
         return ann_pq_codes_topk(codes, qids, Q, _pq10m_codebooks(), k=10)
 
-    def skew_salted_50m(_sf_dir: str):
-        # 80%-hot-key aggregation, SALTED (stages/salt.py) with the
-        # per-batch combiner OFF so the exchange carries the same 50M
-        # raw rows as the naive entry below — the pair isolates what
-        # salting alone buys: the hot key's 40M rows spread over 32
-        # reducers instead of landing in one range partition.  This is
-        # the regime salting exists for (holistic / non-combinable
-        # per-key work); for mergeable aggs the engine default is the
-        # combiner entry below, which beats both.
-        from geografir_ray.stages.salt import salted_grouped_sum
-
-        return salted_grouped_sum(
-            _skew_dataset(50_000_000),
-            "key",
-            {"v_sum": ("v", "sum")},
-            n_salts=32,
-            combine_per_batch=False,
-        )
-
     def skew_naive_50m(_sf_dir: str):
-        # the same input through Ray's native groupby.aggregate with NO
-        # per-batch combiner and NO salt — the naive plan a user would
-        # write first; the hot key's 40M rows land in one range
-        # partition (single-reducer bottleneck).
+        # 80%-hot-key SUM through Ray's native groupby.aggregate with
+        # NO per-batch combiner — the plan a user writes first: all 50M
+        # raw rows ride the exchange.  Paired with the combiner entry
+        # below.  (Measured note: for MERGEABLE aggs, salting does not
+        # beat this — salted_grouped_sum raw-row mode ran 89 s vs 44 s
+        # naive, and default combine-on-(key,salt) mode 75 s, because
+        # Ray's sort-based reducer is a vectorized sum: the bottleneck
+        # is exchange volume, never the reducer, so the per-batch
+        # combiner is the entire answer here.  Skew handling that
+        # genuinely pays lives in the HOLISTIC op class — see the
+        # skew_distinct_* pair.)
         from ray.data.aggregate import Sum
 
         return _skew_dataset(50_000_000).groupby("key").aggregate(Sum("v", alias_name="v_sum"))
@@ -436,12 +424,51 @@ def bench_suite() -> dict:
         # the ENGINE DEFAULT on the same skewed input: per-batch pyarrow
         # combiner collapses the hot key to one row per batch before the
         # exchange (pipelines.common.grouped_sum) — no salt needed for
-        # mergeable aggs; this is the recommended plan and the fastest
-        # of the three.
+        # mergeable aggs; measured ~3x faster than the naive entry above.
         from geografir_ray.pipelines.common import grouped_sum
 
         return grouped_sum(
             _skew_dataset(50_000_000), ["key"], {"v_sum": ("v", "sum")}
+        )
+
+    def skew_distinct_naive_20m(_sf_dir: str):
+        # per-key COUNT(DISTINCT v) via the naive plan a user writes
+        # first — groupby(key).map_groups(unique): the 80%-hot key's
+        # 16M rows land in ONE task doing a single-core np.unique while
+        # the rest of the cluster idles.  This is the op class where
+        # skew genuinely hurts (holistic, non-mergeable), unlike sums.
+        import numpy as np
+        import pyarrow as pa
+
+        def uniq(g: pa.Table) -> pa.Table:
+            k = g["key"].to_numpy(zero_copy_only=False)
+            v = g["v"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "key": pa.array(k[:1].astype(np.int64)),
+                    "n_distinct": pa.array(
+                        np.array([len(np.unique(v))], dtype=np.int64)
+                    ),
+                }
+            )
+
+        return (
+            _skew_hi_dataset(20_000_000)
+            .groupby("key")
+            .map_groups(uniq, batch_format="pyarrow")
+        )
+
+    def skew_distinct_salted_20m(_sf_dir: str):
+        # the same exact answer via value-salted re-keying
+        # (stages/salt.salted_distinct_count): exchange on
+        # hash(key, v) % 256 spreads the hot key over every reducer;
+        # in-bucket vectorized dedup + segment count; per-key SUM of
+        # partials is exact.  Per-batch pair dedup shrinks the exchange
+        # first.  Same input, same output, no single-task bottleneck.
+        from geografir_ray.stages.salt import salted_distinct_count
+
+        return salted_distinct_count(
+            _skew_hi_dataset(20_000_000), "key", "v", n_buckets=256
         )
 
     def bbox_join_1m(_sf_dir: str):
@@ -492,9 +519,10 @@ def bench_suite() -> dict:
         "curation_2m": curation_2m,
         "ann_brute_100kq": ann_brute_100kq,
         "join_orders_600k": join_orders_600k,
-        "skew_salted_50m": skew_salted_50m,
         "skew_naive_50m": skew_naive_50m,
         "skew_combiner_50m": skew_combiner_50m,
+        "skew_distinct_naive_20m": skew_distinct_naive_20m,
+        "skew_distinct_salted_20m": skew_distinct_salted_20m,
         "bbox_join_1m": bbox_join_1m,
         "streaming_5m": streaming_5m,
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -538,6 +566,28 @@ def _skew_dataset(n_rows: int):
         return pa.table(
             {"key": pa.array(key), "v": pa.array((i % 1000).astype(np.int64))}
         )
+
+    return rd.range(n_rows, override_num_blocks=128).map_batches(
+        build, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _skew_hi_dataset(n_rows: int):
+    """80%-hot keyed rows with HIGH-cardinality values (~2 rows per
+    distinct v): the shape where per-batch combining cannot shrink the
+    payload and per-key distinct counting is genuinely holistic.  Cold
+    keys number 1000 so the naive plan's per-group-call overhead stays
+    incidental — the comparison isolates the hot key's single task."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    def build(t):
+        i = t["id"].to_numpy().astype(np.int64)
+        hot = (i % 10) < 8
+        key = np.where(hot, 0, 1 + i % 1000)
+        v = (i * 2654435761) % (n_rows // 2)
+        return pa.table({"key": pa.array(key), "v": pa.array(v)})
 
     return rd.range(n_rows, override_num_blocks=128).map_batches(
         build, batch_format="pyarrow", batch_size=None

@@ -528,6 +528,27 @@ ORDER BY l_returnflag
 """
 
 
+def distinct_supps_per_part(sf_dir: str):
+    """COUNT(DISTINCT l_suppkey) per part via the value-salted re-key
+    engine (stages/salt.salted_distinct_count): the exchange key is
+    hash(key, val) % buckets, so a hot part's rows spread over every
+    reducer instead of funneling into one task — the skew-safe distinct
+    plan benched at 20M rows as skew_distinct_salted_20m."""
+    from ..stages.salt import salted_distinct_count
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    return salted_distinct_count(
+        ds, "l_partkey", "l_suppkey", n_buckets=64, out="n_supps"
+    )
+
+
+DISTINCT_SUPPS_SQL = """
+SELECT l_partkey, count(DISTINCT l_suppkey)::BIGINT AS n_supps
+FROM lineitem
+GROUP BY l_partkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # q6: forecast revenue change (pure filter + global sum — the simplest
 # full-scan shape; exact via integer cents)

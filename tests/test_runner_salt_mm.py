@@ -332,3 +332,36 @@ def test_runner_curation_chain_e2e(ray_session, sf_small):
     metrics = run(cfg, sf_small)
     assert metrics["rows"] == 500
     assert metrics["rows_per_sec"] is None or metrics["rows_per_sec"] > 0
+
+
+def test_salted_distinct_count_exact(ray_session):
+    """Value-salted distinct count == pandas nunique on a zipf-hot key,
+    invariant to bucket count and block layout."""
+    import pandas as pd
+    import ray.data as rd
+
+    from geografir_ray.stages.salt import salted_distinct_count
+
+    n = 30000
+    rng = np.random.default_rng(17)
+    keys = np.where(rng.random(n) < 0.8, 0, rng.integers(1, 40, n)).astype(np.int64)
+    vals = rng.integers(0, 5000, n).astype(np.int64)
+    t = pa.table({"key": keys, "v": vals})
+
+    want = (
+        pd.DataFrame({"key": keys, "v": vals})
+        .groupby("key")["v"]
+        .nunique()
+        .rename("n_distinct")
+        .reset_index()
+    )
+    for n_buckets, blocks in [(7, 1), (64, 13)]:
+        got = (
+            salted_distinct_count(
+                rd.from_arrow(t).repartition(blocks), "key", "v", n_buckets=n_buckets
+            )
+            .to_pandas()
+            .sort_values("key")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
