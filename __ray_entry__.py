@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_domain_quota": D.docs_domain_quota,
         "docs_chunk_windows": D.docs_chunk_windows,
         "docs_neardup_purge": D.docs_neardup_purge,
+        "docs_incremental_dedup": D.docs_incremental_dedup,
+        "docs_tfidf_pairs": D.docs_tfidf_pairs,
         "docs_minhash_lsh": D.docs_minhash_lsh,  # rows-only: minhash seeds
         "docs_simhash": D.docs_simhash,  # rows-only: simhash bits
         "docs_langid_quality": D.docs_langid_quality,  # rows-only: heuristic model
@@ -208,6 +210,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_domain_quota": D.docs_domain_quota_sql(),
         "docs_chunk_windows": D.docs_chunk_windows_sql(),
         "docs_neardup_purge": D.DOCS_NEARDUP_PURGE_SQL,
+        "docs_incremental_dedup": D.DOCS_INCREMENTAL_DEDUP_SQL,
+        "docs_tfidf_pairs": D.DOCS_TFIDF_PAIRS_SQL,
         "emb_dim_stats": M.EMB_DIM_STATS_SQL,
         "emb_knn": M.EMB_KNN_SQL,
         "emb_neardup": M.EMB_NEARDUP_SQL,

@@ -492,7 +492,13 @@ def bench_suite() -> dict:
         supp = rd.range(100_000, override_num_blocks=16).map_batches(
             keyed("s_suppkey"), batch_format="pyarrow", batch_size=None
         )
-        return bbox_overlap_join(_sf_dir, cust=cust, supp=supp)
+        # box_scale=0.02 + 0.25-deg grid: output stays ~O(n) (the
+        # default 0.25-1.75 deg boxes over 1M clustered points produce
+        # a ~1e9-pair quadratic OUTPUT — that benches the sort, not the
+        # join); candidates bound per fine cell, hot 2-deg cells split
+        return bbox_overlap_join(
+            _sf_dir, grid_deg=0.25, cust=cust, supp=supp, box_scale=0.02
+        )
 
     def streaming_5m(_sf_dir: str):
         # watermark/late-data windowed aggregation at 5M events through

@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import text as T
-from ..sources.tables import read_table, read_table_local
+from ..sources.tables import read_table, read_table_local, table_path
 from .common import grouped_sum
 
 _TOKENS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -2593,3 +2593,316 @@ WHERE c.doc_id = c.component_id
 ORDER BY c.doc_id
 """
 DOCS_NEARDUP_PURGE_SQL = DOCS_NEARDUP_PURGE_SQL.format(limit=JACCARD_DOC_LIMIT)
+
+
+# ---------------------------------------------------------------------------
+# Incremental (recrawl) dedup: new-shard docs whose content already
+# exists in the ingested corpus are dropped BEFORE they enter the
+# pipeline — the standing 10^12-doc scenario where every fresh crawl
+# shard must dedup against everything crawled before it.
+# ---------------------------------------------------------------------------
+
+
+def docs_incremental_dedup(
+    sf_dir: str, broadcast_threshold: int = 4_000_000, n_buckets: int = 64
+):
+    """Keep the incoming shard's docs whose content hash is ABSENT from
+    the already-ingested corpus (an anti-semi-join on content).
+
+    Corpus = even doc_id, incoming shard = odd doc_id — a deterministic
+    split of ``documents`` standing in for corpus + new crawl shard
+    (both filters push into the parquet read).  Both sides reduce to
+    63-bit SipHash content hashes at the scan, so at most 16 B/row ever
+    crosses an exchange — never text.  Plan mirrors dedup_by_url:
+
+    - a CAPPED driver probe streams the corpus' per-batch DISTINCT
+      hashes, compacting incrementally; if the corpus' distinct content
+      count fits ``broadcast_threshold`` the sorted hash array
+      broadcasts once (ray.put) into a fused task-side searchsorted
+      filter — ZERO exchanges (CLAUDE.md rules 2/11).  Driver memory
+      stays bounded by ~2x threshold x 8 B regardless of corpus size.
+    - otherwise: hash-partitioned anti-join (stages/join.hash_join
+      how="anti") — ONE exchange, absent-hash test vectorized per
+      bucket, nothing materialized on the driver.
+
+    Internal duplicates WITHIN the incoming shard are kept (they dedup
+    against each other in the regular exact-dedup stage); only overlap
+    with the corpus is removed — matching the NOT EXISTS oracle.
+    63-bit hash equality stands in for text equality exactly as in
+    docs_exact_dedup (collision odds ~n^2 / 2^63).
+    """
+    import ray
+
+    from ..functions.hashing import hash_strings
+    from ..stages.broadcast import with_broadcast
+    from ..stages.join import hash_join
+
+    def hash_stage(cols):
+        def fn(t: pa.Table) -> pa.Table:
+            h = hash_strings(t["text"])
+            out = {c: t[c] for c in cols}
+            out["text_hash"] = pa.array(
+                (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+            )
+            return pa.table(out)
+
+        return fn
+
+    corpus = read_table(
+        sf_dir,
+        "documents",
+        columns=["text"],
+        filter=pc.bit_wise_and(pc.field("doc_id"), 1) == 0,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "text_hash": pa.array(
+                    np.unique(
+                        hash_strings(t["text"]) & np.uint64(0x7FFFFFFFFFFFFFFF)
+                    ).astype(np.int64)
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    incoming = read_table(
+        sf_dir,
+        "documents",
+        columns=["doc_id", "text"],
+        filter=pc.bit_wise_and(pc.field("doc_id"), 1) == 1,
+    ).map_batches(hash_stage(["doc_id"]), batch_format="pyarrow", zero_copy_batch=True)
+
+    # capped probe: stream corpus DISTINCT-per-batch hashes, compact
+    cap = int(broadcast_threshold)
+    buf: list[np.ndarray] = []
+    buffered = 0
+    over = False
+    for b in corpus.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        buf.append(b["text_hash"].to_numpy(zero_copy_only=False))
+        buffered += len(buf[-1])
+        if buffered > 2 * cap:
+            buf = [np.unique(np.concatenate(buf))]
+            buffered = len(buf[0])
+            if buffered > cap:
+                over = True
+                break
+
+    if not over:
+        seen = np.unique(np.concatenate(buf)) if buf else np.array([], dtype=np.int64)
+        if len(seen) <= cap:
+            ref = ray.put(seen)
+
+            def anti(state, t: pa.Table) -> pa.Table:
+                sorted_seen = state
+                h = t["text_hash"].to_numpy(zero_copy_only=False)
+                if len(sorted_seen) == 0:
+                    keep = np.ones(len(h), dtype=bool)
+                else:
+                    pos = np.searchsorted(sorted_seen, h).clip(0, len(sorted_seen) - 1)
+                    keep = sorted_seen[pos] != h
+                return t.filter(pa.array(keep)).select(["doc_id"])
+
+            return incoming.map_batches(
+                with_broadcast(ref, anti, "incremental_anti"),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).sort("doc_id")
+
+    kept = hash_join(
+        incoming,
+        corpus,
+        on="text_hash",
+        n_buckets=n_buckets,
+        left_cols=["text_hash", "doc_id"],
+        right_cols=["text_hash"],
+        how="anti",
+    )
+    return kept.select_columns(["doc_id"]).sort("doc_id")
+
+
+DOCS_INCREMENTAL_DEDUP_SQL = """
+SELECT n.doc_id
+FROM documents n
+WHERE n.doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM documents c
+    WHERE c.doc_id % 2 = 0 AND c.text = n.text
+  )
+ORDER BY n.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF weighted pair similarity: the inverted-index join with GLOBAL
+# term weights (the classic sparse-vector similarity join).  All-integer
+# weight formula so DuckDB and numpy agree bitwise at any scale.
+# ---------------------------------------------------------------------------
+
+TFIDF_IDF_CAP = 100_000  # bounds idf so int64 score sums cannot overflow
+TFIDF_TOP_K = 1000
+
+_TFIDF_PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("w", pa.int64())])
+
+
+def docs_tfidf_pairs(
+    sf_dir: str,
+    k: int = TFIDF_TOP_K,
+    df_cutoff: int = JACCARD_DF_CUTOFF,
+    n_groups: int = 64,
+):
+    """Top-k document pairs by integer TF-IDF dot product.
+
+    score(a, b) = SUM over shared terms t of tf_a(t) * tf_b(t) * idf(t)^2
+    where idf(t) = min((1000 * N) // df(t), TFIDF_IDF_CAP) — floor
+    division and min are integer-exact in both engines, and N (the
+    window's doc count) derives from the data on BOTH sides, so the
+    oracle holds at every sf.
+
+    Shuffle shape mirrors docs_jaccard_pairs (postings hash-bucket by
+    term, ONE vectorized merge call per group; a term's postings are
+    co-located so the in-group segment length IS its global df and the
+    df cutoff needs no extra pass) with two scale upgrades: postings
+    carry the 63-bit SipHash term id instead of the token string
+    (8 B/term on the exchange at any vocabulary; a hash collision
+    merging two terms has odds ~v^2/2^63), and the final ranking runs a
+    per-block partial top-k before the global sort, bounding the sort
+    input at k x n_blocks rows regardless of pair count.
+    """
+    import pyarrow.parquet as _pq
+
+    from ..functions.hashing import hash_strings, splitmix64
+
+    limit = JACCARD_DOC_LIMIT
+    n_docs = _pq.read_table(
+        table_path(sf_dir, "documents"),
+        columns=["doc_id"],
+        filters=[("doc_id", "<", limit)],
+    ).num_rows
+
+    ds = read_table(
+        sf_dir,
+        "documents",
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id") < limit,
+    )
+
+    def postings(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("grp", pa.int64()),
+                    ("doc_id", pa.int64()),
+                    ("th", pa.int64()),
+                    ("tf", pa.int64()),
+                ]
+            ).empty_table()
+        flat, docidx, _counts = T.flat_tokens(t["text"])
+        h = (hash_strings(flat) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[docidx]
+        order = np.lexsort((h, doc))
+        hs, dcs = h[order], doc[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (dcs[1:] != dcs[:-1])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.append(starts, len(hs))).astype(np.int64)
+        uh, ud = hs[starts], dcs[starts]
+        grp = (splitmix64(uh.astype(np.uint64)) % np.uint64(n_groups)).astype(np.int64)
+        return pa.table(
+            {
+                "grp": pa.array(grp),
+                "doc_id": pa.array(ud),
+                "th": pa.array(uh),
+                "tf": pa.array(tf),
+            }
+        )
+
+    posting = ds.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+
+    idf_cap = np.int64(TFIDF_IDF_CAP)
+
+    def pair_weights(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _TFIDF_PAIR_SCHEMA.empty_table()
+        th = g["th"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        tf = g["tf"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, th))
+        th_s, doc_s, tf_s = th[order], doc[order], tf[order]
+        first = np.ones(len(th_s), dtype=bool)
+        first[1:] = th_s[1:] != th_s[:-1]
+        seg_id = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        df = np.diff(np.append(starts, len(th_s))).astype(np.int64)
+        idf = np.minimum((np.int64(1000) * np.int64(n_docs)) // df, idf_cap)
+        idf_sq_row = (idf * idf)[seg_id]
+        ok = df[seg_id] <= df_cutoff
+        pos = np.arange(len(th_s), dtype=np.int64) - starts[seg_id]
+        rep = np.where(ok, pos, 0)
+        total = int(rep.sum())
+        b_idx = np.repeat(np.arange(len(th_s), dtype=np.int64), rep)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(rep) - rep, rep)
+        a_idx = np.repeat(starts[seg_id], rep) + offs
+        w = tf_s[a_idx] * tf_s[b_idx] * idf_sq_row[b_idx]
+        return pa.table(
+            {
+                "a": pa.array(doc_s[a_idx]),
+                "b": pa.array(doc_s[b_idx]),
+                "w": pa.array(w),
+            }
+        )
+
+    scores = grouped_sum(
+        posting.groupby("grp").map_groups(pair_weights, batch_format="pyarrow"),
+        ["a", "b"],
+        {"score": ("w", "sum")},
+    )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        s = t["score"].to_numpy(zero_copy_only=False)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((b, a, -s))[:k]
+        return t.take(pa.array(sel))
+
+    return (
+        scores.map_batches(partial_topk, batch_format="pyarrow")
+        .sort(["score", "a", "b"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+DOCS_TFIDF_PAIRS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term
+  FROM documents WHERE doc_id < {JACCARD_DOC_LIMIT}
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+),
+nn AS (
+  SELECT count(*)::BIGINT AS n FROM documents WHERE doc_id < {JACCARD_DOC_LIMIT}
+),
+w AS (
+  SELECT term, LEAST((1000 * (SELECT n FROM nn)) // df, {TFIDF_IDF_CAP})::BIGINT AS idf
+  FROM df WHERE df <= {JACCARD_DF_CUTOFF}
+),
+pairs AS (
+  SELECT ta.doc_id AS a, tb.doc_id AS b,
+         SUM(ta.tf * tb.tf * w.idf * w.idf)::BIGINT AS score
+  FROM tf ta
+  JOIN tf tb ON ta.term = tb.term AND ta.doc_id < tb.doc_id
+  JOIN w ON w.term = ta.term
+  GROUP BY ta.doc_id, tb.doc_id
+)
+SELECT a, b, score FROM pairs
+ORDER BY score DESC, a, b
+LIMIT {TFIDF_TOP_K}
+"""

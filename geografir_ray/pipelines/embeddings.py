@@ -143,8 +143,6 @@ ORDER BY a, b
 
 
 def emb_label_stats(sf_dir: str):
-    import pandas as pd
-
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -164,27 +162,32 @@ def emb_label_stats(sf_dir: str):
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:  # typed empty block (CLAUDE.md rule 8)
-            return pd.DataFrame(
+    def merge(t: pa.Table) -> pa.Table:
+        # pyarrow group format (CLAUDE.md rule 10): the list<double>
+        # vec_sum column stays a flat buffer — no per-row PyObject.
+        if t.num_rows == 0:  # typed empty block (CLAUDE.md rule 8)
+            return pa.table(
                 {
-                    "label": pd.Series([], dtype=np.int64),
-                    "n": pd.Series([], dtype=np.int64),
-                    "centroid_norm_pct": pd.Series([], dtype=np.int64),
+                    "label": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "centroid_norm_pct": pa.array([], type=pa.int64()),
                 }
             )
-        n = int(g["n"].sum())
-        vsum = np.sum(np.stack([np.asarray(v) for v in g["vec_sum"]]), axis=0)
-        centroid = vsum / n
-        return pd.DataFrame(
+        n = int(t["n"].combine_chunks().to_numpy().sum())
+        vs = t["vec_sum"].combine_chunks()
+        flat = np.asarray(vs.flatten(), dtype=np.float64).reshape(t.num_rows, -1)
+        centroid = flat.sum(axis=0) / n
+        return pa.table(
             {
-                "label": [np.int64(g["label"].iloc[0])],
-                "n": [np.int64(n)],
-                "centroid_norm_pct": [np.int64(np.floor(np.linalg.norm(centroid) * 100))],
+                "label": pa.array([t["label"][0].as_py()], type=pa.int64()),
+                "n": pa.array([n], type=pa.int64()),
+                "centroid_norm_pct": pa.array(
+                    [int(np.floor(np.linalg.norm(centroid) * 100))], type=pa.int64()
+                ),
             }
         )
 
-    return partials.groupby("label").map_groups(merge, batch_format="pandas").sort("label")
+    return partials.groupby("label").map_groups(merge, batch_format="pyarrow").sort("label")
 
 
 # ---------------------------------------------------------------------------
@@ -602,13 +605,29 @@ def ann_ivf_topk(
 
 def synth_vectors(ids: np.ndarray, dim: int = 64) -> np.ndarray:
     """Deterministic synthetic embeddings in [-1, 1] from integer ids
-    (splitmix over id*dim+d) — the bench input generator."""
+    (splitmix over id*dim+d) — the bench input generator.
+
+    Computed in row chunks: the whole-matrix form materializes ~5
+    matrices of (n, dim) int64/f64 temps in one go, and on this host
+    fresh pages fault at up to ~0.5 ms each (CLAUDE.md rules 13/17) —
+    measured 185 s/1M rows under a pressure wave, i.e. the generator
+    cost more than the operator under measurement.  Fixed-size chunk
+    temps are reused from the malloc arena (functions/allocator.py
+    keeps them mapped); values bit-identical to the unchunked
+    formula."""
     from ..functions.hashing import splitmix64
 
-    idx = ids.astype(np.int64)[:, None] * dim + np.arange(dim, dtype=np.int64)[None, :]
-    h = splitmix64(idx.astype(np.uint64).ravel())
-    u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
-    return (u * 2.0 - 1.0).reshape(len(ids), dim)
+    n = len(ids)
+    ids64 = ids.astype(np.int64)
+    out = np.empty((n, dim), dtype=np.float64)
+    step = 8192
+    dd = np.arange(dim, dtype=np.int64)[None, :]
+    for i in range(0, n, step):
+        idx = ids64[i : i + step, None] * dim + dd
+        h = splitmix64(idx.astype(np.uint64).ravel())
+        u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        out[i : i + step] = (u * 2.0 - 1.0).reshape(-1, dim)
+    return out
 
 
 def synth_vectors_clustered(

@@ -780,7 +780,7 @@ BBOX_JOIN_BUCKETS = 64
 
 def bbox_overlap_join(sf_dir: str, grid_deg: float = BBOX_GRID_DEG,
                       n_buckets: int = BBOX_JOIN_BUCKETS,
-                      cust=None, supp=None):
+                      cust=None, supp=None, box_scale: float = 1.0):
     """Rectangle-rectangle overlap join (planar closed-interval
     intersection) between customer- and supplier-derived boxes,
     the third spatial-join class next to PIP and kNN.
@@ -810,8 +810,12 @@ def bbox_overlap_join(sf_dir: str, grid_deg: float = BBOX_GRID_DEG,
             k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
             cy = synthgeo.synth_lat(k)
             cx = synthgeo.synth_lon(k)
-            hw = (k % 7 + 1) * 0.25
-            hh = (k % 5 + 1) * 0.25
+            # box_scale != 1 is the bench-scale knob: at 1M x 100k the
+            # default +-0.25..1.75 deg boxes over the clustered synth
+            # points make the join OUTPUT quadratic (~1e9 pairs); the
+            # sf-table oracle always runs at the default 1.0
+            hw = (k % 7 + 1) * (0.25 * box_scale)
+            hh = (k % 5 + 1) * (0.25 * box_scale)
             # covered cell range (grid anchored at lon -180 / lat -90)
             gx0 = np.floor((cx - hw + 180.0) / grid_deg).astype(np.int64)
             gx1 = np.floor((cx + hw + 180.0) / grid_deg).astype(np.int64)

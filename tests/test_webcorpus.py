@@ -216,3 +216,48 @@ def test_chunk_windows_edge_cases(ray_session, tmp_path):
     assert got.values.tolist() == exp.values.tolist()
     assert set(got[got["doc_id"] < 2]["doc_id"]) == set()  # empty docs: no rows
     con.close()
+
+
+def test_incremental_dedup_paths_agree_and_match_oracle(ray_session, sf_small):
+    """Broadcast fast path == forced shuffle anti-join == DuckDB NOT EXISTS."""
+    import duckdb
+
+    from geografir_ray.pipelines.documents import (
+        DOCS_INCREMENTAL_DEDUP_SQL,
+        docs_incremental_dedup,
+    )
+
+    a = docs_incremental_dedup(sf_small).to_pandas()
+    b = docs_incremental_dedup(sf_small, broadcast_threshold=0).to_pandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert (a["doc_id"] % 2 == 1).all()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    exp = con.execute(DOCS_INCREMENTAL_DEDUP_SQL).df()
+    con.close()
+    assert a["doc_id"].tolist() == exp["doc_id"].tolist()
+
+
+def test_tfidf_pairs_oracle_and_ranking(ray_session, sf_small):
+    """Integer TF-IDF pair scores match DuckDB bitwise; ranking is a
+    total order (score desc, a, b)."""
+    import duckdb
+
+    from geografir_ray.pipelines.documents import (
+        DOCS_TFIDF_PAIRS_SQL,
+        docs_tfidf_pairs,
+    )
+
+    got = docs_tfidf_pairs(sf_small).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    exp = con.execute(DOCS_TFIDF_PAIRS_SQL).df()
+    con.close()
+    assert got[["a", "b", "score"]].values.tolist() == exp.values.tolist()
+    s = got["score"].values
+    assert (s[:-1] >= s[1:]).all()
