@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_incremental_dedup": D.docs_incremental_dedup,
         "docs_tfidf_pairs": D.docs_tfidf_pairs,
         "docs_minhash_lsh": D.docs_minhash_lsh,  # rows-only: minhash seeds
+        "docs_crosscorpus_neardup": D.docs_crosscorpus_neardup,  # rows-only: minhash seeds
         "docs_simhash": D.docs_simhash,  # rows-only: simhash bits
         "docs_langid_quality": D.docs_langid_quality,  # rows-only: heuristic model
         "docs_fingerprints": D.docs_fingerprints,  # rows-only: rolling hash
@@ -247,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_parts_per_flag": R.DISTINCT_PARTS_SQL,
         "distinct_supps_per_part": R.DISTINCT_SUPPS_SQL,
         # rows-only (documented): geo_cells, docs_minhash_lsh,
+        # docs_crosscorpus_neardup,
         # docs_simhash, docs_langid_quality, docs_fingerprints,
         # emb_label_stats, emb_ivf_knn, emb_kmeans, mm_features,
         # mm_image_features, mm_audio_features,

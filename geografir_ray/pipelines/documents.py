@@ -2906,3 +2906,177 @@ SELECT a, b, score FROM pairs
 ORDER BY score DESC, a, b
 LIMIT {TFIDF_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus fuzzy dedup: MinHash-LSH near-dups of an INCOMING shard
+# against the ingested CORPUS — the fuzzy twin of docs_incremental_dedup
+# (recrawl shards are near-dups of earlier crawls far more often than
+# exact dups).  Rows-only (minhash seeds aren't SQL-expressible); gated
+# by a brute-force containment + determinism test.
+# ---------------------------------------------------------------------------
+
+
+def docs_crosscorpus_neardup(
+    sf_dir: str,
+    num_perm: int = 128,
+    n_bands: int = 16,
+    threshold: float = 0.5,
+    n_groups: int = 64,
+):
+    """(incoming_doc, corpus_doc, jaccard_pct) pairs with exact
+    3-shingle jaccard >= threshold among cross-side LSH candidates
+    (the verify measures the SAME similarity the signatures index).
+
+    Corpus = even doc_id, incoming = odd doc_id (both filters pushed
+    into the read).  Same distributed shape as docs_minhash_lsh —
+    banding stays in Ray, candidates expand inside hash-bucketed groups
+    (vectorized, one merge call per group), verification fetches texts
+    through bucketed hash joins — but the in-group expansion is the
+    RECTANGULAR cross product (incoming x corpus within a band bucket),
+    never within-side pairs, so candidate count is bounded by the
+    cross-side bucket co-occupancy, not C(bucket, 2)."""
+    from ..functions.hashing import splitmix64
+    from ..stages.join import hash_join
+    from .common import grouped_sum
+
+    def side_ds(parity: int):
+        return read_table(
+            sf_dir,
+            "documents",
+            columns=["doc_id", "text"],
+            filter=pc.bit_wise_and(pc.field("doc_id"), 1) == parity,
+        )
+
+    def band_stage(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            docs = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sigs = T.minhash_signatures_arrow(t["text"], num_perm, k=3)
+            bh = T.minhash_bands_batch(sigs, n_bands)
+            buckets = (bh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+            n = len(docs)
+            band = np.tile(np.arange(n_bands, dtype=np.int64), n)
+            flat_bucket = buckets.ravel()
+            grp = (
+                splitmix64(
+                    flat_bucket.astype(np.uint64)
+                    ^ (band.astype(np.uint64) << np.uint64(48))
+                )
+                % np.uint64(n_groups)
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "grp": pa.array(grp),
+                    "doc_id": pa.array(np.repeat(docs, n_bands)),
+                    "band": pa.array(band),
+                    "bucket": pa.array(flat_bucket),
+                    "side": pa.array(np.full(n * n_bands, side, dtype=np.int8)),
+                }
+            )
+
+        fn.__name__ = f"band_side{side}"
+        return fn
+
+    banded = side_ds(0).map_batches(band_stage(0), batch_format="pyarrow").union(
+        side_ds(1).map_batches(band_stage(1), batch_format="pyarrow")
+    )
+
+    _EMPTY_XPAIRS = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("one", pa.int64())]
+    )
+
+    def expand_cross(g: pa.Table) -> pa.Table:
+        """Per (band, bucket) segment: incoming x corpus cross pairs
+        only — vectorized repeat/offset expansion, no Python loop."""
+        if g.num_rows == 0 or "band" not in g.column_names:
+            return _EMPTY_XPAIRS.empty_table()
+        band_v = g["band"].to_numpy(zero_copy_only=False)
+        bucket_v = g["bucket"].to_numpy(zero_copy_only=False)
+        doc_v = g["doc_id"].to_numpy(zero_copy_only=False)
+        side_v = g["side"].to_numpy(zero_copy_only=False)
+        # corpus rows (side 0) first within each segment
+        order = np.lexsort((doc_v, side_v, bucket_v, band_v))
+        band_v, bucket_v = band_v[order], bucket_v[order]
+        doc_v, side_v = doc_v[order], side_v[order]
+        n = len(doc_v)
+        seg_first = np.ones(n, dtype=bool)
+        seg_first[1:] = (band_v[1:] != band_v[:-1]) | (bucket_v[1:] != bucket_v[:-1])
+        seg_id = np.cumsum(seg_first) - 1
+        starts = np.flatnonzero(seg_first)
+        # corpus count per segment = index of first incoming row - start
+        is_cor = side_v == 0
+        cor_cnt = np.bincount(seg_id[is_cor], minlength=len(starts)).astype(np.int64)
+        inc_rows = np.flatnonzero(~is_cor)
+        rep = cor_cnt[seg_id[inc_rows]]  # pairs per incoming row
+        total = int(rep.sum())
+        if total == 0:
+            return _EMPTY_XPAIRS.empty_table()
+        b_idx = np.repeat(inc_rows, rep)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(rep) - rep, rep)
+        a_idx = np.repeat(starts[seg_id[inc_rows]], rep) + offs
+        # pack + unique: a band collision can repeat a pair within grp
+        packed = np.unique(
+            doc_v[b_idx].astype(np.uint64) * np.uint64(1 << 32)
+            + doc_v[a_idx].astype(np.uint64)
+        )
+        return pa.table(
+            {
+                "a": pa.array((packed >> np.uint64(32)).astype(np.int64)),
+                "b": pa.array((packed & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                "one": pa.array(np.ones(len(packed), dtype=np.int64)),
+            }
+        )
+
+    # a = incoming doc, b = corpus doc; cross-group dedup via grouped count
+    cand = grouped_sum(
+        banded.groupby("grp").map_groups(expand_cross, batch_format="pyarrow"),
+        ["a", "b"],
+        {"n": ("one", "sum")},
+    )
+
+    docs_int = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cand_a = cand.map_batches(
+        lambda t: pa.table({"doc_id": t["a"], "b": t["b"]}), batch_format="pyarrow"
+    )
+    with_a = hash_join(
+        cand_a, docs_int, on="doc_id",
+        left_cols=["doc_id", "b"], right_cols=["doc_id", "text"],
+    ).map_batches(
+        lambda t: pa.table(
+            {"inc_doc": t["doc_id"], "doc_id": t["b"], "text_inc": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    with_ab = hash_join(
+        with_a, docs_int, on="doc_id",
+        left_cols=["doc_id", "inc_doc", "text_inc"], right_cols=["doc_id", "text"],
+    )
+
+    def verify_jac(t: pa.Table) -> pa.Table:
+        # verify with the SAME similarity the index measures (3-shingle
+        # jaccard): token-SET jaccard ignores word order, so it can be
+        # near 1.0 on a small-vocabulary corpus while the shingle
+        # signatures — correctly — see unrelated sequences
+        out_i, out_c, out_j = [], [], []
+        for x, y, si_txt, sc_txt in zip(
+            t["inc_doc"].to_pylist(), t["doc_id"].to_pylist(),
+            t["text_inc"].to_pylist(), t["text"].to_pylist(),
+        ):
+            si = set(T.shingle_hashes(si_txt or "", k=3).tolist())
+            sc = set(T.shingle_hashes(sc_txt or "", k=3).tolist())
+            j = len(si & sc) / max(len(si | sc), 1)
+            if j >= threshold:
+                out_i.append(x)
+                out_c.append(y)
+                out_j.append(int(j * 100))
+        return pa.table(
+            {
+                "inc_doc": pa.array(out_i, type=pa.int64()),
+                "cor_doc": pa.array(out_c, type=pa.int64()),
+                "jaccard_pct": pa.array(out_j, type=pa.int64()),
+            }
+        )
+
+    return with_ab.map_batches(verify_jac, batch_format="pyarrow").sort(
+        ["inc_doc", "cor_doc"]
+    )

@@ -25,6 +25,7 @@ def test_queries_have_oracles_or_are_documented(ray_session):
     assert set(qs) - set(oracles) == {
         "geo_cells",
         "docs_minhash_lsh",
+        "docs_crosscorpus_neardup",
         "docs_simhash",
         "docs_langid_quality",
         "docs_fingerprints",

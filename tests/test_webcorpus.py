@@ -261,3 +261,53 @@ def test_tfidf_pairs_oracle_and_ranking(ray_session, sf_small):
     assert got[["a", "b", "score"]].values.tolist() == exp.values.tolist()
     s = got["score"].values
     assert (s[:-1] >= s[1:]).all()
+
+
+def test_crosscorpus_neardup_brute_containment(ray_session, sf_small):
+    """Every emitted cross-corpus pair is a TRUE near-dup (exact
+    jaccard >= threshold, verified brute-force), pairs are strictly
+    cross-side, and the run is deterministic."""
+    import pyarrow.parquet as pq
+
+    from geografir_ray.functions import text as T
+    from geografir_ray.pipelines.documents import docs_crosscorpus_neardup
+
+    # gate recall at the near-identical end (0.9), where the LSH
+    # S-curve (16 bands x 8 rows) collides with probability ~1
+    thr = 0.9
+    got = docs_crosscorpus_neardup(sf_small, threshold=thr).to_pandas()
+    again = docs_crosscorpus_neardup(sf_small, threshold=thr).to_pandas()
+    assert got.values.tolist() == again.values.tolist()
+
+    docs = pq.read_table(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    toks = {
+        int(r.doc_id): set(T.shingle_hashes(r.text or "", k=3).tolist())
+        for r in docs.itertuples()
+    }
+    # containment: every emitted pair is cross-side and truly >= thr
+    for inc, cor, jp in got[["inc_doc", "cor_doc", "jaccard_pct"]].values.tolist():
+        assert inc % 2 == 1 and cor % 2 == 0
+        si, sc = toks[inc], toks[cor]
+        j = len(si & sc) / max(len(si | sc), 1)
+        assert j >= thr
+        assert int(j * 100) == jp
+    # recall vs brute force over all cross pairs at the near-identical
+    # end (at shingle-j >= 0.9 the signatures band-collide with
+    # probability ~1; exact dups at j = 1.0 are always caught)
+    brute = set()
+    for a in toks:
+        if a % 2 == 0:
+            continue
+        for b in toks:
+            if b % 2 == 1:
+                continue
+            si, sc = toks[a], toks[b]
+            if si or sc:
+                if len(si & sc) / max(len(si | sc), 1) >= thr:
+                    brute.add((a, b))
+    emitted = set(zip(got["inc_doc"].tolist(), got["cor_doc"].tolist()))
+    assert emitted <= brute
+    if brute:
+        assert len(emitted) / len(brute) >= 0.6
