@@ -864,10 +864,36 @@ def _mp_ceiling(lo: int, hi: int) -> float:
     return times[lo] / times[hi]
 
 
+def run_stats() -> None:
+    """Print per-stage ds.stats() for a named entry (default: the
+    flagship) — the iterate-on-wall-time loop the engine was tuned
+    with, kept runnable: `python bench.py --stats [entry]`."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    from geografir_ray.context import tune
+
+    tune()
+    suite = bench_suite()
+    names = [a for a in sys.argv[2:] if not a.startswith("-")] or [
+        "flagship_pip_zonal"
+    ]
+    for name in names:
+        out = suite[name](SF_DIR)
+        if hasattr(out, "materialize"):
+            out = out.materialize()
+            print(f"=== {name} ===\n{out.stats()}", file=sys.stderr)
+        else:
+            print(f"=== {name}: non-Dataset result, no stats ===", file=sys.stderr)
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scale-worker" in sys.argv:
         print(json.dumps(run_scale_worker()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_single()))
