@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_pyramid": S.tile_pyramid,
         "geo_bbox_join": S.bbox_overlap_join,
         "geo_cluster_points": S.cluster_points,
+        "geo_radius_join": S.radius_join,
         # events (window / session / as-of)
         "events_hourly": E.events_hourly,
         "events_sessions": E.events_sessions,
@@ -71,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": E.events_pivot,
         "events_funnel": E.events_funnel,
         "events_retention": E.events_retention,
+        "events_travel_distance": E.events_travel_distance,
         # documents (text analysis + dedup family)
         "docs_stats": D.docs_stats,
         "docs_term_topk": D.docs_term_topk,
@@ -95,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf_pairs": D.docs_tfidf_pairs,
         "docs_minhash_lsh": D.docs_minhash_lsh,  # rows-only: minhash seeds
         "docs_crosscorpus_neardup": D.docs_crosscorpus_neardup,  # rows-only: minhash seeds
+        "docs_bm25_topk": D.docs_bm25_topk,
         "docs_simhash": D.docs_simhash,  # rows-only: simhash bits
         "docs_langid_quality": D.docs_langid_quality,  # rows-only: heuristic model
         "docs_fingerprints": D.docs_fingerprints,  # rows-only: rolling hash
@@ -108,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ivfpq_knn": M.emb_ivfpq_knn,  # rows-only: IVF-pruned PQ scores
         "emb_dim_stats": M.emb_dim_stats,
         "emb_kmeans": M.emb_kmeans,  # rows-only: iterative Lloyd refinement
+        "emb_semantic_dedup": M.emb_semantic_dedup,  # rows-only: kmeans buckets
         # raster (tile tables / masked stats / burn / conform)
         "raster_tile_stats": RQ.raster_tile_stats,
         "raster_burn": RQ.raster_burn,
@@ -178,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_tile_pyramid": S.tile_pyramid_sql(),
         "geo_bbox_join": S.bbox_overlap_join_sql(),
         "geo_cluster_points": S.cluster_points_sql(),
+        "geo_radius_join": S.radius_join_sql(),
         "events_hourly": E.EVENTS_HOURLY_SQL,
         "events_sessions": E.EVENTS_SESSIONS_SQL,
         "events_sessions_sorted": E.EVENTS_SESSIONS_SQL,
@@ -192,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": E.EVENTS_PIVOT_SQL,
         "events_funnel": E.EVENTS_FUNNEL_SQL,
         "events_retention": E.EVENTS_RETENTION_SQL,
+        "events_travel_distance": E.events_travel_distance_sql(),
         "docs_stats": D.DOCS_STATS_SQL,
         "docs_term_topk": D.DOCS_TERM_TOPK_SQL,
         "docs_exact_dedup": D.DOCS_EXACT_DEDUP_SQL,
@@ -213,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_neardup_purge": D.DOCS_NEARDUP_PURGE_SQL,
         "docs_incremental_dedup": D.DOCS_INCREMENTAL_DEDUP_SQL,
         "docs_tfidf_pairs": D.DOCS_TFIDF_PAIRS_SQL,
+        "docs_bm25_topk": D.docs_bm25_topk_sql(),
         "emb_dim_stats": M.EMB_DIM_STATS_SQL,
         "emb_knn": M.EMB_KNN_SQL,
         "emb_neardup": M.EMB_NEARDUP_SQL,
@@ -250,7 +257,8 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_crosscorpus_neardup,
         # docs_simhash, docs_langid_quality, docs_fingerprints,
-        # emb_label_stats, emb_ivf_knn, emb_kmeans, mm_features,
+        # emb_label_stats, emb_ivf_knn, emb_kmeans, emb_semantic_dedup,
+        # mm_features,
         # mm_image_features, mm_audio_features,
         # approx_distinct_parts, approx_quantiles_price — each has a
         # pinned-golden or property test in tests/ (see

@@ -3080,3 +3080,153 @@ def docs_crosscorpus_neardup(
     return with_ab.map_batches(verify_jac, batch_format="pyarrow").sort(
         ["inc_doc", "cor_doc"]
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval: score every document against a fixed query-term set
+# with GLOBAL collection statistics (df per term, doc count, total
+# token count), all-integer so the oracle is exact at every sf.
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("filter", "vector", "window", "spark")
+BM25_TOP_K = 20
+# k1 = 1.2, b = 0.75 encoded as integer ratios: score_term =
+#   idf * tf * 22 * T  //  (10*T*tf + 3*T + 9*dl*N)
+# which is idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with
+# avgdl = T/N, scaled through by 10*T (positive operands: floor == //).
+
+
+def docs_bm25_topk(sf_dir: str, terms: tuple = BM25_TERMS, k: int = BM25_TOP_K):
+    """Top-k documents by integer BM25 against a fixed query.
+
+    Scale design: pass 1 reduces each document to (doc_id, dl,
+    tf_per_term) — m+2 int64s, NOT the text — and materializes that
+    reduced table once; the collection stats (N, T, df) merge on the
+    driver from one partial row per block; pass 2 scores with the
+    broadcast constants and keeps a per-block partial top-k (tie rule
+    score DESC, doc_id ASC) so the final sort sees k x n_blocks rows
+    regardless of corpus size.  idf reuses docs_tfidf_pairs' capped
+    integer encoding: min((1000 * N) // df, TFIDF_IDF_CAP).
+    """
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    m = len(terms)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    _STATS = pa.schema(
+        [("doc_id", pa.int64()), ("dl", pa.int64())]
+        + [(f"tf{j}", pa.int64()) for j in range(m)]
+    )
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _STATS.empty_table()
+        flat, docidx, counts = T.flat_tokens(t["text"])
+        n = t.num_rows
+        cols = {
+            "doc_id": t["doc_id"],
+            "dl": pa.array(counts.astype(np.int64)),
+        }
+        for j, term in enumerate(terms):
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False).astype(bool)
+            cols[f"tf{j}"] = pa.array(
+                np.bincount(docidx[hit], minlength=n).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    stats = ds.map_batches(
+        per_doc, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # collection constants: ONE partial row per block, driver-merged
+    def partial(t: pa.Table) -> pa.Table:
+        row = {
+            "n": pa.array([t.num_rows], pa.int64()),
+            "t": pa.array(
+                [int(t["dl"].to_numpy(zero_copy_only=False).sum())
+                 if t.num_rows else 0], pa.int64()
+            ),
+        }
+        for j in range(m):
+            tf = t[f"tf{j}"].to_numpy(zero_copy_only=False) if t.num_rows else np.zeros(0)
+            row[f"df{j}"] = pa.array([int((tf > 0).sum())], pa.int64())
+        return pa.table(row)
+
+    parts = stats.map_batches(partial, batch_format="pyarrow").take_all()
+    N = sum(p["n"] for p in parts)
+    TT = sum(p["t"] for p in parts)
+    df = np.array(
+        [sum(p[f"df{j}"] for p in parts) for j in range(m)], dtype=np.int64
+    )
+    idf = np.minimum(
+        np.where(df > 0, (1000 * N) // np.maximum(df, 1), 0), TFIDF_IDF_CAP
+    ).astype(np.int64)
+    ref = ray.put((np.int64(N), np.int64(TT), idf))
+
+    def score_topk(state, t: pa.Table) -> pa.Table:
+        N, TT, idf = state
+        out_schema = pa.schema([("doc_id", pa.int64()), ("score", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = np.zeros(len(dl), dtype=np.int64)
+        for j in range(m):
+            tf = t[f"tf{j}"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = tf > 0
+            if not pos.any():
+                continue
+            num = idf[j] * tf[pos] * 22 * TT
+            den = 10 * TT * tf[pos] + 3 * TT + 9 * dl[pos] * N
+            score[pos] += num // den
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = score > 0
+        did, score = did[keep], score[keep]
+        if len(did) > k:  # per-block partial top-k, same tie rule
+            order = np.lexsort((did, -score))[:k]
+            did, score = did[order], score[order]
+        return pa.table({"doc_id": pa.array(did), "score": pa.array(score)})
+
+    return (
+        stats.map_batches(
+            with_broadcast(ref, score_topk, "bm25_score"), batch_format="pyarrow"
+        )
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def docs_bm25_topk_sql(terms: tuple = BM25_TERMS, k: int = BM25_TOP_K) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM toks) AS tt
+),
+tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf
+  FROM toks WHERE token IN ({term_list})
+  GROUP BY doc_id, token
+),
+df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(sum(
+           (LEAST((1000 * c.n) // df.df, {TFIDF_IDF_CAP}) * tf.tf * 22 * c.tt)
+           // (10 * c.tt * tf.tf + 3 * c.tt + 9 * dl.dl * c.n)
+         ) AS BIGINT) AS score
+  FROM tf
+  JOIN df USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN consts c
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""

@@ -1217,3 +1217,117 @@ def ann_pq_codes_topk(
         zero_copy_batch=True,
     )
     return _merge_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape, Abbas et al. 2023): k-means-cluster
+# the embedding space, then near-dup-filter WITHIN each cluster only —
+# the O(n^2) cosine comparison collapses to O(sum n_c^2), and each
+# cluster dedups independently (the cross-cluster misses are the
+# method's documented recall tradeoff, not a bug).
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = NEARDUP_THRESHOLD
+SEMDEDUP_K = 8
+
+
+def emb_semantic_dedup(
+    sf_dir: str,
+    k: int = SEMDEDUP_K,
+    n_iters: int = 5,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    chunk: int = 4096,
+):
+    """Per-cluster keep-first cosine dedup over k-means buckets.
+
+    Drop rule (deterministic, order-free): vector v is dropped iff some
+    u in the SAME cluster has u.vec_id < v.vec_id and cosine(u, v) >=
+    threshold — "earlier wins", independent of u's own drop status (the
+    same winner-min convention as docs_paragraph_dedup).  Output is one
+    row per vector: (vec_id, cluster, kept).
+
+    Scale design: centroids are fit with the streaming kmeans_fit
+    (k x (dim+1) partials per block), assignment is one broadcast
+    matmul per batch, and the per-cluster comparison runs inside
+    groupby(cluster).map_groups — BOUNDED group count (k), CLAUDE.md
+    rule 1 — in ``chunk``-row slabs against the id-ordered prefix, so a
+    hot cluster costs chunk x n_c peak memory, never n_c^2 at once.
+    rows-only: the kmeans assignment is iterative, not SQL-expressible
+    (documented in __ray_entry__ and tests/test_entry.py); gated by an
+    exact brute-force replay + repartition-invariance test
+    (tests/test_pipelines_misc.py).
+    """
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent, _ = kmeans_fit(ds, k=k, n_iters=n_iters)
+
+    _ASSIGNED = pa.schema(
+        [
+            ("cluster", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+        ]
+    )
+
+    def assign(state, t: pa.Table) -> pa.Table:
+        c = state
+        if t.num_rows == 0:
+            return _ASSIGNED.empty_table()
+        m = _emb_matrix(t)
+        a = _euclid_assign(m, c)[0]
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table(
+            {
+                "cluster": pa.array(a.astype(np.int64)),
+                "vec_id": t["vec_id"],
+                "embedding": col,
+            }
+        )
+
+    _OUT = pa.schema(
+        [("vec_id", pa.int64()), ("cluster", pa.int64()), ("kept", pa.bool_())]
+    )
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return _OUT.empty_table()
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _emb_matrix(g)[order]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        dropped = np.zeros(n, dtype=bool)
+        for lo in range(1, n, chunk):
+            hi = min(lo + chunk, n)
+            sims = mn[lo:hi] @ mn[:hi].T  # (hi-lo, hi)
+            # only columns j < global row index i = lo + r count as "earlier"
+            cols = np.arange(hi)
+            rows = np.arange(lo, hi)
+            earlier = cols[None, :] < rows[:, None]
+            dropped[lo:hi] = ((sims >= threshold) & earlier).any(axis=1)
+        cluster = int(g["cluster"][0].as_py())
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "cluster": pa.array(np.full(n, cluster, dtype=np.int64)),
+                "kept": pa.array(~dropped),
+            }
+        )
+
+    ref = ray.put(cent)
+    assigned = ds.map_batches(
+        with_broadcast(ref, assign, "semdedup_assign"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return (
+        assigned.groupby("cluster")
+        .map_groups(dedup_group, batch_format="pyarrow")
+        .sort("vec_id")
+    )

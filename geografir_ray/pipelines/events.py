@@ -1220,3 +1220,219 @@ FROM ud JOIN f USING (user_id)
 GROUP BY 1, 2
 ORDER BY cohort_day, day_offset
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-user travel distance (trajectory length) — the GPS-track shape:
+# order each user's events by time, sum the leg lengths between
+# consecutive positions.  Same sorted-segment engine as
+# events_sessions_sorted (one vectorized diff per block + O(blocks)
+# edge records), never a per-user map_groups.  Legs are planar
+# distances integer-scaled to "meters" (floor(sqrt(dd) * 111000)) so
+# the cross-engine sum is order-independent (CLAUDE.md rule 5).
+# ---------------------------------------------------------------------------
+
+_TRAVEL_SCALE = 111000.0  # deg -> approx meters; parity encoding, not geodesy
+
+
+def events_travel_distance(sf_dir: str):
+    import ray
+
+    from ..functions import synthgeo
+    from ..stages.broadcast import with_broadcast
+    from .common import grouped_sum
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"]).sort(
+        ["user_id", "ts", "event_id"]
+    )
+
+    _SCHEMA = pa.schema(
+        [
+            ("kind", pa.int8()),  # 0 = per-user partial, 1 = block edge record
+            ("user_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("travel_m", pa.int64()),
+            ("first_uid", pa.int64()),
+            ("first_ts", pa.int64()),
+            ("first_eid", pa.int64()),
+            ("first_lat", pa.float64()),
+            ("first_lon", pa.float64()),
+            ("last_uid", pa.int64()),
+            ("last_lat", pa.float64()),
+            ("last_lon", pa.float64()),
+        ]
+    )
+
+    def leg_m(lat1, lon1, lat2, lon2):
+        dlat = lat2 - lat1
+        dlon = lon2 - lon1
+        return np.floor(
+            np.sqrt(dlat * dlat + dlon * dlon) * _TRAVEL_SCALE
+        ).astype(np.int64)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(uid)
+        if n == 0:
+            return _SCHEMA.empty_table()
+        lat = synthgeo.synth_lat(eid)
+        lon = synthgeo.synth_lon(eid)
+        seg = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            same = uid[1:] == uid[:-1]
+            seg[1:][same] = leg_m(lat[:-1], lon[:-1], lat[1:], lon[1:])[same]
+        tb = pa.table(
+            {
+                "user_id": pa.array(uid),
+                "m": pa.array(seg),
+                "one": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+        g = tb.group_by("user_id").aggregate([("m", "sum"), ("one", "sum")])
+        m = g.num_rows
+        neg1 = pa.array(np.full(m, -1, dtype=np.int64))
+        negf = pa.array(np.full(m, 0.0, dtype=np.float64))
+        partials = pa.table(
+            {
+                "kind": pa.array(np.zeros(m, dtype=np.int8)),
+                "user_id": g["user_id"],
+                "n_events": g["one_sum"],
+                "travel_m": g["m_sum"],
+                "first_uid": neg1,
+                "first_ts": neg1,
+                "first_eid": neg1,
+                "first_lat": negf,
+                "first_lon": negf,
+                "last_uid": neg1,
+                "last_lat": negf,
+                "last_lon": negf,
+            },
+            schema=_SCHEMA,
+        )
+        edge = pa.table(
+            {
+                "kind": pa.array(np.array([1], dtype=np.int8)),
+                "user_id": pa.array([-1], type=pa.int64()),
+                "n_events": pa.array([0], type=pa.int64()),
+                "travel_m": pa.array([0], type=pa.int64()),
+                "first_uid": pa.array([int(uid[0])], type=pa.int64()),
+                "first_ts": pa.array([int(ts[0])], type=pa.int64()),
+                "first_eid": pa.array([int(eid[0])], type=pa.int64()),
+                "first_lat": pa.array([float(lat[0])], type=pa.float64()),
+                "first_lon": pa.array([float(lon[0])], type=pa.float64()),
+                "last_uid": pa.array([int(uid[-1])], type=pa.int64()),
+                "last_lat": pa.array([float(lat[-1])], type=pa.float64()),
+                "last_lon": pa.array([float(lon[-1])], type=pa.float64()),
+            },
+            schema=_SCHEMA,
+        )
+        return pa.concat_tables([partials, edge])
+
+    tagged = ds.map_batches(
+        per_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()  # O(users x blocks + blocks) rows, never the input size
+
+    def only(kind: int, cols):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["kind"], kind)).select(cols)
+
+        return f
+
+    base = grouped_sum(
+        tagged.map_batches(
+            only(0, ["user_id", "n_events", "travel_m"]), batch_format="pyarrow"
+        ),
+        ["user_id"],
+        {"n_events": ("n_events", "sum"), "travel_m": ("travel_m", "sum")},
+    )
+
+    # Block-boundary legs: one candidate per adjacent block pair,
+    # ordered by (first_uid, first_ts, first_eid) so pairing does not
+    # depend on block arrival order.
+    edges = tagged.map_batches(
+        only(1, ["first_uid", "first_ts", "first_eid", "first_lat",
+                 "first_lon", "last_uid", "last_lat", "last_lon"]),
+        batch_format="pyarrow",
+    ).take_all()
+    edges.sort(key=lambda e: (e["first_uid"], e["first_ts"], e["first_eid"]))
+    corrections: dict[int, int] = {}
+    for i in range(1, len(edges)):
+        if edges[i]["first_uid"] == edges[i - 1]["last_uid"]:
+            m = int(
+                leg_m(
+                    np.float64(edges[i - 1]["last_lat"]),
+                    np.float64(edges[i - 1]["last_lon"]),
+                    np.float64(edges[i]["first_lat"]),
+                    np.float64(edges[i]["first_lon"]),
+                )
+            )
+            u = int(edges[i]["first_uid"])
+            corrections[u] = corrections.get(u, 0) + m
+
+    if corrections:
+        ckeys = np.array(sorted(corrections), dtype=np.int64)
+        cvals = np.array([corrections[k] for k in sorted(corrections)], dtype=np.int64)
+        ref = ray.put((ckeys, cvals))
+
+        def apply_corr(state, t: pa.Table) -> pa.Table:
+            ckeys, cvals = state
+            u = t["user_id"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ckeys, u), 0, len(ckeys) - 1)
+            add = np.where(ckeys[pos] == u, cvals[pos], 0)
+            return pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "n_events": t["n_events"],
+                    "travel_m": pa.array(
+                        t["travel_m"].to_numpy(zero_copy_only=False) + add
+                    ),
+                }
+            )
+
+        base = base.map_batches(
+            with_broadcast(ref, apply_corr, "travel_boundary_fix"),
+            batch_format="pyarrow",
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_events"], 2))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_legs": pc.subtract(t["n_events"], pa.scalar(1, pa.int64())),
+                "travel_m": t["travel_m"],
+            }
+        )
+
+    return base.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
+def events_travel_distance_sql() -> str:
+    from ..functions.synthgeo import synth_lat_sql, synth_lon_sql
+
+    lat = synth_lat_sql("event_id")
+    lon = synth_lon_sql("event_id")
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id, {lat} AS lat, {lon} AS lon FROM events
+),
+segs AS (
+  SELECT user_id,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon, lat, lon
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       count(*) AS n_legs,
+       CAST(sum(CAST(floor(sqrt((lat - plat) * (lat - plat)
+                               + (lon - plon) * (lon - plon))
+                           * {_TRAVEL_SCALE}) AS BIGINT)) AS BIGINT) AS travel_m
+FROM segs
+WHERE plat IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""

@@ -34,6 +34,7 @@ def test_queries_have_oracles_or_are_documented(ray_session):
         "emb_pq_knn",
         "emb_ivfpq_knn",
         "emb_kmeans",
+        "emb_semantic_dedup",
         "mm_features",
         "mm_image_features",
         "mm_audio_features",

@@ -957,3 +957,148 @@ def test_skew_salted_matches_naive_groupby(ray_session):
             a["v_sum"].to_numpy().astype(np.int64),
             other["v_sum"].to_numpy().astype(np.int64),
         )
+
+
+def test_radius_join_exact(ray_session, sf_small):
+    """Cell-partitioned within-distance join == brute-force all pairs."""
+    import pyarrow.parquet as pq
+
+    from geografir_ray.functions import synthgeo
+    from geografir_ray.pipelines.spatial import RADIUS_JOIN_DEG, radius_join
+
+    out = radius_join(sf_small).to_pandas()
+    ck = pq.read_table(f"{sf_small}/customer.parquet", columns=["c_custkey"])[
+        "c_custkey"
+    ].to_numpy().astype(np.int64)
+    sk = pq.read_table(f"{sf_small}/supplier.parquet", columns=["s_suppkey"])[
+        "s_suppkey"
+    ].to_numpy().astype(np.int64)
+    clon, clat = synthgeo.synth_lon(ck), synthgeo.synth_lat(ck)
+    slon, slat = synthgeo.synth_lon(sk), synthgeo.synth_lat(sk)
+    dx = clon[:, None] - slon[None, :]
+    dy = clat[:, None] - slat[None, :]
+    ci, si = np.nonzero(dx * dx + dy * dy <= RADIUS_JOIN_DEG * RADIUS_JOIN_DEG)
+    expect = set(zip(ck[ci].tolist(), sk[si].tolist()))
+    got = set(zip(out["point_id"].tolist(), out["neighbor_id"].tolist()))
+    assert got == expect
+    # sorted output, no duplicate pairs
+    assert len(out) == len(got)
+
+
+def test_travel_distance_exact(ray_session, sf_small):
+    """Sorted-segment travel distance == per-user brute-force replay
+    (including legs that cross Ray block boundaries)."""
+    import pyarrow.parquet as pq
+
+    from geografir_ray.functions import synthgeo
+    from geografir_ray.pipelines.events import (
+        _TRAVEL_SCALE,
+        events_travel_distance,
+    )
+
+    out = events_travel_distance(sf_small).to_pandas().set_index("user_id")
+    t = pq.read_table(
+        f"{sf_small}/events.parquet", columns=["event_id", "ts", "user_id"]
+    ).to_pandas()
+    t["ts"] = t["ts"].astype("datetime64[us]").astype(np.int64)
+    t = t.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    lat = synthgeo.synth_lat(t["event_id"].to_numpy().astype(np.int64))
+    lon = synthgeo.synth_lon(t["event_id"].to_numpy().astype(np.int64))
+    uid = t["user_id"].to_numpy()
+    expect: dict[int, list[int]] = {}
+    for i in range(1, len(t)):
+        if uid[i] != uid[i - 1]:
+            continue
+        d = np.sqrt(
+            (lat[i] - lat[i - 1]) ** 2 + (lon[i] - lon[i - 1]) ** 2
+        )
+        expect.setdefault(int(uid[i]), []).append(int(np.floor(d * _TRAVEL_SCALE)))
+    for u, legs in expect.items():
+        assert int(out.loc[u, "n_legs"]) == len(legs)
+        assert int(out.loc[u, "travel_m"]) == sum(legs)
+    assert set(out.index) == set(expect)
+
+
+def test_semantic_dedup_exact_replay(ray_session, sf_small):
+    """Clustered keep-first dedup == brute-force replay of the same
+    rule (same deterministic centroids, same drop predicate), and the
+    result is invariant to input slab size (repartitioning)."""
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.embeddings import (
+        SEMDEDUP_K,
+        SEMDEDUP_THRESHOLD,
+        _emb_matrix,
+        _euclid_assign,
+        emb_semantic_dedup,
+        kmeans_fit,
+    )
+    from geografir_ray.sources.tables import read_table
+
+    out = emb_semantic_dedup(sf_small, chunk=7).to_pandas()
+
+    ds = read_table(sf_small, "embeddings", columns=["vec_id", "embedding"])
+    cent, _ = kmeans_fit(ds, k=SEMDEDUP_K, n_iters=5)
+    t = pq.read_table(f"{sf_small}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    m = _emb_matrix(t)
+    order = np.argsort(ids, kind="stable")
+    ids, m = ids[order], m[order]
+    assign = _euclid_assign(m, cent)[0]
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    n = len(ids)
+    dropped = np.zeros(n, dtype=bool)
+    for i in range(n):
+        for j in range(i):
+            if assign[j] == assign[i] and sims[i, j] >= SEMDEDUP_THRESHOLD:
+                dropped[i] = True
+                break
+
+    assert np.array_equal(out["vec_id"].to_numpy().astype(np.int64), ids)
+    assert np.array_equal(out["cluster"].to_numpy().astype(np.int64), assign)
+    assert np.array_equal(out["kept"].to_numpy(), ~dropped)
+    assert 0 < int(out["kept"].sum()) <= n  # rule actually fires or not, bounded
+
+    # slab-size invariance: a different chunk must not change anything
+    out2 = emb_semantic_dedup(sf_small, chunk=3).to_pandas()
+    assert out.equals(out2)
+
+
+def test_bm25_topk_exact_replay(ray_session, sf_small):
+    """Integer BM25 == pure-Python replay of the same encoding."""
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.documents import (
+        BM25_TERMS,
+        BM25_TOP_K,
+        TFIDF_IDF_CAP,
+        docs_bm25_topk,
+    )
+
+    out = docs_bm25_topk(sf_small).to_pandas()
+
+    t = pq.read_table(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    toks = {d: [w for w in (s or "").split(" ") if w] for d, s in docs}
+    N = len(docs)
+    TT = sum(len(v) for v in toks.values())
+    scores = {}
+    for term_idx, term in enumerate(BM25_TERMS):
+        df = sum(1 for v in toks.values() if term in v)
+        if df == 0:
+            continue
+        idf = min((1000 * N) // df, TFIDF_IDF_CAP)
+        for d, v in toks.items():
+            tf = v.count(term)
+            if tf:
+                dl = len(v)
+                scores[d] = scores.get(d, 0) + (idf * tf * 22 * TT) // (
+                    10 * TT * tf + 3 * TT + 9 * dl * N
+                )
+    expect = sorted(
+        ((d, s) for d, s in scores.items() if s > 0), key=lambda x: (-x[1], x[0])
+    )[:BM25_TOP_K]
+    got = list(zip(out["doc_id"].astype(int), out["score"].astype(int)))
+    assert got == expect
