@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_features": D.docs_media_features,  # rows-only: fake codec
         "mm_image_features": D.docs_image_features,  # rows-only: real PNG codec, golden-pinned
         "mm_audio_features": D.docs_audio_features,  # rows-only: real WAV codec, golden-pinned
+        "mm_phash_dedup": D.mm_phash_dedup,  # rows-only: pHash near-dup, replay-gated
         # location extraction (gazetteer scan -> geocode) + sampling
         "docs_locations": D.docs_locations,
         "docs_extract_zonal": D.docs_extract_zonal,
@@ -259,7 +260,7 @@ def oracle_sql() -> dict[str, str]:
         # docs_simhash, docs_langid_quality, docs_fingerprints,
         # emb_label_stats, emb_ivf_knn, emb_kmeans, emb_semantic_dedup,
         # mm_features,
-        # mm_image_features, mm_audio_features,
+        # mm_image_features, mm_audio_features, mm_phash_dedup,
         # approx_distinct_parts, approx_quantiles_price — each has a
         # pinned-golden or property test in tests/ (see
         # test_pipelines_misc.py, test_goldens.py)

@@ -3230,3 +3230,130 @@ SELECT doc_id, score FROM scored WHERE score > 0
 ORDER BY score DESC, doc_id
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup (pHash): decode → 64-bit perceptual hash → banded
+# Hamming dedup.  The multimodal member of the dedup family.
+# ---------------------------------------------------------------------------
+
+PHASH_GROUPS = 40          # planted duplicate groups in the synth corpus
+PHASH_HAM_TAU = 7          # 8 bands x 8 bits: any pair <= 7 shares a band
+PHASH_NOISE_BYTES = 24     # perturbed bytes per variant image
+
+
+def _synth_image_grouped(doc_id: int) -> "np.ndarray":
+    """Deterministic RGB image with PLANTED near-duplicates: the pixel
+    base depends only on doc_id % PHASH_GROUPS; docs beyond the first
+    occurrence of a group get a sparse ±8 perturbation (distinct per
+    doc), so every group is a near-dup cluster under any low-frequency
+    signature.  Sizes vary 32..39 px to exercise the real resize."""
+    from ..functions.hashing import splitmix64
+
+    g = doc_id % PHASH_GROUPS
+    h = 32 + g % 8
+    w = 32 + (g // 2) % 8
+    n = h * w * 3
+    seed = splitmix64(np.uint64((g * 0x9E3779B97F4A7C15 + 7) % (1 << 64)))
+    px = (splitmix64(seed + np.arange(n, dtype=np.uint64)) & np.uint64(0xFF)).astype(
+        np.int64
+    )
+    if doc_id >= PHASH_GROUPS:
+        s2 = splitmix64(np.uint64(doc_id) ^ np.uint64(0xC0FFEE0DDBA11))
+        idx = (splitmix64(s2 + np.arange(PHASH_NOISE_BYTES, dtype=np.uint64))
+               % np.uint64(n)).astype(np.int64)
+        px[idx] = np.clip(px[idx] + 8, 0, 255)
+    return px.astype(np.uint8).reshape(h, w, 3)
+
+
+def mm_phash_dedup(sf_dir: str, tau: int = PHASH_HAM_TAU):
+    """Image near-dup dedup: PNG payload → actor-pool pHash → banded
+    Hamming join → keep-first winners.
+
+    Drop rule: image b is dropped iff some a with a.doc_id < b.doc_id
+    has popcount(phash_a XOR phash_b) <= tau.  With 8 bands x 8 bits,
+    any pair within tau <= 7 shares at least one exact band
+    (pigeonhole), so the banded candidate generation has recall 1 and
+    the rule is EXACTLY the global all-pairs rule — pinned by the
+    brute-force replay test (tests/test_media.py).
+
+    Scale design: hashing is an actor-pool stage (decoder + quantized
+    DCT basis built once per actor); the exchange carries only
+    (band-bucket, doc_id, phash) = 24 B/row x 8; candidate pairs meet
+    inside the banded buckets (at corpus scale widen the bands /
+    multi-probe to keep per-bucket occupancy bounded — documented
+    tradeoff, same knob as emb_lsh_neardup); winners resolve with one
+    distributed anti-join, no driver state.  rows-only: PNG decode +
+    DCT are not SQL-expressible (documented in __ray_entry__ and
+    tests/test_entry.py).
+    """
+    from ..functions.png import encode_png
+    from ..stages.join import hash_join
+    from ..stages.multimodal import ImagePHash, popcount64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = [encode_png(_synth_image_grouped(int(i))) for i in ids]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    hashed = (
+        ds.map_batches(to_payload, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            ImagePHash,
+            fn_constructor_args=("doc_id",),
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=64,
+        )
+        .materialize()  # (doc_id, phash) — 16 B/row, reused twice below
+    )
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("bb", pa.int64()), ("doc_id", pa.int64()), ("phash", pa.int64())]
+            ).empty_table()
+        h = t["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(h)
+        bands = np.arange(8, dtype=np.uint64)
+        byte = (h[:, None] >> (bands * np.uint64(8))[None, :]) & np.uint64(0xFF)
+        bb = (bands[None, :] * np.uint64(256) + byte).astype(np.int64).ravel()
+        rep = np.repeat(np.arange(n, dtype=np.int64), 8)
+        return pa.table(
+            {
+                "bb": pa.array(bb),
+                "doc_id": t["doc_id"].take(pa.array(rep)),
+                "phash": t["phash"].take(pa.array(rep)),
+            }
+        )
+
+    _DROP = pa.schema([("doc_id", pa.int64())])
+
+    def bucket_dropped(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return _DROP.empty_table()
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = g["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, h = ids[order], h[order]
+        # strict upper triangle: j is the later (dropped-candidate) side
+        ii, jj = np.triu_indices(n, k=1)
+        ham = popcount64((h[ii] ^ h[jj]).view(np.int64))
+        hit = np.unique(jj[ham <= tau])
+        return pa.table({"doc_id": pa.array(ids[hit])})
+
+    dropped = (
+        hashed.map_batches(explode_bands, batch_format="pyarrow")
+        .groupby("bb")
+        .map_groups(bucket_dropped, batch_format="pyarrow")
+    )
+    kept = hash_join(hashed, dropped, on="doc_id", how="anti")
+    return kept.sort("doc_id")

@@ -319,3 +319,97 @@ def frame_sample_plan(n_frames_col: str, every_n: int) -> "callable":
 
     fn.__name__ = f"frame_sample[{every_n}]"
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (pHash): 64-bit DCT low-frequency signature for
+# image near-dup detection.  Integer-quantized DCT basis (1<<14 fixed
+# point) so the hash is bit-stable across workers and platforms — the
+# same device as the LSH/kmeans integer dots (CLAUDE.md conventions).
+# ---------------------------------------------------------------------------
+
+PHASH_SIZE = 32  # input resized to 32x32 before the DCT
+
+
+def _dct_basis_q(n: int = PHASH_SIZE) -> np.ndarray:
+    """(n, n) int64 DCT-II basis, rows = frequencies, 1<<14 fixed point."""
+    i = np.arange(n, dtype=np.float64)
+    k = np.arange(n, dtype=np.float64)[:, None]
+    d = np.cos(np.pi * (i[None, :] + 0.5) * k / n)
+    return np.round(d * (1 << 14)).astype(np.int64)
+
+
+def phash64(img: np.ndarray, basis_q: np.ndarray) -> int:
+    """64-bit perceptual hash of an (h, w[, 3]) uint8 image.
+
+    Grayscale (integer ITU weights) → 32x32 bilinear resize → integer
+    DCT-II → top-left 8x8 block → bits = coefficient > lower median.
+    All arithmetic after the resize is int64-exact."""
+    from ..functions.png import resize_bilinear
+
+    if img.ndim == 3:
+        g = (
+            img[..., 0].astype(np.int64) * 299
+            + img[..., 1].astype(np.int64) * 587
+            + img[..., 2].astype(np.int64) * 114
+        ) // 1000
+        g = g.astype(np.uint8)
+    else:
+        g = img
+    n = basis_q.shape[0]
+    if g.shape != (n, n):
+        g = resize_bilinear(g, n, n)
+    c = basis_q @ g.astype(np.int64) @ basis_q.T  # integer DCT, exact
+    block = c[:8, :8].ravel()
+    med = np.partition(block.copy(), 31)[31]  # lower median, deterministic
+    bits = (block > med).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+_POP16 = None
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over an int64/uint64 array (16-bit LUT)."""
+    global _POP16
+    if _POP16 is None:
+        v = np.arange(1 << 16, dtype=np.uint16)
+        # each uint16 contributes its two bytes consecutively; byte
+        # order within the pair doesn't matter for a popcount
+        _POP16 = (
+            np.unpackbits(v.view(np.uint8)).reshape(-1, 16).sum(axis=1)
+        ).astype(np.uint8)
+    u = x.astype(np.uint64)
+    out = np.zeros(x.shape, dtype=np.int64)
+    for s in (0, 16, 32, 48):
+        out += _POP16[((u >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+    return out
+
+
+class ImagePHash:
+    """Actor-pool stage: binary image payload → 64-bit pHash.
+
+    The PNG decoder dispatch, the quantized DCT basis and the resize
+    target are resolved ONCE per actor (__init__), per the stateful-
+    stage contract; __call__ only decodes and hashes."""
+
+    def __init__(self, id_col: str = "doc_id"):
+        from ..functions.png import decode_png
+
+        self.id_col = id_col
+        self.decode = decode_png
+        self.basis_q = _dct_basis_q()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        hashes = np.empty(len(ids), dtype=np.uint64)
+        payloads = batch["payload"]
+        for i in range(len(ids)):
+            img = self.decode(payloads[i].as_py())
+            hashes[i] = phash64(img, self.basis_q)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "phash": pa.array(hashes.view(np.int64)),
+            }
+        )

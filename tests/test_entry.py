@@ -37,6 +37,7 @@ def test_queries_have_oracles_or_are_documented(ray_session):
         "emb_semantic_dedup",
         "mm_features",
         "mm_image_features",
+        "mm_phash_dedup",
         "mm_audio_features",
         "approx_distinct_parts",
         "approx_quantiles_price",

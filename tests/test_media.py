@@ -355,3 +355,47 @@ def test_video_frame_plan_stage(ray_session):
     assert list(out["n_samples"]) == [24, 48, 72, 96]
     assert list(out["frame_plan"][0]) == [0, 10, 20]
     assert list(out["frame_plan"][3]) == list(range(0, 96, 10))
+
+
+def test_phash_dedup_exact_replay(ray_session, sf_small):
+    """Banded pHash dedup == brute-force all-pairs Hamming rule (the
+    8x8 banding has recall 1 for tau <= 7 by pigeonhole), and every
+    planted duplicate group collapses to its first member."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.documents import (
+        PHASH_GROUPS,
+        PHASH_HAM_TAU,
+        _synth_image_grouped,
+        mm_phash_dedup,
+    )
+    from geografir_ray.stages.multimodal import _dct_basis_q, phash64, popcount64
+
+    out = mm_phash_dedup(sf_small).to_pandas()
+
+    ids = np.sort(
+        pq.read_table(f"{sf_small}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_numpy().astype(np.int64)
+    )
+    basis = _dct_basis_q()
+    hashes = np.array(
+        [phash64(_synth_image_grouped(int(i)), basis) for i in ids], dtype=np.uint64
+    )
+    n = len(ids)
+    dropped = np.zeros(n, dtype=bool)
+    for j in range(n):
+        for i in range(j):
+            if int(popcount64(np.array([hashes[i] ^ hashes[j]], np.uint64).view(np.int64))[0]) <= PHASH_HAM_TAU:
+                dropped[j] = True
+                break
+
+    kept_ids = ids[~dropped]
+    assert np.array_equal(out["doc_id"].to_numpy().astype(np.int64), kept_ids)
+    got_hashes = out["phash"].to_numpy().view(np.uint64)
+    assert np.array_equal(got_hashes, hashes[~dropped])
+    # planted structure: every group keeps exactly its first member
+    # (unless a cross-group chance collision merged groups — allow <=)
+    assert len(kept_ids) <= PHASH_GROUPS
+    assert len(kept_ids) >= PHASH_GROUPS - 2
