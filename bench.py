@@ -410,6 +410,42 @@ def bench_suite() -> dict:
         Q = synth_vectors_clustered(qids, n_centers=_PQ10M_CENTERS)
         return ann_pq_codes_topk(codes, qids, Q, _pq10m_codebooks(), k=10)
 
+    def semdedup_1m(_sf_dir: str):
+        # SemDeDup (Abbas et al. 2023) at 1M x 64-dim: streaming
+        # k-means (k=128, 5 iters) -> broadcast assign -> per-cluster
+        # keep-first cosine dedup in fixed (2048, 2048) tiles.  The
+        # tile form is the whole entry: the growing-slab form paid
+        # ~0.5 ms/page first-touch on every fresh (chunk, n_c) temp
+        # (CLAUDE.md rules 13/17) and ran this same input in 547 s;
+        # constant-size tiles recycle through the malloc arena -> 31 s.
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from geografir_ray.pipelines.embeddings import (
+            semantic_dedup,
+            synth_vectors_clustered,
+        )
+
+        DIM = 64
+
+        def build(t):
+            ids = t["id"].to_numpy()
+            vecs = synth_vectors_clustered(ids).astype(np.float32)
+            flat = pa.array(vecs.ravel())
+            offs = pa.array(np.arange(0, (len(ids) + 1) * DIM, DIM, dtype=np.int32))
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "embedding": pa.ListArray.from_arrays(offs, flat),
+                }
+            )
+
+        ds = rd.range(1_000_000, override_num_blocks=64).map_batches(
+            build, batch_format="pyarrow", batch_size=None
+        )
+        return semantic_dedup(ds, k=128, n_iters=5)
+
     def skew_naive_50m(_sf_dir: str):
         # 80%-hot-key SUM through Ray's native groupby.aggregate with
         # NO per-batch combiner — the plan a user writes first: all 50M
@@ -527,6 +563,7 @@ def bench_suite() -> dict:
         "ann_pq_1m": ann_pq_1m,
         "pq_encode_10m": pq_encode_10m,
         "ann_pq_codes_10m": ann_pq_codes_10m,
+        "semdedup_1m": semdedup_1m,
         "dedup_url_12m": dedup_url_12m,
         "curation_2m": curation_2m,
         "ann_brute_100kq": ann_brute_100kq,

@@ -1236,7 +1236,7 @@ def emb_semantic_dedup(
     k: int = SEMDEDUP_K,
     n_iters: int = 5,
     threshold: float = SEMDEDUP_THRESHOLD,
-    chunk: int = 4096,
+    chunk: int = 2048,
 ):
     """Per-cluster keep-first cosine dedup over k-means buckets.
 
@@ -1250,18 +1250,35 @@ def emb_semantic_dedup(
     (k x (dim+1) partials per block), assignment is one broadcast
     matmul per batch, and the per-cluster comparison runs inside
     groupby(cluster).map_groups — BOUNDED group count (k), CLAUDE.md
-    rule 1 — in ``chunk``-row slabs against the id-ordered prefix, so a
-    hot cluster costs chunk x n_c peak memory, never n_c^2 at once.
+    rule 1 — in fixed (chunk, chunk) tiles over the id-ordered prefix,
+    so a hot cluster costs chunk^2 peak temp memory (constant-size,
+    arena-recycled; rules 13/17), never n_c^2 at once.
     rows-only: the kmeans assignment is iterative, not SQL-expressible
     (documented in __ray_entry__ and tests/test_entry.py); gated by an
     exact brute-force replay + repartition-invariance test
     (tests/test_pipelines_misc.py).
     """
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semantic_dedup(
+        ds, k=k, n_iters=n_iters, threshold=threshold, chunk=chunk
+    )
+
+
+def semantic_dedup(
+    ds,
+    k: int = SEMDEDUP_K,
+    n_iters: int = 5,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    chunk: int = 2048,
+):
+    """Dataset-level SemDeDup operator (see emb_semantic_dedup).  At
+    corpus scale size ``k`` so n/k keeps the per-cluster O(n_c^2)
+    comparison tractable (SemDeDup's own knob: more, smaller clusters
+    trade cross-cluster recall for quadratic-term control)."""
     import ray
 
     from ..stages.broadcast import with_broadcast
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     cent, _ = kmeans_fit(ds, k=k, n_iters=n_iters)
 
     _ASSIGNED = pa.schema(
@@ -1303,14 +1320,27 @@ def emb_semantic_dedup(
         m = _emb_matrix(g)[order]
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         dropped = np.zeros(n, dtype=bool)
-        for lo in range(1, n, chunk):
-            hi = min(lo + chunk, n)
-            sims = mn[lo:hi] @ mn[:hi].T  # (hi-lo, hi)
-            # only columns j < global row index i = lo + r count as "earlier"
-            cols = np.arange(hi)
-            rows = np.arange(lo, hi)
-            earlier = cols[None, :] < rows[:, None]
-            dropped[lo:hi] = ((sims >= threshold) & earlier).any(axis=1)
+        # BOTH matmul dims are tiled at the fixed edge ``chunk`` so every
+        # sims / hit temp has the same (chunk, chunk) footprint and the
+        # malloc arena recycles it across tiles, groups and tasks.  The
+        # previous growing (chunk, n_c) slab against the whole prefix
+        # re-paid ~0.5 ms/page first-touch faults on every fresh temp
+        # (CLAUDE.md rules 13/17): one 8k group measured 51 s cold vs
+        # 0.7 s warm — the math is identical, only the temp shape
+        # changed.  Off-diagonal tiles are entirely "earlier" columns;
+        # only the diagonal tile needs the strict-lower-triangle mask.
+        tri = np.tril(np.ones((min(chunk, n),) * 2, dtype=bool), -1)
+        for r0 in range(0, n, chunk):
+            r1 = min(r0 + chunk, n)
+            acc = np.zeros(r1 - r0, dtype=bool)
+            for c0 in range(0, r1, chunk):
+                c1 = min(c0 + chunk, r1)
+                sims = mn[r0:r1] @ mn[c0:c1].T
+                hit = sims >= threshold
+                if c0 == r0:  # diagonal tile: only cols j < i count
+                    hit &= tri[: r1 - r0, : c1 - c0]
+                acc |= hit.any(axis=1)
+            dropped[r0:r1] = acc
         cluster = int(g["cluster"][0].as_py())
         return pa.table(
             {
