@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_lsh_neardup": M.emb_lsh_neardup,
         "emb_label_stats": M.emb_label_stats,  # rows-only: float mean order
         "emb_ivf_knn": M.emb_ivf_knn,  # rows-only: approximate by design
+        "emb_ivf_join": M.emb_ivf_join,  # rows-only: approximate by design
         "emb_pq_knn": M.emb_pq_knn,  # rows-only: PQ-quantized scores
         "emb_ivfpq_knn": M.emb_ivfpq_knn,  # rows-only: IVF-pruned PQ scores
         "emb_dim_stats": M.emb_dim_stats,
@@ -258,7 +259,8 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_crosscorpus_neardup,
         # docs_simhash, docs_langid_quality, docs_fingerprints,
-        # emb_label_stats, emb_ivf_knn, emb_kmeans, emb_semantic_dedup,
+        # emb_label_stats, emb_ivf_knn, emb_ivf_join, emb_kmeans,
+        # emb_semantic_dedup,
         # mm_features,
         # mm_image_features, mm_audio_features, mm_phash_dedup,
         # approx_distinct_parts, approx_quantiles_price — each has a

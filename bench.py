@@ -410,6 +410,63 @@ def bench_suite() -> dict:
         Q = synth_vectors_clustered(qids, n_centers=_PQ10M_CENTERS)
         return ann_pq_codes_topk(codes, qids, Q, _pq10m_codebooks(), k=10)
 
+    def ann_ivf_join_1m(_sf_dir: str):
+        # Fully-partitioned IVF kNN JOIN: 100k query rows x 1M target
+        # rows, k=10, nprobe=8 over 64 cells — NEITHER side broadcast
+        # (vs ann_brute_100kq, which ships the query matrix to every
+        # task).  Exchange: 1M target rows once + 800k exploded query
+        # rows; per-bucket tiled matmuls.  The corpus-x-corpus shape
+        # where the query side is itself a dataset.
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from geografir_ray.pipelines.embeddings import (
+            ann_ivf_join,
+            synth_vectors,
+            synth_vectors_clustered,
+        )
+
+        DIM = 64
+
+        def build(t):
+            ids = t["id"].to_numpy()
+            vecs = synth_vectors_clustered(ids).astype(np.float32)
+            flat = pa.array(vecs.ravel())
+            offs = pa.array(np.arange(0, (len(ids) + 1) * DIM, DIM, dtype=np.int32))
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "embedding": pa.ListArray.from_arrays(offs, flat),
+                }
+            )
+
+        targets = rd.range(1_000_000, override_num_blocks=64).map_batches(
+            build, batch_format="pyarrow", batch_size=None
+        )
+
+        def build_q(t):
+            ids = t["id"].to_numpy() + 1_000_000
+            vecs = synth_vectors_clustered(ids).astype(np.float32)
+            flat = pa.array(vecs.ravel())
+            offs = pa.array(np.arange(0, (len(ids) + 1) * DIM, DIM, dtype=np.int32))
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "embedding": pa.ListArray.from_arrays(offs, flat),
+                }
+            )
+
+        queries = rd.range(100_000, override_num_blocks=16).map_batches(
+            build_q, batch_format="pyarrow", batch_size=None
+        )
+        cent = synth_vectors(np.arange(64, dtype=np.int64) + 3_000_000)
+        import numpy as np2
+
+        return ann_ivf_join(
+            queries, targets, cent, k=10, nprobe=8, dtype=np2.float32
+        )
+
     def semdedup_1m(_sf_dir: str):
         # SemDeDup (Abbas et al. 2023) at 1M x 64-dim: streaming
         # k-means (k=128, 5 iters) -> broadcast assign -> per-cluster
@@ -563,6 +620,7 @@ def bench_suite() -> dict:
         "ann_pq_1m": ann_pq_1m,
         "pq_encode_10m": pq_encode_10m,
         "ann_pq_codes_10m": ann_pq_codes_10m,
+        "ann_ivf_join_100kx1m": ann_ivf_join_1m,
         "semdedup_1m": semdedup_1m,
         "dedup_url_12m": dedup_url_12m,
         "curation_2m": curation_2m,

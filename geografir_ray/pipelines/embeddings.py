@@ -416,19 +416,46 @@ def _partial_topk_rows(qids, sims, vid, k: int):
     global merge's (sim desc, vec_id asc) tie-break sees every candidate
     that could be in the true top-k — exactness is partition-invariant.
     -inf similarities (self-match masking) are dropped."""
+    q, v, s = _partial_topk_arrays(qids, sims, vid, k)
+    return pa.table(
+        {
+            "query_id": pa.array(q),
+            "vec_id": pa.array(v),
+            "sim": pa.array(s),
+        }
+    )
+
+
+def _partial_topk_arrays(qids, sims, vid, k: int):
+    """Numpy-array form of :func:`_partial_topk_rows` — same candidate
+    rows, returned as (query_id, vec_id, sim) arrays for callers that
+    locally reduce candidates before building an Arrow table."""
     nq, nb = sims.shape
     kk = min(k, nb)
     # kth-largest sim per query row; keep everything >= it
     thresh = np.partition(sims, nb - kk, axis=1)[:, nb - kk]
     mask = (sims >= thresh[:, None]) & np.isfinite(sims)
     qi, vi = np.nonzero(mask)  # query-major order
-    return pa.table(
-        {
-            "query_id": pa.array(np.asarray(qids, dtype=np.int64)[qi]),
-            "vec_id": pa.array(vid[vi]),
-            "sim": pa.array(sims[qi, vi].astype(np.float64, copy=False)),
-        }
+    return (
+        np.asarray(qids, dtype=np.int64)[qi],
+        np.asarray(vid, dtype=np.int64)[vi],
+        sims[qi, vi].astype(np.float64, copy=False),
     )
+
+
+def _local_topk_arrays(q, v, s, k: int):
+    """Exact per-query top-k over candidate arrays, with the SAME
+    ordering rule as the global merge (sim desc, vec_id asc) — a local
+    pre-reduction that cannot change the final merged top-k."""
+    order = np.lexsort((v, -s, q))
+    qo = q[order]
+    first = np.ones(len(qo), dtype=bool)
+    first[1:] = qo[1:] != qo[:-1]
+    starts = np.flatnonzero(first)
+    grp = np.cumsum(first) - 1
+    pos = np.arange(len(qo), dtype=np.int64) - starts[grp]
+    keep = order[pos < k]
+    return q[keep], v[keep], s[keep]
 
 
 _TOPK_OUT = pa.schema(
@@ -601,6 +628,231 @@ def ann_ivf_topk(
         zero_copy_batch=True,
     )
     return _merge_topk(scored, k)
+
+
+def ann_ivf_join(
+    queries_ds,
+    targets_ds,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 8,
+    exclude_self: bool = False,
+    n_buckets: int = 256,
+    tile: int = 2048,
+    dtype=np.float64,
+):
+    """Fully-partitioned IVF kNN JOIN: top-k cosine targets for every
+    query row, with NEITHER side broadcast — the embedding-space twin
+    of the geo ring ladder (stages/knn.py).
+
+    Every other ANN operator here ships the query matrix to each task
+    via ray.put, which caps the query side at what fits in one object
+    (fine for <=1M queries, wrong for a corpus-x-corpus join).  This
+    one streams BOTH tables: targets home into their nearest-centroid
+    cell (one row each), queries explode into their ``nprobe`` nearest
+    cells (the only amplification — nprobe x (dim x 4 B) per query,
+    exactly the lists an IVF scan visits anyway).  Both streams then
+    co-partition on hash(cell) % n_buckets — ONE bounded exchange per
+    side — and each bucket task lexsorts by cell and runs per-cell
+    query x target matmuls in fixed-size tiles (CLAUDE.md rules
+    13/17), emitting per-tile partial top-k rows (k rows per query per
+    tile, never the sims matrix).  The global per-query merge is the
+    same bucketed sort+segment path as every other ANN operator
+    (_merge_topk).  Recall is IDENTICAL to ann_ivf_topk by
+    construction: same cell assignment, same nprobe probe set — only
+    the execution is distributed on both sides (equivalence-tested in
+    tests/test_pipelines_misc.py).
+
+    100 TB story: centroids are the only broadcast (k_cells x dim
+    floats); exchange volume is n_targets + nprobe x n_queries rows
+    regardless of corpus size; per-bucket memory is bounded by cell
+    sizes (size k_cells so n/k_cells blocks fit a worker heap, the
+    FAISS nlist sizing rule).
+    """
+    import ray
+
+    from ..functions.hashing import splitmix64
+    from ..stages.broadcast import with_broadcast
+
+    cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    ref = ray.put(cent)
+
+    _TAGGED = pa.schema(
+        [
+            ("__bkt", pa.int64()),
+            ("cell", pa.int64()),
+            ("is_query", pa.bool_()),
+            ("rid", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+        ]
+    )
+
+    def _emb_f32(t: pa.Table) -> pa.Array:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.type != pa.list_(pa.float32()):
+            col = col.cast(pa.list_(pa.float32()))
+        return col
+
+    def tag_targets(state, t: pa.Table) -> pa.Table:
+        cent = state
+        if t.num_rows == 0:
+            return _TAGGED.empty_table()
+        m = _emb_matrix(t)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cell = np.argmax(m @ cent.T, axis=1).astype(np.int64)
+        bkt = (splitmix64(cell.astype(np.uint64)) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "__bkt": pa.array(bkt),
+                "cell": pa.array(cell),
+                "is_query": pa.array(np.zeros(t.num_rows, dtype=bool)),
+                "rid": t["vec_id"].cast(pa.int64()),
+                "embedding": _emb_f32(t),
+            }
+        )
+
+    def tag_queries(state, t: pa.Table) -> pa.Table:
+        cent = state
+        if t.num_rows == 0:
+            return _TAGGED.empty_table()
+        m = _emb_matrix(t)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        np_ = min(nprobe, len(cent))
+        # same probe-selection rule as ann_ivf_topk (argsort, so the
+        # probe SET is bit-identical on the same inputs — the
+        # output-identity gate depends on it)
+        cells = np.argsort(-(m @ cent.T), axis=1)[:, :np_].astype(np.int64)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), np_)
+        rep = t.take(idx)
+        cell = cells.ravel()
+        bkt = (splitmix64(cell.astype(np.uint64)) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "__bkt": pa.array(bkt),
+                "cell": pa.array(cell),
+                "is_query": pa.array(np.ones(len(idx), dtype=bool)),
+                "rid": rep["vec_id"].cast(pa.int64()),
+                "embedding": _emb_f32(rep),
+            }
+        )
+
+    _SCORED = pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
+    )
+
+    def bucket_knn(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _SCORED.empty_table()
+        cell = g["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        isq = g["is_query"].to_numpy(zero_copy_only=False)
+        rid = g["rid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _emb_matrix(g)
+        # dtype=np.float32 halves memory traffic through the matmul and
+        # the partition-dominated top-k (same rationale/caveat as
+        # ann_brute_topk's dtype knob); float64 default stays
+        # bit-compatible with the broadcast-query twin.
+        m = (m / np.linalg.norm(m, axis=1, keepdims=True)).astype(
+            dtype, copy=False
+        )
+        parts = []
+        qrows_all = np.flatnonzero(isq)
+        trows_all = np.flatnonzero(~isq)
+        if len(qrows_all) == 0 or len(trows_all) == 0:
+            return _SCORED.empty_table()
+        # group both sides by cell via one lexsort each (no per-cell scan)
+        qorder = qrows_all[np.argsort(cell[qrows_all], kind="stable")]
+        torder = trows_all[np.argsort(cell[trows_all], kind="stable")]
+        qcells, qstarts = np.unique(cell[qorder], return_index=True)
+        tcells, tstarts = np.unique(cell[torder], return_index=True)
+        qends = np.append(qstarts[1:], len(qorder))
+        tends = np.append(tstarts[1:], len(torder))
+        common, qi, ti = np.intersect1d(qcells, tcells, return_indices=True)
+        for ci in range(len(common)):
+            qr = qorder[qstarts[qi[ci]] : qends[qi[ci]]]
+            tr = torder[tstarts[ti[ci]] : tends[ti[ci]]]
+            qn, qv = m[qr], rid[qr]
+            tn, tv = m[tr], rid[tr]
+            # fixed-size tiles on both dims: constant-footprint temps
+            # recycle through the malloc arena (rules 13/17).  Candidates
+            # from all target tiles of a cell reduce LOCALLY to exactly
+            # k per query (same ordering rule as the global merge) before
+            # any Arrow row is emitted — without this the exchange is
+            # k rows per query per TARGET TILE (~8x blowup measured as
+            # 64M partial rows / 147 s at 100k x 1M; with it, k rows per
+            # query per cell).
+            for q0 in range(0, len(qr), tile):
+                q1 = min(q0 + tile, len(qr))
+                cq, cv, cs = [], [], []
+                for t0 in range(0, len(tr), tile):
+                    t1 = min(t0 + tile, len(tr))
+                    sims = qn[q0:q1] @ tn[t0:t1].T
+                    if exclude_self:
+                        _mask_self(sims, tv[t0:t1], qv[q0:q1])
+                    aq, av, as_ = _partial_topk_arrays(
+                        qv[q0:q1], sims, tv[t0:t1], k
+                    )
+                    cq.append(aq)
+                    cv.append(av)
+                    cs.append(as_)
+                lq, lv, ls = _local_topk_arrays(
+                    np.concatenate(cq), np.concatenate(cv), np.concatenate(cs), k
+                )
+                parts.append(
+                    pa.table(
+                        {
+                            "query_id": pa.array(lq),
+                            "vec_id": pa.array(lv),
+                            "sim": pa.array(ls),
+                        }
+                    )
+                )
+        if not parts:
+            return _SCORED.empty_table()
+        return pa.concat_tables(parts)
+
+    tq = queries_ds.map_batches(
+        with_broadcast(ref, tag_queries, "ivf_join_cent"),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    tt = targets_ds.map_batches(
+        with_broadcast(ref, tag_targets, "ivf_join_cent"),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    scored = (
+        tq.union(tt)
+        .groupby("__bkt")
+        .map_groups(bucket_knn, batch_format="pyarrow")
+    )
+    return _merge_topk(scored, k)
+
+
+def emb_ivf_join(sf_dir: str, k: int = TOP_K, nprobe: int = 3):
+    """IVF kNN join over the sf embeddings table: queries = every 41st
+    vector (vec_id % 41 == 0), targets = all vectors, self-matches
+    excluded; centroids from the deterministic streaming k-means.
+
+    rows-only: the kmeans assignment is iterative, not SQL-expressible
+    (same rationale as emb_ivf_knn / emb_semantic_dedup); gated by an
+    exact replay of the probe/cell rule plus output-identity vs the
+    broadcast-query ann_ivf_topk on the same inputs
+    (tests/test_pipelines_misc.py)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent, _ = kmeans_fit(ds, k=SEMDEDUP_K, n_iters=5)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % 41 == 0))
+
+    queries = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+    return ann_ivf_join(
+        queries, ds, cent, k=k, nprobe=nprobe, exclude_self=True
+    )
 
 
 def synth_vectors(ids: np.ndarray, dim: int = 64) -> np.ndarray:

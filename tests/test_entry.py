@@ -31,6 +31,7 @@ def test_queries_have_oracles_or_are_documented(ray_session):
         "docs_fingerprints",
         "emb_label_stats",
         "emb_ivf_knn",
+        "emb_ivf_join",
         "emb_pq_knn",
         "emb_ivfpq_knn",
         "emb_kmeans",

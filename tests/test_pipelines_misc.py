@@ -1019,6 +1019,59 @@ def test_travel_distance_exact(ray_session, sf_small):
     assert set(out.index) == set(expect)
 
 
+def test_ivf_join_identity_and_invariance(ray_session, sf_small):
+    """The fully-partitioned IVF kNN join produces IDENTICAL output to
+    the broadcast-query ann_ivf_topk on the same inputs (same
+    centroids, same probe rule, same merge), and is invariant to input
+    repartitioning — the distribution strategy must not change a
+    single row."""
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.embeddings import (
+        SEMDEDUP_K,
+        ann_ivf_topk,
+        emb_ivf_join,
+        kmeans_fit,
+    )
+    from geografir_ray.sources.tables import read_table
+
+    out = emb_ivf_join(sf_small, k=5, nprobe=3).to_pandas()
+
+    # broadcast-side twin on the same query subset / centroids
+    ds = read_table(sf_small, "embeddings", columns=["vec_id", "embedding"])
+    cent, _ = kmeans_fit(ds, k=SEMDEDUP_K, n_iters=5)
+    t = pq.read_table(
+        f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    sel = ids % 41 == 0
+    qids = ids[sel]
+    qmat = np.stack(
+        [np.asarray(v.as_py(), dtype=np.float64) for v in t["embedding"]]
+    )[sel]
+    ref = ann_ivf_topk(
+        ds, qids, qmat, cent, k=5, nprobe=3, exclude_self=True
+    ).to_pandas()
+    assert len(out) > 0
+    assert out.reset_index(drop=True).equals(ref.reset_index(drop=True))
+
+    # repartition invariance: different block structure, same rows
+    ds7 = ds.repartition(7)
+    from geografir_ray.pipelines.embeddings import ann_ivf_join
+
+    def pick(tt):
+        import pyarrow as pa_
+
+        ii = tt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return tt.filter(pa_.array(ii % 41 == 0))
+
+    q7 = ds7.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+    out7 = ann_ivf_join(
+        q7, ds7, cent, k=5, nprobe=3, exclude_self=True
+    ).to_pandas()
+    assert out.reset_index(drop=True).equals(out7.reset_index(drop=True))
+
+
 def test_semantic_dedup_exact_replay(ray_session, sf_small):
     """Clustered keep-first dedup == brute-force replay of the same
     rule (same deterministic centroids, same drop predicate), and the
