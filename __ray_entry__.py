@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stats": D.docs_stats,
         "docs_term_topk": D.docs_term_topk,
         "docs_exact_dedup": D.docs_exact_dedup,
+        "docs_normalized_dedup": D.docs_normalized_dedup,
         "docs_jaccard_pairs": D.docs_jaccard_pairs,
         "docs_quality": D.docs_quality,
         "docs_text_passthrough": D.docs_text_passthrough,
@@ -109,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ivf_knn": M.emb_ivf_knn,  # rows-only: approximate by design
         "emb_ivf_join": M.emb_ivf_join,  # rows-only: approximate by design
         "emb_pq_knn": M.emb_pq_knn,  # rows-only: PQ-quantized scores
+        "emb_pq_refine_knn": M.emb_pq_refine_knn,  # rows-only: PQ shortlist, exact re-rank
         "emb_ivfpq_knn": M.emb_ivfpq_knn,  # rows-only: IVF-pruned PQ scores
         "emb_dim_stats": M.emb_dim_stats,
         "emb_kmeans": M.emb_kmeans,  # rows-only: iterative Lloyd refinement
@@ -203,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_stats": D.DOCS_STATS_SQL,
         "docs_term_topk": D.DOCS_TERM_TOPK_SQL,
         "docs_exact_dedup": D.DOCS_EXACT_DEDUP_SQL,
+        "docs_normalized_dedup": D.DOCS_NORMALIZED_DEDUP_SQL,
         "docs_jaccard_pairs": D.DOCS_JACCARD_SQL,
         "docs_quality": D.DOCS_QUALITY_SQL,
         "docs_text_passthrough": D.DOCS_TEXT_PASSTHROUGH_SQL,

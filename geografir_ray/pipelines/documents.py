@@ -150,6 +150,70 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Normalized ("fuzzy-exact", C4-style) dedup: lowercase, strip
+# non-alphanumerics, collapse whitespace — catches the trivial-variant
+# duplicates exact hashing misses (case/punct/spacing edits), the
+# standard first rung below MinHash in a web-corpus dedup ladder.
+# Same shuffle shape as docs_exact_dedup: the exchanged key is a 64-bit
+# hash of the NORMALIZED text, winner = min doc_id per group.
+# ---------------------------------------------------------------------------
+
+
+def docs_normalized_dedup(sf_dir: str):
+    """Keep-first dedup on normalized text.
+
+    Normalization (identical RE2 semantics in both engines — Arrow's
+    replace_substring_regex and DuckDB's regexp_replace are both RE2):
+    lower -> drop [^a-z0-9\\s] -> collapse \\s+ to one space -> trim.
+    Output (doc_id of winner, n_dupes in its group), exact oracle."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm_hash(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash_strings
+
+        x = pc.utf8_lower(t["text"])
+        x = pc.replace_substring_regex(x, pattern=r"[^a-z0-9\s]", replacement="")
+        x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+        x = pc.utf8_trim_whitespace(x)
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        h = hash_strings(x)
+        return pa.table(
+            {
+                "norm_hash": pa.array(
+                    (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+                ),
+                "doc_id": t["doc_id"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    hashed = ds.map_batches(norm_hash, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_sum(
+        hashed,
+        ["norm_hash"],
+        {"doc_id": ("doc_id", "min"), "n_dupes": ("one", "sum")},
+    )
+    return agg.select_columns(["doc_id", "n_dupes"]).sort("doc_id")
+
+
+DOCS_NORMALIZED_DEDUP_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS ntext
+  FROM documents
+)
+SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dupes
+FROM norm
+GROUP BY ntext
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram (token-set) Jaccard pairs: token-inverted-index join →
 # pair co-count → |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
 # Shuffle key: token.  Output int pair ids only (exact oracle parity).

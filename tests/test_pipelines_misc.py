@@ -1019,6 +1019,32 @@ def test_travel_distance_exact(ray_session, sf_small):
     assert set(out.index) == set(expect)
 
 
+def test_pq_refine_full_equals_brute_and_default_recall(ray_session, sf_small):
+    """With a shortlist covering the whole table (refine*k >= n), the
+    PQ+refine result is bit-equal to exact brute force; at the default
+    refine the exact re-rank's recall@5 strictly improves on the
+    PQ-only scan."""
+    from geografir_ray.pipelines.embeddings import (
+        emb_knn,
+        emb_pq_knn,
+        emb_pq_refine_knn,
+    )
+
+    brute = emb_knn(sf_small).to_pandas()
+    full = emb_pq_refine_knn(sf_small, refine=100).to_pandas()  # 500 >= n
+    assert full.reset_index(drop=True).equals(brute.reset_index(drop=True))
+
+    def recall(df):
+        b = set(map(tuple, brute[["query_id", "neighbor_id"]].values))
+        g = set(map(tuple, df[["query_id", "neighbor_id"]].values))
+        return len(b & g) / len(b)
+
+    refined = emb_pq_refine_knn(sf_small).to_pandas()
+    pq_only = emb_pq_knn(sf_small).to_pandas()
+    assert recall(refined) >= recall(pq_only)
+    assert recall(refined) >= 0.9
+
+
 def test_ivf_join_identity_and_invariance(ray_session, sf_small):
     """The fully-partitioned IVF kNN join produces IDENTICAL output to
     the broadcast-query ann_ivf_topk on the same inputs (same

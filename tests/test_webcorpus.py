@@ -218,6 +218,51 @@ def test_chunk_windows_edge_cases(ray_session, tmp_path):
     con.close()
 
 
+def test_normalized_dedup_collapses_variants(ray_session, tmp_path):
+    """Normalized dedup merges case/punct/whitespace variants that
+    exact dedup keeps apart, agrees with the DuckDB twin on crafted
+    variants, and keeps the min doc_id as winner."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.documents import (
+        DOCS_NORMALIZED_DEDUP_SQL,
+        docs_normalized_dedup,
+    )
+
+    texts = [
+        "Hello, World!",          # 0: canonical
+        "hello world",            # 1: dup of 0 after norm
+        "  HELLO   WORLD?? ",     # 2: dup of 0 after norm
+        "hello world!!!",         # 3: dup of 0 after norm
+        "goodbye world",          # 4: distinct
+        "Goodbye,   world.",      # 5: dup of 4
+        "",                       # 6: empty
+        "  ...  ",                # 7: normalizes to empty -> dup of 6
+        "unique one",             # 8
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    d = tmp_path / "norm"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = docs_normalized_dedup(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    exp = con.execute(DOCS_NORMALIZED_DEDUP_SQL).df()
+    con.close()
+    assert got.values.tolist() == exp.values.tolist()
+    # winners: 0 (x4), 4 (x2), 6 (x2), 8 (x1)
+    assert dict(zip(got["doc_id"], got["n_dupes"])) == {0: 4, 4: 2, 6: 2, 8: 1}
+
+
 def test_incremental_dedup_paths_agree_and_match_oracle(ray_session, sf_small):
     """Broadcast fast path == forced shuffle anti-join == DuckDB NOT EXISTS."""
     import duckdb
