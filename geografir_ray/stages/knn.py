@@ -59,7 +59,7 @@ from ..functions.geom import EARTH_RADIUS_KM, chord2_to_km, unit_xyz
 from ..functions.hashing import splitmix64 as _smx
 
 _KM_PER_DEG = 2.0 * np.pi * EARTH_RADIUS_KM / 360.0
-_PAIR_CHUNK = 8_000_000  # max gathered pair cells per matrix chunk
+_PAIR_CHUNK = 2_000_000  # max gathered pair cells per matrix chunk (sized so the ~6 per-chunk temps stay ~16 MB each: big enough for dense BLAS-ish kernels, small enough that a hypervisor page-fault window cannot multiply 100s of MB of fresh temps per iteration; see CLAUDE.md rules 13/17/21)
 _MIN_BITS = 3  # below this, finish with the distributed brute force
 
 def _neighbor_cells(cell: np.ndarray, bits: int, radius: int) -> np.ndarray:
