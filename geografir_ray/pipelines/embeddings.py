@@ -1187,11 +1187,39 @@ def _pq_assign(sub32: np.ndarray, cent: np.ndarray) -> np.ndarray:
     """Nearest-codeword assignment via the dot trick (argmin ||x-c||^2 =
     argmax x.c - ||c||^2/2; ||x||^2 is constant per row) in float32 —
     no (n, k) float64 distance matrix, one small BLAS call + argmax.
-    Ties break to the lowest code id (np.argmax first-max rule)."""
+    Ties break to the lowest code id (np.argmax first-max rule).
+
+    Scalar sub-spaces (dsub == 1, the 64x1 quantization the 10M bench
+    point uses) skip the (n, k) score matrix entirely: nearest center
+    of a scalar is a searchsorted against the sorted centers — O(n log
+    k) with ~n-element temps instead of a fresh 80 MB score matrix per
+    sub-space per batch (the encode entry's whole footprint under the
+    hypervisor's page-fault windows; CLAUDE.md rules 13/17/21)."""
     c32 = cent.astype(np.float32)
+    if c32.shape[1] == 1:
+        return _pq_assign_1d(np.ascontiguousarray(sub32[:, 0]), c32[:, 0])
     scores = sub32 @ c32.T
     scores -= 0.5 * (c32 * c32).sum(axis=1)[None, :]
     return np.argmax(scores, axis=1)
+
+
+def _pq_assign_1d(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Exact scalar nearest-center assignment, ties to the LOWEST code
+    id (both between equidistant neighbors and among duplicate center
+    values — stable argsort keeps equal values in code-id order, so
+    the 'left' duplicate of a value is its lowest id)."""
+    order = np.argsort(c, kind="stable")
+    cs = c[order]
+    pos = np.searchsorted(cs, x)
+    lo = np.clip(pos - 1, 0, len(cs) - 1)
+    hi = np.clip(pos, 0, len(cs) - 1)
+    dl = np.abs(x - cs[lo])
+    dr = np.abs(x - cs[hi])
+    il = order[np.searchsorted(cs, cs[lo], "left")]
+    ir = order[np.searchsorted(cs, cs[hi], "left")]
+    return np.where(
+        dl < dr, il, np.where(dr < dl, ir, np.minimum(il, ir))
+    ).astype(np.int64)
 
 
 def pq_encode(m: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
