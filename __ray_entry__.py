@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_term_topk": D.docs_term_topk,
         "docs_exact_dedup": D.docs_exact_dedup,
         "docs_normalized_dedup": D.docs_normalized_dedup,
+        "docs_jsonl_ingest": D.docs_jsonl_ingest,
         "docs_jaccard_pairs": D.docs_jaccard_pairs,
         "docs_quality": D.docs_quality,
         "docs_text_passthrough": D.docs_text_passthrough,
@@ -206,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_term_topk": D.DOCS_TERM_TOPK_SQL,
         "docs_exact_dedup": D.DOCS_EXACT_DEDUP_SQL,
         "docs_normalized_dedup": D.DOCS_NORMALIZED_DEDUP_SQL,
+        "docs_jsonl_ingest": D.DOCS_JSONL_INGEST_SQL,
         "docs_jaccard_pairs": D.DOCS_JACCARD_SQL,
         "docs_quality": D.DOCS_QUALITY_SQL,
         "docs_text_passthrough": D.DOCS_TEXT_PASSTHROUGH_SQL,

@@ -12,6 +12,8 @@ spaces, drop empties (functions/text.py docstring).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -146,6 +148,67 @@ SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dupes
 FROM documents
 GROUP BY text
 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSONL ingest leg: the engine's pipelines are source-agnostic — this
+# query proves it by running a per-lang aggregate over a JSONL copy of
+# the documents table (the wire format web dumps actually ship in) and
+# matching the Parquet-side SQL oracle exactly, i.e. text survives the
+# JSON encode/parse round trip byte-identically.
+# ---------------------------------------------------------------------------
+
+
+def docs_jsonl_ingest(sf_dir: str):
+    """Per-lang (n_docs, total_chars) computed from a JSONL copy of the
+    documents table read back through ray.data.read_json
+    (sources/jsonl.py).  Exact oracle over the ORIGINAL parquet — any
+    encode/parse infidelity (unicode escaping, float coercion, row
+    loss) breaks the value hash."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..sources.jsonl import read_jsonl, write_jsonl_shards
+
+    src = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_jsonl_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_jsonl_shards(src, out_dir, key="doc_id", n_shards=4)
+
+    ds = read_jsonl(out_dir, columns=["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    agg = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang"],
+        {"n_docs": ("one", "sum"), "total_chars": ("chars", "sum")},
+        merge="driver",  # lang count provably bounded (CLAUDE.md rule 2)
+    )
+    return agg.sort("lang")
+
+
+DOCS_JSONL_INGEST_SQL = """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(length(text))::BIGINT AS total_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
 """
 
 

@@ -218,6 +218,42 @@ def test_chunk_windows_edge_cases(ray_session, tmp_path):
     con.close()
 
 
+def test_jsonl_roundtrip_adversarial_text(ray_session, tmp_path):
+    """JSONL write -> ray.data.read_json recovers adversarial text
+    byte-identically: unicode, embedded newlines/tabs, quotes,
+    backslashes, empty strings."""
+    import pyarrow as pa
+
+    from geografir_ray.sources.jsonl import read_jsonl, write_jsonl_shards
+
+    texts = [
+        "plain ascii",
+        "",
+        'quotes " and \\ backslash',
+        "line\nbreak\ttab\rcarriage",
+        "unicodé ß 中文 \U0001f600",
+        " leading and trailing ",
+        "null-ish \\u0000 literal",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    d = str(tmp_path / "jl")
+    paths = write_jsonl_shards(t, d, key="doc_id", n_shards=3)
+    assert len(paths) == 3
+    got = (
+        read_jsonl(d, columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["text"].tolist() == texts
+    assert got["doc_id"].tolist() == list(range(len(texts)))
+
+
 def test_normalized_dedup_collapses_variants(ray_session, tmp_path):
     """Normalized dedup merges case/punct/whitespace variants that
     exact dedup keeps apart, agrees with the DuckDB twin on crafted
