@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_tokens": D.docs_bpe_token_count,
         "docs_bigrams": D.docs_bigrams,
         "docs_gopher_rules": D.docs_gopher_rules,
+        "docs_heavy_hitters": D.docs_heavy_hitters,
         "docs_domain_quota": D.docs_domain_quota,
         "docs_chunk_windows": D.docs_chunk_windows,
         "docs_neardup_purge": D.docs_neardup_purge,
@@ -221,6 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_tokens": D.DOCS_BPE_TOKEN_SQL,
         "docs_bigrams": D.docs_bigrams_sql(),
         "docs_gopher_rules": D.DOCS_GOPHER_RULES_SQL,
+        "docs_heavy_hitters": D.docs_heavy_hitters_sql(),
         "docs_domain_quota": D.docs_domain_quota_sql(),
         "docs_chunk_windows": D.docs_chunk_windows_sql(),
         "docs_neardup_purge": D.DOCS_NEARDUP_PURGE_SQL,

@@ -641,6 +641,46 @@ def bench_suite() -> dict:
             _sf_dir, grid_deg=0.25, cust=cust, supp=supp, box_scale=0.02
         )
 
+    def heavy_hitters_56m(_sf_dir: str):
+        # exact phi-heavy hitters over 56M tokens (4M docs x 14): 50%
+        # of tokens drawn zipf-ish from a 100-word hot head, 50% from a
+        # ~16M-word uniform tail — per-batch distinct counts in the
+        # hundreds of thousands, so the Misra-Gries compaction path
+        # (not the no-op branch) carries the load; the only exchange is
+        # the O(k) rows/batch partial stream + a <=2000-string closure
+        # for the exact recount (pipelines/documents.heavy_hitters_ds).
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from geografir_ray.functions.hashing import splitmix64
+        from geografir_ray.pipelines.documents import heavy_hitters_ds
+
+        TOKS = 14
+
+        def build(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy().astype(np.int64)
+            n = len(ids) * TOKS
+            j = np.arange(n, dtype=np.uint64)
+            h = splitmix64((np.repeat(ids, TOKS).astype(np.uint64) << np.uint64(8))
+                           + (j % np.uint64(TOKS)))
+            hot = (h & np.uint64(1)) == 0
+            r = (h >> np.uint64(1)) & np.uint64(0xFFFFFFFF)
+            # zipf-ish head: squared-uniform concentrates mass at low ranks
+            head = ((r * r) >> np.uint64(32)) * np.uint64(100) >> np.uint64(32)
+            tail = np.uint64(100) + (h >> np.uint64(33)) % np.uint64(16_000_000)
+            tok_id = np.where(hot, head, tail).astype(np.int64)
+            toks = pc.cast(pa.array(tok_id), pa.string())
+            offs = pa.array(np.arange(len(ids) + 1, dtype=np.int32) * TOKS)
+            text = pc.binary_join(pa.ListArray.from_arrays(offs, toks), " ")
+            return pa.table({"text": text})
+
+        docs = rd.range(4_000_000, override_num_blocks=64).map_batches(
+            build, batch_format="pyarrow", batch_size=None
+        )
+        return heavy_hitters_ds(docs, phi_denom=1000)
+
     def streaming_5m(_sf_dir: str):
         # watermark/late-data windowed aggregation at 5M events through
         # 8 shard actors (VERDICT r3 item 8): ordered chunk replay,
@@ -674,6 +714,7 @@ def bench_suite() -> dict:
         "skew_distinct_naive_20m": skew_distinct_naive_20m,
         "skew_distinct_salted_20m": skew_distinct_salted_20m,
         "bbox_join_1m": bbox_join_1m,
+        "heavy_hitters_56m": heavy_hitters_56m,
         "streaming_5m": streaming_5m,
         "q1_pricing_summary": R.q1_pricing_summary,
         "q5_nation_revenue": R.q5_nation_revenue,

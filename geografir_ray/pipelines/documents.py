@@ -3484,3 +3484,121 @@ def mm_phash_dedup(sf_dir: str, tau: int = PHASH_HAM_TAU):
     )
     kept = hash_join(hashed, dropped, on="doc_id", how="anti")
     return kept.sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation 3: exact phi-heavy hitters via mergeable
+# Misra-Gries summaries + bounded exact recount.
+# ---------------------------------------------------------------------------
+
+
+def docs_heavy_hitters(sf_dir: str, phi_denom: int = 1000):
+    """Heavy hitters over the documents table (see heavy_hitters_ds)."""
+    return heavy_hitters_ds(
+        read_table(sf_dir, "documents", columns=["text"]), phi_denom=phi_denom
+    )
+
+
+def heavy_hitters_ds(ds, phi_denom: int = 1000):
+    """EXACT phi-heavy hitters: tokens whose corpus count c satisfies
+    ``c * phi_denom > N`` (N = total token count) — the sketch-then-
+    verify pattern that stays exact at any corpus size.
+
+    Pass 1 builds a Misra-Gries summary per batch with k = 2*phi_denom
+    counters (``pc.value_counts`` + one numpy compaction: subtract the
+    (k+1)-th largest count, drop <= 0).  Per-batch undercount is
+    <= n_b/(k+1); summing summaries token-wise keeps the total
+    undercount <= N/(k+1) (Agarwal et al., Mergeable Summaries, PODS
+    2012), so every true heavy hitter retains summed weight
+    > N/phi_denom - N/(2*phi_denom) = N/(2*phi_denom) > 0, while at
+    most 2*phi_denom tokens can sit above that cut (weights sum <= N).
+    The candidate set is therefore BOUNDED regardless of corpus size —
+    at 100 TB it is still <= 2000 strings riding a task closure; the
+    only exchange is the O(k) rows/batch partial stream (driver merge).
+
+    Pass 2 recounts ONLY the candidates exactly (``pc.index_in`` +
+    ``np.bincount`` per batch — no Python loop) and applies the exact
+    integer HAVING filter, making the result bit-identical to the
+    brute-force SQL twin.
+
+    The per-batch total token count rides the same partial stream as a
+    sentinel row (token = "", impossible in data: the tokenizer drops
+    empty strings), so N is exact and costs no extra pass.
+    """
+    k = 2 * phi_denom
+
+    def mg_stage(t: pa.Table) -> pa.Table:
+        flat, _, _ = T.flat_tokens(t["text"])
+        n_b = len(flat)
+        vc = flat.value_counts()
+        toks = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(cnts) > k:
+            # MG decrement: subtract the (k+1)-th largest count
+            d = np.partition(cnts, len(cnts) - (k + 1))[len(cnts) - (k + 1)]
+            w = cnts - d
+            keep = w > 0
+            toks = toks.filter(pa.array(keep))
+            w = w[keep]
+        else:
+            w = cnts
+        out_toks = pa.concat_arrays(
+            [toks.cast(pa.string()), pa.array([""], pa.string())]
+        )
+        out_w = np.concatenate([w, np.array([n_b], dtype=np.int64)])
+        return pa.table({"token": out_toks, "w": pa.array(out_w)})
+
+    partials = ds.map_batches(mg_stage, batch_format="pyarrow", zero_copy_batch=True)
+    # O(k) rows per batch -> bounded partial stream; driver merge
+    merged = grouped_sum(
+        partials, ["token"], {"w": ("w", "sum")}, merge="driver"
+    ).to_pandas()
+    sent = merged["token"] == ""
+    n_total = int(merged.loc[sent, "w"].iloc[0]) if sent.any() else 0
+    cand = merged.loc[~sent]
+    # survivors of the guaranteed-recall cut: w > N/(2*phi_denom)
+    cand = cand.loc[cand["w"].to_numpy() * (2 * phi_denom) > n_total, "token"]
+    cand_arr = pa.array(sorted(cand.tolist()), type=pa.string())
+
+    if len(cand_arr) == 0 or n_total == 0:
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table({"token": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+        )
+
+    def recount(t: pa.Table) -> pa.Table:
+        flat, _, _ = T.flat_tokens(t["text"])
+        idx = pc.index_in(flat, value_set=cand_arr)
+        hits = pc.drop_null(idx).to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(hits, minlength=len(cand_arr))
+        present = counts > 0
+        return pa.table(
+            {
+                "token": cand_arr.filter(pa.array(present)),
+                "c": pa.array(counts[present].astype(np.int64)),
+            }
+        )
+
+    counted = ds.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True)
+    exact = grouped_sum(counted, ["token"], {"n": ("c", "sum")}, merge="driver")
+
+    def having(t: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.multiply(t["n"], pa.scalar(phi_denom, pa.int64())),
+                          pa.scalar(n_total, pa.int64()))
+        return t.filter(keep)
+
+    exact = exact.map_batches(having, batch_format="pyarrow", zero_copy_batch=True)
+    return exact.sort(["n", "token"], descending=[True, False])
+
+
+def docs_heavy_hitters_sql(phi_denom: int = 1000) -> str:
+    return f"""
+WITH tok AS (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM tok
+GROUP BY token
+HAVING count(*) * {phi_denom} > (SELECT count(*) FROM tok)
+ORDER BY n DESC, token
+"""

@@ -1181,3 +1181,30 @@ def test_bm25_topk_exact_replay(ray_session, sf_small):
     )[:BM25_TOP_K]
     got = list(zip(out["doc_id"].astype(int), out["score"].astype(int)))
     assert got == expect
+
+
+def test_docs_heavy_hitters_exact_vs_duckdb(ray_session, sf_small):
+    """Sketch-then-verify heavy hitters is EXACT: the Misra-Gries
+    candidate cut provably retains every true phi-heavy hitter, and the
+    recount pass applies the exact HAVING filter.  Checked at two
+    phi_denom values — the small one forces MG compaction (k = 2*phi
+    counters vs thousands of distinct tokens per batch) so the
+    decrement + merge path is exercised, not just the no-op branch."""
+    import duckdb
+
+    from geografir_ray.pipelines.documents import (
+        docs_heavy_hitters,
+        docs_heavy_hitters_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    for phi in (1000, 50):
+        got = docs_heavy_hitters(sf_small, phi_denom=phi).to_pandas()
+        exp = con.execute(docs_heavy_hitters_sql(phi_denom=phi)).df()
+        assert list(got.columns) == ["token", "n"]
+        assert len(got) == len(exp) > 0, (phi, len(got), len(exp))
+        assert got["token"].tolist() == exp["token"].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
