@@ -1208,3 +1208,46 @@ def test_docs_heavy_hitters_exact_vs_duckdb(ray_session, sf_small):
         assert len(got) == len(exp) > 0, (phi, len(got), len(exp))
         assert got["token"].tolist() == exp["token"].tolist()
         assert got["n"].tolist() == exp["n"].tolist()
+
+
+def test_heavy_hitters_ds_random_corpora_exact(ray_session):
+    """Property check on adversarial random corpora: tokens zipf-drawn
+    from a small head + long tail, many blocks (so summaries MERGE),
+    tiny phi (so k is small and the decrement path dominates).  The
+    result must equal exact counting, every time."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geografir_ray.pipelines.documents import heavy_hitters_ds
+
+    rng = np.random.default_rng(7)
+    saw_nonempty = saw_empty = False
+    for phi in (5, 17):
+        n_docs = 400
+        texts = []
+        for _ in range(n_docs):
+            L = int(rng.integers(1, 30))
+            head = rng.integers(0, 6, size=L)
+            tail = rng.integers(8, 5000, size=L)
+            use_head = rng.random(L) < 0.7
+            toks = np.where(use_head, head, tail)
+            texts.append(" ".join(f"t{x}" for x in toks))
+        docs = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(13)
+        got = heavy_hitters_ds(docs, phi_denom=phi).to_pandas()
+
+        all_toks = [w for s in texts for w in s.split(" ") if w]
+        import collections
+
+        cnt = collections.Counter(all_toks)
+        n_total = len(all_toks)
+        exp = sorted(
+            ((t, c) for t, c in cnt.items() if c * phi > n_total),
+            key=lambda x: (-x[1], x[0]),
+        )
+        if not exp:
+            saw_empty = True
+            assert len(got) == 0, (phi, got)
+            continue
+        saw_nonempty = True
+        assert list(zip(got["token"], got["n"])) == exp, (phi, len(got), len(exp))
+    assert saw_nonempty and saw_empty  # both paths exercised
