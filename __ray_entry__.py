@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_streaming_windows": E.events_streaming_windows,
         "events_lead_lag": E.events_lead_lag,
         "events_rank": E.events_rank,
+        "events_user_median": E.events_user_median,
         "events_pivot": E.events_pivot,
         "events_funnel": E.events_funnel,
         "events_retention": E.events_retention,
@@ -200,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "events_streaming_windows": E.EVENTS_STREAMING_WINDOWS_SQL,
         "events_lead_lag": E.EVENTS_LEAD_LAG_SQL,
         "events_rank": E.EVENTS_RANK_SQL,
+        "events_user_median": E.EVENTS_USER_MEDIAN_SQL,
         "events_pivot": E.EVENTS_PIVOT_SQL,
         "events_funnel": E.EVENTS_FUNNEL_SQL,
         "events_retention": E.EVENTS_RETENTION_SQL,

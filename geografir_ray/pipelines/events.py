@@ -966,6 +966,101 @@ ORDER BY event_id
 """
 
 
+def events_user_median(sf_dir: str, n_buckets: int = 32):
+    """EXACT per-user median event value — the canonical holistic
+    aggregate (no mergeable partial exists, unlike sum/count): users
+    hash into buckets, each bucket holds its users WHOLE, and the
+    median is one lexsort + segment-select over the bucket (no
+    per-group Python, CLAUDE.md rule 1).  Values ride the integer-cents
+    encoding (rule 5) and the result is ``median2_cents`` = the SUM of
+    the two central values (odd n: the middle twice — ``m1 == m2`` so
+    ``v[m1] + v[m2]`` needs no branch), keeping the oracle comparison
+    in exact BIGINT space with no float division on either side.
+
+    At 10^12 rows this is ONE exchange on hash(user) — the same shape
+    as events_rank — and each bucket's work is O(rows log rows)
+    vectorized; skewed users cost their own rows only, never a Python
+    call per group."""
+    from ..functions.hashing import splitmix64
+    from .common import floor_scale
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(uid) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "v": floor_scale(t["value"]),
+                "__bkt": pa.array(b),
+            }
+        )
+
+    _OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("median2_cents", pa.int64()),
+        ]
+    )
+
+    def median_win(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # explicit dtypes for empty outputs (rule 8)
+            return _OUT.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, v, uid))
+        uo, vo = uid[order], v[order]
+        n = len(uo)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uo[1:] != uo[:-1]
+        seg_start = np.flatnonzero(new_user)
+        seg_len = np.diff(np.append(seg_start, n))
+        m1 = seg_start + (seg_len + 1) // 2 - 1
+        m2 = seg_start + (seg_len + 2) // 2 - 1
+        return pa.table(
+            {
+                "user_id": pa.array(uo[seg_start]),
+                "n_events": pa.array(seg_len.astype(np.int64)),
+                "median2_cents": pa.array(vo[m1] + vo[m2]),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bkt")
+        .map_groups(median_win, batch_format="pyarrow")
+        .sort("user_id")
+    )
+
+
+EVENTS_USER_MEDIAN_SQL = """
+WITH c AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 100.0) AS BIGINT) AS v
+  FROM events
+),
+r AS (
+  SELECT user_id, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY v, event_id) AS rn,
+         count(*)     OVER (PARTITION BY user_id) AS n
+  FROM c
+)
+SELECT user_id,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                     THEN v ELSE 0 END)
+            * CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END
+            AS BIGINT) AS median2_cents
+FROM r
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def events_pivot(sf_dir: str):
     """Pivot / conditional aggregation: one row per user with per-type
     event counts and the exact purchase-revenue sum (integer-cents).
