@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from geografir_ray.pipelines import documents as D
     from geografir_ray.pipelines import embeddings as M
     from geografir_ray.pipelines import events as E
+    from geografir_ray.pipelines import graph as G
     from geografir_ray.pipelines import rasterq as RQ
     from geografir_ray.pipelines import relational as R
     from geografir_ray.pipelines import spatial as S
@@ -94,6 +95,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigrams": D.docs_bigrams,
         "docs_gopher_rules": D.docs_gopher_rules,
         "docs_heavy_hitters": D.docs_heavy_hitters,
+        "docs_lm_score": D.docs_lm_score,
+        "graph_pagerank": G.graph_pagerank,
+        "events_staypoints": E.events_staypoints,
+        "events_zone_visits": E.events_zone_visits,
+        "events_od_matrix": E.events_od_matrix,
         "docs_domain_quota": D.docs_domain_quota,
         "docs_chunk_windows": D.docs_chunk_windows,
         "docs_neardup_purge": D.docs_neardup_purge,
@@ -165,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
     from geografir_ray.pipelines import documents as D
     from geografir_ray.pipelines import embeddings as M
     from geografir_ray.pipelines import events as E
+    from geografir_ray.pipelines import graph as G
     from geografir_ray.pipelines import rasterq as RQ
     from geografir_ray.pipelines import relational as R
     from geografir_ray.pipelines import spatial as S
@@ -225,6 +232,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_bigrams": D.docs_bigrams_sql(),
         "docs_gopher_rules": D.DOCS_GOPHER_RULES_SQL,
         "docs_heavy_hitters": D.docs_heavy_hitters_sql(),
+        "docs_lm_score": D.DOCS_LM_SCORE_SQL,
+        "graph_pagerank": G.graph_pagerank_sql(),
+        "events_staypoints": E.events_staypoints_sql(),
+        "events_zone_visits": E.events_zone_visits_sql(),
+        "events_od_matrix": E.events_od_matrix_sql(),
         "docs_domain_quota": D.docs_domain_quota_sql(),
         "docs_chunk_windows": D.docs_chunk_windows_sql(),
         "docs_neardup_purge": D.DOCS_NEARDUP_PURGE_SQL,

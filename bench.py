@@ -681,6 +681,37 @@ def bench_suite() -> dict:
         )
         return heavy_hitters_ds(docs, phi_denom=1000)
 
+    def pagerank_10m(_sf_dir: str):
+        # 4 synchronous integer-PageRank rounds over a 10M-edge
+        # synthetic web-link graph (1M src pages; dst skewed by a
+        # squared-uniform so popular pages collect ~100x the in-links
+        # of the tail — the real web-graph shape).  Per round: one
+        # bucketed hash join (edges x ranks) + one bucketed add.at
+        # merge; no sort-based aggregate over the node key.
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from geografir_ray.functions.hashing import splitmix64
+        from geografir_ray.pipelines.graph import pagerank
+
+        N_NODES = 1_000_000
+
+        def build(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy().astype(np.uint64)
+            h = splitmix64(ids)
+            src = (h % np.uint64(N_NODES)).astype(np.int64)
+            r = (h >> np.uint64(20)) & np.uint64(0xFFFFFFFF)
+            dst = (
+                ((r * r) >> np.uint64(32)) * np.uint64(N_NODES) >> np.uint64(32)
+            ).astype(np.int64)
+            return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+        edges = rd.range(10_000_000, override_num_blocks=64).map_batches(
+            build, batch_format="pyarrow", batch_size=None
+        )
+        return pagerank(edges, iters=4, n_buckets=64)
+
     def streaming_5m(_sf_dir: str):
         # watermark/late-data windowed aggregation at 5M events through
         # 8 shard actors (VERDICT r3 item 8): ordered chunk replay,
@@ -715,6 +746,7 @@ def bench_suite() -> dict:
         "skew_distinct_salted_20m": skew_distinct_salted_20m,
         "bbox_join_1m": bbox_join_1m,
         "heavy_hitters_56m": heavy_hitters_56m,
+        "pagerank_10m": pagerank_10m,
         "streaming_5m": streaming_5m,
         "q1_pricing_summary": R.q1_pricing_summary,
         "q5_nation_revenue": R.q5_nation_revenue,

@@ -3602,3 +3602,153 @@ GROUP BY token
 HAVING count(*) * {phi_denom} > (SELECT count(*) FROM tok)
 ORDER BY n DESC, token
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-conditioned LM scoring (CCNet-style frequency filter)
+# ---------------------------------------------------------------------------
+
+
+def docs_lm_score(sf_dir: str, n_buckets: int = 64):
+    """Corpus-conditioned document scoring: each document is scored by
+    how typical its bigrams are of the corpus itself — the integer-exact
+    stand-in for CCNet's LM-perplexity filter (Wenzek et al. 2020;
+    public recipe: score docs by an LM fit on the corpus distribution,
+    drop the tail).  For doc d with bigram instances g_1..g_nb:
+
+        hits(d)  = sum_j corpus_count(g_j)     (self included)
+        lm_score = (1000 * hits) // nb         (mean corpus frequency,
+                                                integer floor — exact in
+                                                both engines)
+
+    Docs with no bigram (0/1-token) are excluded, matching the SQL
+    join semantics.
+
+    Scale shape — ONE bigram exchange, no string join, no driver state:
+    per-batch (doc_id, bigram, k) combiners hash-partition on a
+    buffer-native SipHash of the bigram into B buckets; ALL instances
+    of a bigram are then co-located, so the corpus count n(g) and every
+    doc's contribution k*n(g) are computed bucket-side with dictionary
+    codes + np.add.at segment sums against the ACTUAL strings (the
+    hash only routes — exactness never assumes hash equality, same
+    contract as pages._shuffle_dedup).  Buckets emit <= one
+    (doc_id, nb, hits) partial per doc per bucket; the final per-doc
+    merge is a grouped_sum over doc_id.  At 10^12 docs: widen
+    n_buckets so corpus_bigram_bytes / B fits a worker heap — the
+    per-group-Python trap is per-KEY calls, not per-bucket.
+    """
+    from ..functions.hashing import hash_strings
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    _PART = pa.schema(
+        [("__bkt", pa.int64()), ("doc_id", pa.int64()),
+         ("bigram", pa.string()), ("k", pa.int64())]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parent = parent[nonempty]
+        if len(flat) < 2:
+            return _PART.empty_table()
+        a = flat.slice(0, len(flat) - 1)
+        b = flat.slice(1)
+        same_np = parent[1:] == parent[:-1]
+        same = pa.array(same_np)
+        bg = pc.binary_join_element_wise(a.filter(same), b.filter(same), " ")
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[
+            parent[:-1][same_np]
+        ]
+        # per-batch combiner: collapse repeats of (doc_id, bigram)
+        g = pa.table({"doc_id": pa.array(did), "bigram": bg,
+                      "one": pa.array(np.ones(len(did), dtype=np.int64))})
+        g = g.group_by(["doc_id", "bigram"]).aggregate([("one", "sum")])
+        bkt = (hash_strings(g["bigram"]) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "__bkt": pa.array(bkt),
+            "doc_id": g["doc_id"],
+            "bigram": g["bigram"],
+            "k": g["one_sum"],
+        })
+
+    _BOUT = pa.schema(
+        [("doc_id", pa.int64()), ("nb", pa.int64()), ("hits", pa.int64())]
+    )
+
+    def bucket_score(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _BOUT.empty_table()
+        bg = g["bigram"]
+        bg = bg.combine_chunks() if isinstance(bg, pa.ChunkedArray) else bg
+        codes = pc.dictionary_encode(bg)
+        codes = codes.combine_chunks() if isinstance(codes, pa.ChunkedArray) else codes
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = g["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_codes = int(idx.max()) + 1
+        ng = np.zeros(n_codes, dtype=np.int64)
+        np.add.at(ng, idx, k)                      # corpus count per bigram
+        contrib = k * ng[idx]                      # per (doc,bigram) row
+        did = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uids, inv = np.unique(did, return_inverse=True)
+        nb = np.zeros(len(uids), dtype=np.int64)
+        hits = np.zeros(len(uids), dtype=np.int64)
+        np.add.at(nb, inv, k)
+        np.add.at(hits, inv, contrib)
+        return pa.table({"doc_id": pa.array(uids), "nb": pa.array(nb),
+                         "hits": pa.array(hits)})
+
+    parts = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bkt")
+        .map_groups(bucket_score, batch_format="pyarrow")
+    )
+    per_doc = grouped_sum(
+        parts, ["doc_id"], {"nb": ("nb", "sum"), "hits": ("hits", "sum")}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = pa.schema([("doc_id", pa.int64()), ("nb", pa.int64()),
+                         ("hits", pa.int64()), ("lm_score", pa.int64())])
+        if t.num_rows == 0:
+            return out.empty_table()
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hits = t["hits"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "nb": pa.array(nb),
+            "hits": pa.array(hits),
+            "lm_score": pa.array((1000 * hits) // nb),
+        })
+
+    return per_doc.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+DOCS_LM_SCORE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest({_TOKENS_SQL}) AS w,
+         generate_subscripts({_TOKENS_SQL}, 1) AS i
+  FROM documents
+),
+bg AS (
+  SELECT t1.doc_id, t1.w || ' ' || t2.w AS g
+  FROM tok t1
+  JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+),
+cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY g),
+per_doc AS (
+  SELECT bg.doc_id,
+         CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(cnt.n) AS BIGINT) AS hits
+  FROM bg JOIN cnt USING (g)
+  GROUP BY bg.doc_id
+)
+SELECT doc_id, nb, hits, CAST((1000 * hits) // nb AS BIGINT) AS lm_score
+FROM per_doc
+ORDER BY doc_id
+"""

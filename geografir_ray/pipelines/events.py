@@ -1531,3 +1531,561 @@ WHERE plat IS NOT NULL
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Stay-point detection (trajectory stop mining, the Li/Zheng GeoLife
+# recipe): a "stay" is a maximal run of >= 2 consecutive pings where
+# every step moved < STAY_RADIUS_M (same integer leg encoding as
+# events_travel_distance) AND arrived within STAY_GAP_HOURS.  Output:
+# per-user stay count + qualifying-pair count.
+#
+# Same sorted-segment engine as events_sessions_sorted, with one
+# genuinely new piece: a run START depends on TWO consecutive pair
+# predicates (cont[i] & !cont[i-1]), so independent per-boundary
+# cancellation is NOT exact when a block holds a single row (the two
+# boundary pairs around it are adjacent in the global sequence).  The
+# edge walk is therefore a chain state machine carrying the effective
+# truth of the pair ending at each block's last row
+# (_staypoint_chain) — exact under ANY block split, O(blocks) driver
+# state.
+# ---------------------------------------------------------------------------
+
+STAY_RADIUS_M = 250_000
+STAY_GAP_HOURS = 24
+_STAY_GAP_US = STAY_GAP_HOURS * 3600 * 1_000_000
+
+
+def _stay_leg_m(lat1, lon1, lat2, lon2):
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    return np.floor(np.sqrt(dlat * dlat + dlon * dlon) * _TRAVEL_SCALE).astype(
+        np.int64
+    )
+
+
+def _staypoint_chain(edges: list[dict]) -> tuple[dict, dict]:
+    """Walk block edge records (global row order) and return per-user
+    corrections (d_stays, d_pairs) for the boundary pairs the per-block
+    pass could not see.  ``tail_state``: 2 = single-row block, else the
+    cont value of the pair ending at the block's last row."""
+    d_stays: dict[int, int] = {}
+    d_pairs: dict[int, int] = {}
+    prev = None
+    prev_eff = False  # global cont of the pair ending at prev block's last row
+    for e in edges:
+        single = e["tail_state"] == 2
+        bp = False
+        if prev is not None and e["first_uid"] == prev["last_uid"]:
+            m = int(
+                _stay_leg_m(
+                    np.float64(prev["last_lat"]),
+                    np.float64(prev["last_lon"]),
+                    np.float64(e["first_lat"]),
+                    np.float64(e["first_lon"]),
+                )
+            )
+            bp = (e["first_ts"] - prev["last_ts"]) <= _STAY_GAP_US and (
+                m < STAY_RADIUS_M
+            )
+        u = e["first_uid"]
+        if bp:
+            d_pairs[u] = d_pairs.get(u, 0) + 1
+            delta = 0
+            if not prev_eff:
+                delta += 1  # the boundary pair itself starts a run
+            if not single and e["b"]:
+                delta -= 1  # block's first pair loses its local start
+            if delta:
+                d_stays[u] = d_stays.get(u, 0) + delta
+        prev_eff = bp if single else bool(e["tail_state"])
+        prev = e
+    return d_stays, d_pairs
+
+
+_STAY_SCHEMA = pa.schema(
+        [
+            ("kind", pa.int8()),  # 0 = per-user partial, 1 = block edge record
+            ("user_id", pa.int64()),
+            ("n_stays", pa.int64()),
+            ("n_stay_pairs", pa.int64()),
+            ("first_uid", pa.int64()),
+            ("first_ts", pa.int64()),
+            ("first_eid", pa.int64()),
+            ("first_lat", pa.float64()),
+            ("first_lon", pa.float64()),
+            ("last_uid", pa.int64()),
+            ("last_ts", pa.int64()),
+            ("last_lat", pa.float64()),
+            ("last_lon", pa.float64()),
+            ("b", pa.int8()),           # cont of the block's FIRST pair
+            ("tail_state", pa.int8()),  # 2 = single row, else cont of last pair
+    ]
+)
+
+
+def _staypoint_per_batch(t: pa.Table) -> pa.Table:
+    from ..functions import synthgeo
+
+    _SCHEMA = _STAY_SCHEMA
+    uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = (
+        t["ts"].to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]").astype(np.int64)
+    )
+    eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(uid)
+    if n == 0:
+        return _SCHEMA.empty_table()
+    lat = synthgeo.synth_lat(eid)
+    lon = synthgeo.synth_lon(eid)
+    c = np.zeros(n, dtype=bool)
+    if n > 1:
+        same = uid[1:] == uid[:-1]
+        gap_ok = (ts[1:] - ts[:-1]) <= _STAY_GAP_US
+        legm = _stay_leg_m(lat[:-1], lon[:-1], lat[1:], lon[1:])
+        c[1:] = same & gap_ok & (legm < STAY_RADIUS_M)
+    start = c.copy()
+    start[1:] &= ~c[:-1]
+    tb = pa.table(
+        {
+            "user_id": pa.array(uid),
+            "s": pa.array(start.astype(np.int64)),
+            "p": pa.array(c.astype(np.int64)),
+        }
+    )
+    g = tb.group_by("user_id").aggregate([("s", "sum"), ("p", "sum")])
+    m = g.num_rows
+    neg1 = pa.array(np.full(m, -1, dtype=np.int64))
+    negf = pa.array(np.full(m, 0.0, dtype=np.float64))
+    zero8 = pa.array(np.zeros(m, dtype=np.int8))
+    partials = pa.table(
+        {
+            "kind": pa.array(np.zeros(m, dtype=np.int8)),
+            "user_id": g["user_id"],
+            "n_stays": g["s_sum"],
+            "n_stay_pairs": g["p_sum"],
+            "first_uid": neg1,
+            "first_ts": neg1,
+            "first_eid": neg1,
+            "first_lat": negf,
+            "first_lon": negf,
+            "last_uid": neg1,
+            "last_ts": neg1,
+            "last_lat": negf,
+            "last_lon": negf,
+            "b": zero8,
+            "tail_state": zero8,
+        },
+        schema=_SCHEMA,
+    )
+    tail_state = 2 if n == 1 else int(c[-1])
+    edge = pa.table(
+        {
+            "kind": pa.array(np.array([1], dtype=np.int8)),
+            "user_id": pa.array([-1], type=pa.int64()),
+            "n_stays": pa.array([0], type=pa.int64()),
+            "n_stay_pairs": pa.array([0], type=pa.int64()),
+            "first_uid": pa.array([int(uid[0])], type=pa.int64()),
+            "first_ts": pa.array([int(ts[0])], type=pa.int64()),
+            "first_eid": pa.array([int(eid[0])], type=pa.int64()),
+            "first_lat": pa.array([float(lat[0])], type=pa.float64()),
+            "first_lon": pa.array([float(lon[0])], type=pa.float64()),
+            "last_uid": pa.array([int(uid[-1])], type=pa.int64()),
+            "last_ts": pa.array([int(ts[-1])], type=pa.int64()),
+            "last_lat": pa.array([float(lat[-1])], type=pa.float64()),
+            "last_lon": pa.array([float(lon[-1])], type=pa.float64()),
+            "b": pa.array([int(c[1]) if n > 1 else 0], type=pa.int8()),
+            "tail_state": pa.array([tail_state], type=pa.int8()),
+        },
+        schema=_SCHEMA,
+    )
+    return pa.concat_tables([partials, edge])
+
+
+def events_staypoints(sf_dir: str):
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+    from .common import grouped_sum
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"]).sort(
+        ["user_id", "ts", "event_id"]
+    )
+
+    tagged = ds.map_batches(
+        _staypoint_per_batch,
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    ).materialize()  # O(users x blocks + blocks) rows, never the input size
+
+    def only(kind: int, cols):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["kind"], kind)).select(cols)
+
+        return f
+
+    base = grouped_sum(
+        tagged.map_batches(
+            only(0, ["user_id", "n_stays", "n_stay_pairs"]), batch_format="pyarrow"
+        ),
+        ["user_id"],
+        {"n_stays": ("n_stays", "sum"), "n_stay_pairs": ("n_stay_pairs", "sum")},
+    )
+
+    edges = tagged.map_batches(
+        only(
+            1,
+            ["first_uid", "first_ts", "first_eid", "first_lat", "first_lon",
+             "last_uid", "last_ts", "last_lat", "last_lon", "b", "tail_state"],
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    edges.sort(key=lambda e: (e["first_uid"], e["first_ts"], e["first_eid"]))
+    d_stays, d_pairs = _staypoint_chain(edges)
+
+    if d_stays or d_pairs:
+        keys = np.array(sorted(set(d_stays) | set(d_pairs)), dtype=np.int64)
+        sv = np.array([d_stays.get(int(k), 0) for k in keys], dtype=np.int64)
+        pv = np.array([d_pairs.get(int(k), 0) for k in keys], dtype=np.int64)
+        ref = ray.put((keys, sv, pv))
+
+        def apply_corr(state, t: pa.Table) -> pa.Table:
+            keys, sv, pv = state
+            u = t["user_id"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(keys, u), 0, len(keys) - 1)
+            hit = keys[pos] == u
+            return pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "n_stays": pa.array(
+                        t["n_stays"].to_numpy(zero_copy_only=False)
+                        + np.where(hit, sv[pos], 0)
+                    ),
+                    "n_stay_pairs": pa.array(
+                        t["n_stay_pairs"].to_numpy(zero_copy_only=False)
+                        + np.where(hit, pv[pos], 0)
+                    ),
+                }
+            )
+
+        base = base.map_batches(
+            with_broadcast(ref, apply_corr, "staypoint_boundary_fix"),
+            batch_format="pyarrow",
+        )
+    return base.sort("user_id")
+
+
+def events_staypoints_sql() -> str:
+    from ..functions.synthgeo import synth_lat_sql, synth_lon_sql
+
+    lat = synth_lat_sql("event_id")
+    lon = synth_lon_sql("event_id")
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id, {lat} AS lat, {lon} AS lon FROM events
+),
+seg AS (
+  SELECT user_id, ts, event_id, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+         lag(ts) OVER w AS prev_ts
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+cont AS (
+  SELECT user_id, ts, event_id,
+         (plat IS NOT NULL
+          AND ts - prev_ts <= INTERVAL {STAY_GAP_HOURS} HOUR
+          AND CAST(floor(sqrt((lat - plat) * (lat - plat)
+                              + (lon - plon) * (lon - plon))
+                         * {_TRAVEL_SCALE}) AS BIGINT) < {STAY_RADIUS_M}) AS c
+  FROM seg
+),
+runs AS (
+  SELECT user_id, c,
+         lag(c, 1, FALSE) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pc
+  FROM cont
+)
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE c AND NOT pc) AS BIGINT) AS n_stays,
+       CAST(count(*) FILTER (WHERE c) AS BIGINT) AS n_stay_pairs
+FROM runs
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zone-visit summary (trajectory x geofence): every ping is tested
+# against the 25 diamond zones through the REAL broadcast raycast PIP
+# machinery (stages/geo.broadcast_pip_task — same GridZoneIndex as
+# geo_pip_join, fused task form, zones ride one ray.put), then a
+# per-(user, zone) visit aggregate: ping count, first/last entry time.
+# Scale shape: zones are a bounded broadcast side; the only exchange is
+# the grouped_sum over (user_id, zone_id) partials.
+# ---------------------------------------------------------------------------
+
+
+def events_zone_visits(sf_dir: str):
+    import ray
+
+    from ..stages.geo import add_latlon, broadcast_pip_task, zones_payload
+    from .common import grouped_sum
+    from .spatial import N_ZONES
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts_us": pa.array(ts_us),
+            }
+        )
+
+    ref = ray.put(zones_payload(np.arange(N_ZONES, dtype=np.int64)))
+    hits = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_latlon("event_id"), batch_format="pyarrow")
+        .map_batches(
+            broadcast_pip_task(ref, "user_id", keep_cols=("ts_us",)),
+            batch_format="pyarrow",
+        )
+    )
+
+    def add_one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+        )
+
+    agg = grouped_sum(
+        hits.map_batches(add_one, batch_format="pyarrow"),
+        ["user_id", "zone_id"],
+        {
+            "n_pings": ("one", "sum"),
+            "first_ts": ("ts_us", "min"),
+            "last_ts": ("ts_us", "max"),
+        },
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "zone_id": pc.cast(t["zone_id"], pa.int64()),
+                "n_pings": pc.cast(t["n_pings"], pa.int64()),
+                "first_ts": pc.cast(t["first_ts"], pa.int64()),
+                "last_ts": pc.cast(t["last_ts"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["user_id", "zone_id"]
+    )
+
+
+def events_zone_visits_sql() -> str:
+    from .spatial import _pip_condition_sql
+
+    return f"""
+WITH z AS (SELECT CAST(n_nationkey AS BIGINT) AS zkey FROM nation)
+SELECT user_id, z.zkey AS zone_id,
+       CAST(count(*) AS BIGINT) AS n_pings,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS first_ts,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts
+FROM events, z
+WHERE {_pip_condition_sql('event_id')}
+GROUP BY user_id, z.zkey
+ORDER BY user_id, zone_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Origin-destination matrix (zone-to-zone trajectory flows): each ping
+# is assigned its MIN containing zone (deterministic under overlapping
+# zones; pings outside every zone are dropped), each user's in-zone
+# ping sequence is time-ordered, and every consecutive pair counts one
+# (zone_from, zone_to) trip — self-loops included.
+#
+# Scale shape: the PIP assignment is the fused broadcast min-zone task
+# (no shuffle), the transition count is the sorted-segment engine
+# (per-block vectorized pair counts + O(blocks) boundary records —
+# a transition depends on ONE adjacent pair, so sessions-style
+# independent boundary handling is exact), and the final aggregate is
+# bounded at N_ZONES^2 = 625 keys -> grouped_sum(merge="driver")
+# (CLAUDE.md rule 2).
+# ---------------------------------------------------------------------------
+
+
+def events_od_matrix(sf_dir: str):
+    import ray
+    import ray.data
+
+    from ..stages.geo import add_latlon, broadcast_min_zone_task, zones_payload
+    from .common import grouped_sum
+    from .spatial import N_ZONES
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts_us": pa.array(ts_us),
+            }
+        )
+
+    ref = ray.put(zones_payload(np.arange(N_ZONES, dtype=np.int64)))
+    hits = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_latlon("event_id"), batch_format="pyarrow")
+        .map_batches(
+            broadcast_min_zone_task(
+                ref, keep_cols=("user_id", "ts_us", "event_id")
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["user_id", "ts_us", "event_id"])
+    )
+
+    _SCHEMA = pa.schema(
+        [
+            ("kind", pa.int8()),  # 0 = transition partial, 1 = block edge
+            ("zone_from", pa.int64()),
+            ("zone_to", pa.int64()),
+            ("n_trips", pa.int64()),
+            ("first_uid", pa.int64()),
+            ("first_ts", pa.int64()),
+            ("first_eid", pa.int64()),
+            ("first_z", pa.int64()),
+            ("last_uid", pa.int64()),
+            ("last_z", pa.int64()),
+        ]
+    )
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _SCHEMA.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        z = t["zone_id"].to_numpy(zero_copy_only=False)
+        same = uid[1:] == uid[:-1]
+        zf, zt = z[:-1][same], z[1:][same]
+        key = zf * np.int64(N_ZONES) + zt
+        uk, cnt = np.unique(key, return_counts=True)
+        m = len(uk)
+        neg1 = pa.array(np.full(m, -1, dtype=np.int64))
+        partials = pa.table(
+            {
+                "kind": pa.array(np.zeros(m, dtype=np.int8)),
+                "zone_from": pa.array(uk // N_ZONES),
+                "zone_to": pa.array(uk % N_ZONES),
+                "n_trips": pa.array(cnt.astype(np.int64)),
+                "first_uid": neg1,
+                "first_ts": neg1,
+                "first_eid": neg1,
+                "first_z": neg1,
+                "last_uid": neg1,
+                "last_z": neg1,
+            },
+            schema=_SCHEMA,
+        )
+        edge = pa.table(
+            {
+                "kind": pa.array(np.array([1], dtype=np.int8)),
+                "zone_from": pa.array([-1], type=pa.int64()),
+                "zone_to": pa.array([-1], type=pa.int64()),
+                "n_trips": pa.array([0], type=pa.int64()),
+                "first_uid": pa.array([int(uid[0])], type=pa.int64()),
+                "first_ts": pa.array(
+                    [int(t["ts_us"][0].as_py())], type=pa.int64()
+                ),
+                "first_eid": pa.array(
+                    [int(t["event_id"][0].as_py())], type=pa.int64()
+                ),
+                "first_z": pa.array([int(z[0])], type=pa.int64()),
+                "last_uid": pa.array([int(uid[-1])], type=pa.int64()),
+                "last_z": pa.array([int(z[-1])], type=pa.int64()),
+            },
+            schema=_SCHEMA,
+        )
+        return pa.concat_tables([partials, edge])
+
+    tagged = hits.map_batches(
+        per_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()  # O(625 x blocks + blocks) rows
+
+    def only(kind: int, cols):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["kind"], kind)).select(cols)
+
+        return f
+
+    partials = tagged.map_batches(
+        only(0, ["zone_from", "zone_to", "n_trips"]), batch_format="pyarrow"
+    )
+
+    edges = tagged.map_batches(
+        only(1, ["first_uid", "first_ts", "first_eid", "first_z",
+                 "last_uid", "last_z"]),
+        batch_format="pyarrow",
+    ).take_all()
+    edges.sort(key=lambda e: (e["first_uid"], e["first_ts"], e["first_eid"]))
+    bnd: dict[tuple[int, int], int] = {}
+    for i in range(1, len(edges)):
+        if edges[i]["first_uid"] == edges[i - 1]["last_uid"]:
+            k = (int(edges[i - 1]["last_z"]), int(edges[i]["first_z"]))
+            bnd[k] = bnd.get(k, 0) + 1
+    if bnd:
+        ks = sorted(bnd)
+        extra = pa.table(
+            {
+                "zone_from": pa.array([k[0] for k in ks], pa.int64()),
+                "zone_to": pa.array([k[1] for k in ks], pa.int64()),
+                "n_trips": pa.array([bnd[k] for k in ks], pa.int64()),
+            }
+        )
+        partials = partials.union(ray.data.from_arrow(extra))
+
+    out = grouped_sum(
+        partials,
+        ["zone_from", "zone_to"],
+        {"n_trips": ("n_trips", "sum")},
+        merge="driver",
+    )
+    return out.sort(["zone_from", "zone_to"])
+
+
+def events_od_matrix_sql() -> str:
+    from .spatial import _pip_condition_sql
+
+    return f"""
+WITH z AS (SELECT CAST(n_nationkey AS BIGINT) AS zkey FROM nation),
+hits AS (
+  SELECT user_id, ts, event_id, min(z.zkey) AS zone
+  FROM events, z
+  WHERE {_pip_condition_sql('event_id')}
+  GROUP BY user_id, ts, event_id
+),
+seq AS (
+  SELECT user_id, zone,
+         lag(zone) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pzone
+  FROM hits
+)
+SELECT pzone AS zone_from, zone AS zone_to,
+       CAST(count(*) AS BIGINT) AS n_trips
+FROM seq
+WHERE pzone IS NOT NULL
+GROUP BY pzone, zone
+ORDER BY zone_from, zone_to
+"""

@@ -232,3 +232,45 @@ def zones_payload(zone_keys: np.ndarray) -> dict:
         "vertex_xy": verts.reshape(-1, 2),
         "ring_offsets": np.arange(0, 4 * (len(zone_keys) + 1), 4),
     }
+
+
+def broadcast_min_zone_task(zones_ref, keep_cols: tuple[str, ...] = ()):
+    """Fused PIP stage assigning each point its MIN containing zone_id
+    (rows in no zone are dropped) — the deterministic single-zone
+    assignment trajectory operators need (OD flows, geofence sequences)
+    when zones overlap.  Same cached GridZoneIndex + task-fusion
+    rationale as :func:`broadcast_pip_task`; the min is one
+    ``np.minimum.at`` over the (point, zone) pairs, never a shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray
+
+        key = (
+            "minzone",
+            zones_ref.hex() if hasattr(zones_ref, "hex") else id(zones_ref),
+        )
+        state = _PIP_TASK_CACHE.get(key)
+        if state is None:
+            z = ray.get(zones_ref)
+            state = (
+                geom.GridZoneIndex(
+                    z["vertex_xy"], z["ring_offsets"], bits=int(z.get("bits", 6))
+                ),
+                z["zone_id"],
+            )
+            _PIP_TASK_CACHE[key] = state
+        index, zone_id = state
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        pi, zi = index.contains_pairs(lon, lat)
+        minz = np.full(batch.num_rows, np.iinfo(np.int64).max, dtype=np.int64)
+        if len(pi):
+            np.minimum.at(minz, pi, zone_id[zi])
+        hit = np.flatnonzero(minz != np.iinfo(np.int64).max)
+        take = pa.array(hit)
+        cols = {c: batch[c].take(take) for c in keep_cols}
+        cols["zone_id"] = pa.array(minz[hit])
+        return pa.table(cols)
+
+    fn.__name__ = "broadcast_min_zone"
+    return fn

@@ -1,0 +1,124 @@
+"""Tests for the round-4 continuation-4 operators: integer PageRank
+and corpus-conditioned LM scoring."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _pagerank_reference(edges, iters):
+    """Pure-python integer PageRank, the spec both engines implement."""
+    from geografir_ray.pipelines.graph import PR_BASE, PR_SCALE
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outd = {}
+    for s, _ in edges:
+        outd[s] = outd.get(s, 0) + 1
+    r = {n: PR_SCALE for n in nodes}
+    for _ in range(iters):
+        c = {n: 0 for n in nodes}
+        for s, d in edges:
+            c[d] += r[s] // outd[s]
+        r = {n: PR_BASE + (85 * c[n]) // 100 for n in nodes}
+    return r
+
+
+def test_pagerank_tiny_graph_exact(ray_session):
+    import ray.data
+
+    from geografir_ray.pipelines.graph import pagerank
+
+    # a small digraph with a dangling node (4), a no-in-edges node (0),
+    # a multi-edge (1->2 twice), and a 2-cycle
+    edges = [(0, 1), (1, 2), (1, 2), (2, 1), (2, 3), (3, 4), (0, 4)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    got = pagerank(ds, iters=4, n_buckets=4).to_pandas()
+    got = dict(zip(got["node"], got["r"]))
+    assert got == _pagerank_reference(edges, 4)
+
+
+def test_pagerank_partition_invariant(ray_session):
+    import ray.data
+
+    from geografir_ray.pipelines.graph import pagerank
+
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 50, 400).astype(np.int64)
+    dst = rng.randint(0, 50, 400).astype(np.int64)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    a = pagerank(ray.data.from_arrow(t), iters=3, n_buckets=8).to_pandas()
+    b = pagerank(
+        ray.data.from_arrow(t).repartition(13), iters=3, n_buckets=3
+    ).to_pandas()
+    a = a.sort_values("node").reset_index(drop=True)
+    b = b.sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
+    ref = _pagerank_reference(list(zip(src.tolist(), dst.tolist())), 3)
+    assert dict(zip(a["node"], a["r"])) == ref
+
+
+def test_graph_pagerank_matches_duckdb(ray_session, sf_small):
+    import duckdb
+
+    from geografir_ray.pipelines.graph import graph_pagerank, graph_pagerank_sql
+
+    got = graph_pagerank(sf_small).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_small}/{t}.parquet')"
+        )
+    exp = con.execute(graph_pagerank_sql()).df()
+    assert len(got) == len(exp)
+    assert (got["node"].to_numpy() == exp["node"].to_numpy()).all()
+    assert (got["r"].to_numpy() == exp["r"].to_numpy()).all()
+
+
+def _lm_reference(doc_ids, texts):
+    from collections import Counter
+
+    bgs = {}
+    for d, s in zip(doc_ids, texts):
+        toks = [w for w in (s or "").split(" ") if w]
+        bgs[d] = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    corpus = Counter(g for gl in bgs.values() for g in gl)
+    out = {}
+    for d, gl in bgs.items():
+        if not gl:
+            continue
+        nb = len(gl)
+        hits = sum(corpus[g] for g in gl)
+        out[d] = (nb, hits, (1000 * hits) // nb)
+    return out
+
+
+def test_lm_score_brute_replay(ray_session, sf_small):
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.documents import docs_lm_score
+
+    got = docs_lm_score(sf_small).to_pandas()
+    docs = pq.read_table(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ref = _lm_reference(
+        docs["doc_id"].to_pylist(), docs["text"].to_pylist()
+    )
+    assert len(got) == len(ref)
+    for row in got.itertuples(index=False):
+        assert ref[row.doc_id] == (row.nb, row.hits, row.lm_score), row.doc_id
+
+
+def test_lm_score_bucket_invariant(ray_session, sf_small):
+    from geografir_ray.pipelines.documents import docs_lm_score
+
+    a = docs_lm_score(sf_small, n_buckets=64).to_pandas()
+    b = docs_lm_score(sf_small, n_buckets=7).to_pandas()
+    assert a.equals(b)

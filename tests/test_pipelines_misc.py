@@ -1251,3 +1251,130 @@ def test_heavy_hitters_ds_random_corpora_exact(ray_session):
         saw_nonempty = True
         assert list(zip(got["token"], got["n"])) == exp, (phi, len(got), len(exp))
     assert saw_nonempty and saw_empty  # both paths exercised
+
+
+def test_staypoint_chain_split_invariance():
+    """The per-block staypoint pass + chain corrections are exact under
+    ANY contiguous block split — including single-row blocks, whose two
+    adjacent boundary pairs chain through the state machine (the case
+    the sessions-style independent per-boundary cancellation gets
+    wrong).  No Ray: drives the real per-batch kernel directly."""
+    import pyarrow as pa
+
+    from geografir_ray.pipelines.events import (
+        _staypoint_chain,
+        _staypoint_per_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        n = int(rng.integers(2, 60))
+        uid = np.sort(rng.integers(0, 4, size=n).astype(np.int64))
+        # small event_id range concentrates points on few synth
+        # positions so cont-pairs (and runs) actually occur
+        eid = rng.integers(0, 40, size=n).astype(np.int64)
+        # strictly increasing ts: rows are already in (user_id, ts)
+        # order and edge-record sort keys can never tie
+        ts = np.arange(n, dtype=np.int64) * 10**6
+        tbl = pa.table(
+            {
+                "event_id": pa.array(eid),
+                "ts": pa.array(ts).cast(pa.timestamp("us")),
+                "user_id": pa.array(uid),
+            }
+        )
+
+        def totals(split_points):
+            parts = []
+            edges = []
+            prev = 0
+            for cut in list(split_points) + [n]:
+                if cut == prev:
+                    continue
+                out = _staypoint_per_batch(tbl.slice(prev, cut - prev))
+                df = out.to_pandas()
+                parts.append(df[df["kind"] == 0])
+                edges.extend(df[df["kind"] == 1].to_dict("records"))
+                prev = cut
+            import pandas as pd
+
+            base = (
+                pd.concat(parts)
+                .groupby("user_id")[["n_stays", "n_stay_pairs"]]
+                .sum()
+            )
+            edges.sort(
+                key=lambda e: (e["first_uid"], e["first_ts"], e["first_eid"])
+            )
+            d_stays, d_pairs = _staypoint_chain(edges)
+            for u, v in d_stays.items():
+                base.loc[u, "n_stays"] += v
+            for u, v in d_pairs.items():
+                base.loc[u, "n_stay_pairs"] += v
+            return {
+                int(u): (int(r["n_stays"]), int(r["n_stay_pairs"]))
+                for u, r in base.iterrows()
+            }
+
+        expect = totals([])  # single block = ground truth
+        # random split, plus an all-singleton split (worst case)
+        k = int(rng.integers(1, n))
+        cuts = np.sort(rng.choice(np.arange(1, n), size=k, replace=False))
+        assert totals(cuts.tolist()) == expect, f"trial {trial} cuts {cuts}"
+        assert totals(list(range(1, n))) == expect, f"trial {trial} singleton"
+
+
+def test_events_staypoints_matches_duckdb(ray_session, sf_small):
+    import duckdb
+
+    from geografir_ray.pipelines.events import (
+        events_staypoints,
+        events_staypoints_sql,
+    )
+
+    got = events_staypoints(sf_small).to_pandas()
+    assert (got["n_stays"] <= got["n_stay_pairs"]).all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    exp = con.execute(events_staypoints_sql()).df()
+    assert list(map(tuple, got.values)) == list(map(tuple, exp.values))
+
+
+def test_events_zone_visits_matches_duckdb(ray_session, sf_small):
+    import duckdb
+
+    from geografir_ray.pipelines.events import (
+        events_zone_visits,
+        events_zone_visits_sql,
+    )
+
+    got = events_zone_visits(sf_small).to_pandas()
+    assert (got["first_ts"] <= got["last_ts"]).all()
+    con = duckdb.connect()
+    for t in ("events", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_small}/{t}.parquet'"
+        )
+    exp = con.execute(events_zone_visits_sql()).df()
+    assert list(map(tuple, got.values)) == list(map(tuple, exp.values))
+
+
+def test_events_od_matrix_matches_duckdb(ray_session, sf_small):
+    import duckdb
+
+    from geografir_ray.pipelines.events import (
+        events_od_matrix,
+        events_od_matrix_sql,
+    )
+
+    got = events_od_matrix(sf_small).to_pandas()
+    assert (got["n_trips"] > 0).all()
+    con = duckdb.connect()
+    for t in ("events", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_small}/{t}.parquet'"
+        )
+    exp = con.execute(events_od_matrix_sql()).df()
+    assert list(map(tuple, got.values)) == list(map(tuple, exp.values))
