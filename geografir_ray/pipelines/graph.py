@@ -8,13 +8,20 @@ division at the exact points the SQL twin floors ((r // d) per source,
 (85 * c) // 100 per damping step), so the Ray result and the unrolled
 DuckDB CTE chain are bit-equal — no float iteration drift.
 
-Scale shape per round: ONE bucketed hash join (edges x ranks on src)
-plus ONE grouped-sum exchange (contributions keyed by dst, unioned
-with a static zero row per node so dangling-in nodes keep the base
-rank).  Both are the engine's standard exchanges; nothing grows on the
-driver.  Edges (with out-degree attached) and the node set are
-coalesced + materialized ONCE before the loop (CLAUDE.md rules 9/18 —
-per-round sample-sort cost scales with block count and compounds).
+Scale shape: the graph is STATIC across rounds, so it is sharded ONCE
+— edges hash-partitioned on src into B object-store shards, each
+pre-encoded (sorted unique srcs, per-src out-degree, src/dst dictionary
+codes, edge multiplicities) — and the per-round work is a raw-task BSP
+exchange: B contribution tasks (rank lookup by searchsorted + one
+np.add.at per shard, emitting <= B dst-bucket pieces) feeding B merge
+tasks (np.add.at over each bucket's static sorted node array).  Only
+rank arrays and combined contribution pieces move per round; the
+10M-edge shards never leave the object store, and the driver holds
+O(B^2) ObjectRefs, never data.  This is the one operator family where
+Ray Data genuinely cannot express the semantics (a static partitioned
+side reused across iterations — Dataset.groupby re-sorts the full edge
+set every round: measured 184 s for 4 rounds at 10M edges vs ~8 s for
+this form), so raw tasks are used per the documented escape hatch.
 """
 
 from __future__ import annotations
@@ -24,12 +31,76 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sources.tables import read_table
-from .common import grouped_sum
 
 PR_SCALE = 1_000_000          # initial rank per node (fixed-point)
 PR_BASE = 150_000             # (1 - 0.85) * SCALE
 PR_ITERS = 4
 SUPP_NODE_OFFSET = 1_000_000_000   # supplier node ids live above this
+
+
+def _split_block(n_buckets: int):
+    """Task: split one edge block into per-src-bucket piece tables."""
+    from ..functions.hashing import splitmix64
+
+    def fn(t: pa.Table):
+        src = pc.cast(t["src"], pa.int64()).to_numpy(zero_copy_only=False)
+        dst = pc.cast(t["dst"], pa.int64()).to_numpy(zero_copy_only=False)
+        bkt = (splitmix64(src.astype(np.uint64)) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        order = np.argsort(bkt, kind="stable")
+        sb, ss, sd = bkt[order], src[order], dst[order]
+        bounds = np.searchsorted(sb, np.arange(n_buckets + 1))
+        return [
+            pa.table({"src": pa.array(ss[bounds[b]:bounds[b + 1]]),
+                      "dst": pa.array(sd[bounds[b]:bounds[b + 1]])})
+            for b in range(n_buckets)
+        ]
+
+    return fn
+
+
+def _build_shard(n_buckets: int):
+    """Task: concat one bucket's pieces and pre-encode the CSR-ish
+    shard consumed every round: usrc (sorted unique), d (out-degree
+    incl. multiplicity), src_code/dst_code (edge dictionary codes,
+    multiplicity-collapsed with weight w), udst + the dst-bucket of
+    each distinct dst.  Also returns the per-out-bucket distinct dst
+    arrays used once to build the node sets."""
+    from ..functions.hashing import splitmix64
+
+    def fn(*pieces):
+        tbls = [t for t in pieces if t.num_rows]
+        if not tbls:
+            empty = np.array([], dtype=np.int64)
+            shard = {"usrc": empty, "d": empty, "src_code": empty,
+                     "dst_code": empty, "w": empty, "udst": empty,
+                     "udst_bkt": empty}
+            return shard, [empty] * n_buckets
+        t = pa.concat_tables(tbls)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        # collapse multiplicities: w edges (s, d) contribute w * (r//deg)
+        key = np.stack([src, dst])
+        uniq, w = np.unique(key, axis=1, return_counts=True)
+        usrc, src_code = np.unique(uniq[0], return_inverse=True)
+        udst, dst_code = np.unique(uniq[1], return_inverse=True)
+        d = np.zeros(len(usrc), dtype=np.int64)
+        np.add.at(d, src_code, w.astype(np.int64))
+        udst_bkt = (
+            splitmix64(udst.astype(np.uint64)) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        shard = {
+            "usrc": usrc, "d": d,
+            "src_code": src_code.astype(np.int64),
+            "dst_code": dst_code.astype(np.int64),
+            "w": w.astype(np.int64),
+            "udst": udst, "udst_bkt": udst_bkt,
+        }
+        dst_pieces = [udst[udst_bkt == b] for b in range(n_buckets)]
+        return shard, dst_pieces
+
+    return fn
 
 
 def pagerank(edges, iters: int = PR_ITERS, n_buckets: int = 64):
@@ -42,134 +113,79 @@ def pagerank(edges, iters: int = PR_ITERS, n_buckets: int = 64):
     nodes (no out-edges) leak rank; nodes with no in-edges settle at
     PR_BASE — both identical in the SQL twin by construction.
     """
-    from ..stages.join import hash_join
+    import ray
+    import ray.data
 
-    def add_one(t: pa.Table) -> pa.Table:
-        return t.append_column("one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+    B = n_buckets
+    block_refs = edges.materialize().to_arrow_refs()
 
-    edges = edges.map_batches(add_one, batch_format="pyarrow")
-    outd = grouped_sum(edges, ["src"], {"d": ("one", "sum")})
+    split = ray.remote(num_returns=B)(_split_block(B))
+    build = ray.remote(num_returns=2)(_build_shard(B))
+    piece_refs = [split.remote(r) for r in block_refs]
+    if B == 1:  # num_returns=1 yields a bare ref, not a list
+        piece_refs = [[r] for r in piece_refs]
+    shard_refs, dstp_refs = [], []
+    for b in range(B):
+        s, dp = build.remote(*[pr[b] for pr in piece_refs])
+        shard_refs.append(s)
+        dstp_refs.append(dp)
 
-    # attach out-degree to each edge ONCE; coalesce before the loop
-    edges_d = (
-        hash_join(
-            edges,
-            outd,
-            on="src",
-            n_buckets=n_buckets,
-            left_cols=["src", "dst"],
-            right_cols=["src", "d"],
+    def _init_bucket(b):
+        def fn(shard, *dst_pieces_all):
+            # nodes hashing to b = shard b's srcs U every shard's
+            # dst pieces destined for b (refs passed unpacked so Ray
+            # dereferences them)
+            parts = [shard["usrc"]] + [dp[b] for dp in dst_pieces_all]
+            nodes = np.unique(np.concatenate(parts))
+            return nodes, np.full(len(nodes), PR_SCALE, dtype=np.int64)
+
+        return fn
+
+    nodes_refs, rank_refs = [], []
+    for b in range(B):
+        nr, rr = ray.remote(num_returns=2)(_init_bucket(b)).remote(
+            shard_refs[b], *dstp_refs
         )
-        .repartition(16)
-        .materialize()
-    )
+        nodes_refs.append(nr)
+        rank_refs.append(rr)
 
-    # node set = distinct(src) U distinct(dst); kept as a zero-
-    # contribution table so the per-round merge needs no left join
-    def endpoints(t: pa.Table) -> pa.Table:
-        n = pa.concat_arrays(
-            [
-                pc.cast(t["src"], pa.int64()).combine_chunks(),
-                pc.cast(t["dst"], pa.int64()).combine_chunks(),
-            ]
-        )
-        u = pc.unique(n)
-        return pa.table(
-            {"node": u, "c": pa.array(np.zeros(len(u), dtype=np.int64))}
-        )
+    def _contrib(shard, nodes, r):
+        if len(shard["usrc"]) == 0:
+            e = np.array([], dtype=np.int64)
+            return [(e, e)] * B
+        ru = r[np.searchsorted(nodes, shard["usrc"])]
+        share = (ru // shard["d"])[shard["src_code"]] * shard["w"]
+        c = np.zeros(len(shard["udst"]), dtype=np.int64)
+        np.add.at(c, shard["dst_code"], share)
+        ub = shard["udst_bkt"]
+        return [(shard["udst"][ub == b], c[ub == b]) for b in range(B)]
 
-    node_zero = grouped_sum(
-        edges_d.map_batches(endpoints, batch_format="pyarrow"),
-        ["node"],
-        {"c": ("c", "sum")},
-    ).repartition(8).materialize()
+    def _merge(nodes, *pieces):
+        acc = np.zeros(len(nodes), dtype=np.int64)
+        for nd, c in pieces:
+            if len(nd):
+                np.add.at(acc, np.searchsorted(nodes, nd), c)
+        return PR_BASE + (85 * acc) // 100
 
-    def init_rank(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": pc.cast(t["node"], pa.int64()),
-                "r": pa.array(np.full(t.num_rows, PR_SCALE, dtype=np.int64)),
-            }
-        )
-
-    ranks = node_zero.map_batches(init_rank, batch_format="pyarrow").materialize()
-
-    from ..functions.hashing import splitmix64
-
-    _SHARE = pa.schema(
-        [("node", pa.int64()), ("c", pa.int64()), ("__bkt", pa.int64())]
-    )
-
-    def share(t: pa.Table) -> pa.Table:
-        # per-edge rank share, pre-combined per (node) within the batch
-        # and tagged with the merge bucket — the merge itself is a
-        # bucketed exchange + vectorized add.at, NOT a sort-based
-        # aggregate over the unbounded node key (CLAUDE.md rule 1)
-        if t.num_rows == 0:
-            return _SHARE.empty_table()
-        r = t["r"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dst = pc.cast(t["dst"], pa.int64()).to_numpy(zero_copy_only=False)
-        u, inv = np.unique(dst, return_inverse=True)
-        c = np.zeros(len(u), dtype=np.int64)
-        np.add.at(c, inv, r // d)
-        bkt = (splitmix64(u.astype(np.uint64)) % np.uint64(n_buckets)).astype(
-            np.int64
-        )
-        return pa.table(
-            {"node": pa.array(u), "c": pa.array(c), "__bkt": pa.array(bkt)}
-        )
-
-    def tag_zero(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _SHARE.empty_table()
-        n = pc.cast(t["node"], pa.int64()).to_numpy(zero_copy_only=False)
-        bkt = (splitmix64(n.astype(np.uint64)) % np.uint64(n_buckets)).astype(
-            np.int64
-        )
-        return pa.table(
-            {"node": t["node"], "c": t["c"], "__bkt": pa.array(bkt)}
-        )
-
-    node_zero_tagged = node_zero.map_batches(
-        tag_zero, batch_format="pyarrow"
-    ).materialize()
-
-    _RANK = pa.schema([("src", pa.int64()), ("r", pa.int64())])
-
-    def merge_damp(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return _RANK.empty_table()
-        n = pc.cast(g["node"], pa.int64()).to_numpy(zero_copy_only=False)
-        cin = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-        u, inv = np.unique(n, return_inverse=True)
-        c = np.zeros(len(u), dtype=np.int64)
-        np.add.at(c, inv, cin)
-        return pa.table(
-            {"src": pa.array(u), "r": pa.array(PR_BASE + (85 * c) // 100)}
-        )
+    contrib = ray.remote(num_returns=B)(_contrib)
+    merge = ray.remote(_merge)
 
     for _ in range(iters):
-        contrib = hash_join(
-            edges_d,
-            ranks,
-            on="src",
-            n_buckets=n_buckets,
-            left_cols=["src", "dst", "d"],
-            right_cols=["src", "r"],
-        ).map_batches(share, batch_format="pyarrow")
-        ranks = (
-            contrib.union(node_zero_tagged)
-            .groupby("__bkt")
-            .map_groups(merge_damp, batch_format="pyarrow")
-            .repartition(8)
-            .materialize()
-        )
+        piece = [contrib.remote(shard_refs[b], nodes_refs[b], rank_refs[b])
+                 for b in range(B)]
+        if B == 1:
+            piece = [[p] for p in piece]
+        rank_refs = [
+            merge.remote(nodes_refs[b], *[piece[s][b] for s in range(B)])
+            for b in range(B)
+        ]
 
-    return ranks.map_batches(
-        lambda t: pa.table({"node": t["src"], "r": t["r"]}),
-        batch_format="pyarrow",
-    )
+    def _emit(nodes, r):
+        return pa.table({"node": pa.array(nodes), "r": pa.array(r)})
+
+    emit = ray.remote(_emit)
+    out_refs = [emit.remote(nodes_refs[b], rank_refs[b]) for b in range(B)]
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def graph_pagerank(sf_dir: str, iters: int = PR_ITERS):
