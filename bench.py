@@ -712,6 +712,48 @@ def bench_suite() -> dict:
         )
         return pagerank(edges, iters=4, n_buckets=64)
 
+    def lm_score_1m(_sf_dir: str):
+        # corpus-conditioned LM scoring over 1M synthetic docs with a
+        # COMPOSITE vocab (65x65 two-part tokens -> ~4.2k tokens,
+        # ~14M bigram instances over an ~11M-possible bigram space) so
+        # the single bigram exchange runs at realistic key cardinality
+        # (most corpus bigrams are near-unique, the worst case for the
+        # bucket-side dictionary merge).
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from geografir_ray.functions.hashing import splitmix64
+        from geografir_ray.pipelines.documents import lm_score_ds
+        from geografir_ray.sources.synth import _VOCAB
+
+        vocab = pa.array(list(_VOCAB), pa.string())
+        V = len(_VOCAB)
+
+        def build(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy().astype(np.int64)
+            L = 12 + (ids % 7)
+            offs = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(L, out=offs[1:])
+            j = np.arange(offs[-1], dtype=np.int64) - np.repeat(offs[:-1], L)
+            h = splitmix64((np.repeat(ids, L) * np.int64(131) + j).astype(np.uint64))
+            a = (h % np.uint64(V)).astype(np.int64)
+            b = ((h >> np.uint64(32)) % np.uint64(V)).astype(np.int64)
+            toks = pc.binary_join_element_wise(
+                vocab.take(pa.array(a)), vocab.take(pa.array(b)), "_"
+            )
+            text = pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(offs.astype(np.int32)), toks),
+                " ",
+            )
+            return pa.table({"doc_id": pa.array(ids), "text": text})
+
+        docs = rd.range(1_000_000, override_num_blocks=64).map_batches(
+            build, batch_format="pyarrow", batch_size=None
+        )
+        return lm_score_ds(docs)
+
     def streaming_5m(_sf_dir: str):
         # watermark/late-data windowed aggregation at 5M events through
         # 8 shard actors (VERDICT r3 item 8): ordered chunk replay,
@@ -747,6 +789,7 @@ def bench_suite() -> dict:
         "bbox_join_1m": bbox_join_1m,
         "heavy_hitters_56m": heavy_hitters_56m,
         "pagerank_10m": pagerank_10m,
+        "lm_score_1m": lm_score_1m,
         "streaming_5m": streaming_5m,
         "q1_pricing_summary": R.q1_pricing_summary,
         "q5_nation_revenue": R.q5_nation_revenue,

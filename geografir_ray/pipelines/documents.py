@@ -3610,6 +3610,14 @@ ORDER BY n DESC, token
 
 
 def docs_lm_score(sf_dir: str, n_buckets: int = 64):
+    """sf_dir wrapper over :func:`lm_score_ds` (the documents table)."""
+    return lm_score_ds(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        n_buckets=n_buckets,
+    )
+
+
+def lm_score_ds(ds, n_buckets: int = 64):
     """Corpus-conditioned document scoring: each document is scored by
     how typical its bigrams are of the corpus itself — the integer-exact
     stand-in for CCNet's LM-perplexity filter (Wenzek et al. 2020;
@@ -3637,9 +3645,7 @@ def docs_lm_score(sf_dir: str, n_buckets: int = 64):
     n_buckets so corpus_bigram_bytes / B fits a worker heap — the
     per-group-Python trap is per-KEY calls, not per-bucket.
     """
-    from ..functions.hashing import hash_strings
-
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    from ..functions.hashing import hash_strings, splitmix64
 
     _PART = pa.schema(
         [("__bkt", pa.int64()), ("doc_id", pa.int64()),
@@ -3677,7 +3683,8 @@ def docs_lm_score(sf_dir: str, n_buckets: int = 64):
         })
 
     _BOUT = pa.schema(
-        [("doc_id", pa.int64()), ("nb", pa.int64()), ("hits", pa.int64())]
+        [("__dbkt", pa.int64()), ("doc_id", pa.int64()),
+         ("nb", pa.int64()), ("hits", pa.int64())]
     )
 
     def bucket_score(g: pa.Table) -> pa.Table:
@@ -3699,33 +3706,46 @@ def docs_lm_score(sf_dir: str, n_buckets: int = 64):
         hits = np.zeros(len(uids), dtype=np.int64)
         np.add.at(nb, inv, k)
         np.add.at(hits, inv, contrib)
-        return pa.table({"doc_id": pa.array(uids), "nb": pa.array(nb),
-                         "hits": pa.array(hits)})
+        dbkt = (splitmix64(uids.astype(np.uint64)) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        return pa.table({"__dbkt": pa.array(dbkt), "doc_id": pa.array(uids),
+                         "nb": pa.array(nb), "hits": pa.array(hits)})
 
-    parts = (
-        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__bkt")
-        .map_groups(bucket_score, batch_format="pyarrow")
-    )
-    per_doc = grouped_sum(
-        parts, ["doc_id"], {"nb": ("nb", "sum"), "hits": ("hits", "sum")}
-    )
+    # Per-doc merge is ANOTHER bucketed exchange + vectorized segment
+    # sum, NOT a grouped_sum: Ray's sample-sort Aggregate over the
+    # unbounded doc_id key spent 26 s/task on the 12.3M partials at 1M
+    # docs (the pages._shuffle_dedup lesson exactly), while the
+    # 64-value bucket sort moves the same rows in ~2 s.
+    _OUT = pa.schema([("doc_id", pa.int64()), ("nb", pa.int64()),
+                      ("hits", pa.int64()), ("lm_score", pa.int64())])
 
-    def finish(t: pa.Table) -> pa.Table:
-        out = pa.schema([("doc_id", pa.int64()), ("nb", pa.int64()),
-                         ("hits", pa.int64()), ("lm_score", pa.int64())])
-        if t.num_rows == 0:
-            return out.empty_table()
-        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
-        hits = t["hits"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def merge_docs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        did = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb_in = g["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h_in = g["hits"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uids, inv = np.unique(did, return_inverse=True)
+        nb = np.zeros(len(uids), dtype=np.int64)
+        hits = np.zeros(len(uids), dtype=np.int64)
+        np.add.at(nb, inv, nb_in)
+        np.add.at(hits, inv, h_in)
         return pa.table({
-            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "doc_id": pa.array(uids),
             "nb": pa.array(nb),
             "hits": pa.array(hits),
             "lm_score": pa.array((1000 * hits) // nb),
         })
 
-    return per_doc.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bkt")
+        .map_groups(bucket_score, batch_format="pyarrow")
+        .groupby("__dbkt")
+        .map_groups(merge_docs, batch_format="pyarrow")
+        .sort("doc_id")
+    )
 
 
 DOCS_LM_SCORE_SQL = f"""
