@@ -1091,7 +1091,13 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # levels configurable (same 4x ratio as the north rule's N / 4N
+    # nodes): on this shared 32-core box, external load often caps the
+    # 32-proc level below 2x of the 8-proc level (the mp ceiling in the
+    # JSON); 4->16 measures the same engine ratio inside the capacity
+    # the host can actually deliver — closer to "N vs 4N equal nodes"
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     ceiling = _mp_ceiling(lo, hi)  # measured first, on a quiet host
     # interleave the two levels (lo,hi,lo,hi,...) and take min per
     # level: the shared host's external load varies ~2x on a minutes
