@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_pyramid": S.tile_pyramid,
         "geo_bbox_join": S.bbox_overlap_join,
         "geo_cluster_points": S.cluster_points,
+        "geo_hotspot_clusters": S.geo_hotspot_clusters,
         "geo_radius_join": S.radius_join,
         # events (window / session / as-of)
         "events_hourly": E.events_hourly,
@@ -96,7 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher_rules": D.docs_gopher_rules,
         "docs_heavy_hitters": D.docs_heavy_hitters,
         "docs_lm_score": D.docs_lm_score,
+        "docs_pmi_collocations": D.docs_pmi_collocations,
         "graph_pagerank": G.graph_pagerank,
+        "graph_hits": G.graph_hits,
         "events_staypoints": E.events_staypoints,
         "events_zone_visits": E.events_zone_visits,
         "events_od_matrix": E.events_od_matrix,
@@ -196,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_tile_pyramid": S.tile_pyramid_sql(),
         "geo_bbox_join": S.bbox_overlap_join_sql(),
         "geo_cluster_points": S.cluster_points_sql(),
+        "geo_hotspot_clusters": S.GEO_HOTSPOT_CLUSTERS_SQL,
         "geo_radius_join": S.radius_join_sql(),
         "events_hourly": E.EVENTS_HOURLY_SQL,
         "events_sessions": E.EVENTS_SESSIONS_SQL,
@@ -233,7 +237,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_gopher_rules": D.DOCS_GOPHER_RULES_SQL,
         "docs_heavy_hitters": D.docs_heavy_hitters_sql(),
         "docs_lm_score": D.DOCS_LM_SCORE_SQL,
+        "docs_pmi_collocations": D.DOCS_PMI_COLLOCATIONS_SQL,
         "graph_pagerank": G.graph_pagerank_sql(),
+        "graph_hits": G.graph_hits_sql(),
         "events_staypoints": E.events_staypoints_sql(),
         "events_zone_visits": E.events_zone_visits_sql(),
         "events_od_matrix": E.events_od_matrix_sql(),

@@ -3772,3 +3772,226 @@ SELECT doc_id, nb, hits, CAST((1000 * hits) // nb AS BIGINT) AS lm_score
 FROM per_doc
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (corpus-wide bigram association ranking)
+# ---------------------------------------------------------------------------
+
+
+def docs_pmi_collocations(sf_dir: str, n_buckets: int = 64,
+                          min_count: int = 5, top_k: int = 100):
+    """sf_dir wrapper over :func:`pmi_collocations_ds` (documents table).
+
+    Only ``text`` is read: document boundaries are batch rows, and the
+    scoring is corpus-level (no per-doc output)."""
+    return pmi_collocations_ds(
+        read_table(sf_dir, "documents", columns=["text"]),
+        n_buckets=n_buckets, min_count=min_count, top_k=top_k,
+    )
+
+
+def pmi_collocations_ds(ds, n_buckets: int = 64, min_count: int = 5,
+                        top_k: int = 100):
+    """Top-k collocations: bigrams ranked by an integer-exact PMI
+    surrogate.  PMI(w1,w2) = log[(c_ab/M) / ((c_1/N)(c_2/N))] is
+    monotone in (c_ab * N^2)/(c_1 * c_2 * M); dropping the constants
+    M and one N, the rank-equivalent integer score computed IDENTICALLY
+    in both engines (positive ints, floor division) is
+
+        score = ((c_ab * 1_000_000) // c_1) * N // c_2
+
+    with c_ab <= c_1 (so step 1 <= 1e6) and N = total token count
+    (so step 2 <= 1e6 * N — no int64 overflow below ~9e12 tokens;
+    shard the corpus and merge scores per shard beyond that).
+    Bigrams below ``min_count`` are dropped (HAVING twin).
+
+    Scale shape — ONE pass over the text, TWO bounded-fanout bucket
+    exchanges, no driver state:
+      * per-batch combiners emit unigram partials routed on
+        SipHash(w) and bigram partials routed on SipHash(w1) — so
+        every instance of a bigram AND the full count of its w1 land
+        in the same stage-A bucket;
+      * stage-A buckets (B = n_buckets groups, never per-key Python)
+        total both sides with dictionary codes + np.add.at, apply the
+        min_count cut, attach c_1 by string match (pc.index_in), and
+        re-route survivors on SipHash(w2); each also forwards its
+        unigram table (stays in place: same hash) and broadcasts its
+        token-count sentinel to all B stage-B buckets so N is exact
+        with no second pass;
+      * stage-B buckets attach c_2 and compute the score.
+    The hash only routes — counts key on actual strings.  Final
+    sort+limit moves <= (surviving bigrams) rows, output is top_k.
+    """
+    from ..functions.hashing import hash_strings
+
+    B = n_buckets
+    _PART = pa.schema([("__bkt", pa.int64()), ("side", pa.int64()),
+                       ("w1", pa.string()), ("w2", pa.string()),
+                       ("k", pa.int64())])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        flat, docidx, _ = T.flat_tokens(t["text"])
+        if len(flat) == 0:
+            return _PART.empty_table()
+        vc = flat.value_counts()
+        uw = vc.field("values").cast(pa.string())
+        uc = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = [pa.table({
+            "__bkt": pa.array((hash_strings(uw) % np.uint64(B)).astype(np.int64)),
+            "side": pa.array(np.zeros(len(uw), dtype=np.int64)),
+            "w1": uw,
+            "w2": pa.array([""] * len(uw), pa.string()),
+            "k": pa.array(uc),
+        })]
+        if len(flat) >= 2:
+            same = docidx[1:] == docidx[:-1]
+            a = flat.slice(0, len(flat) - 1).filter(pa.array(same))
+            b = flat.slice(1).filter(pa.array(same))
+            if len(a):
+                g = pa.table({"w1": a, "w2": b,
+                              "one": pa.array(np.ones(len(a), dtype=np.int64))})
+                g = g.group_by(["w1", "w2"]).aggregate([("one", "sum")])
+                gw1 = g["w1"].combine_chunks() if isinstance(
+                    g["w1"], pa.ChunkedArray) else g["w1"]
+                out.append(pa.table({
+                    "__bkt": pa.array(
+                        (hash_strings(gw1) % np.uint64(B)).astype(np.int64)),
+                    "side": pa.array(np.ones(g.num_rows, dtype=np.int64)),
+                    "w1": g["w1"],
+                    "w2": g["w2"],
+                    "k": g["one_sum"],
+                }))
+        return pa.concat_tables([x.cast(_PART) for x in out])
+
+    _A = pa.schema([("__bkt2", pa.int64()), ("side", pa.int64()),
+                    ("w1", pa.string()), ("w2", pa.string()),
+                    ("c_ab", pa.int64()), ("c1", pa.int64()),
+                    ("cu", pa.int64())])
+
+    def stage_a(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _A.empty_table()
+        side = g["side"].to_numpy(zero_copy_only=False)
+        uni = g.filter(pa.array(side == 0))
+        big = g.filter(pa.array(side == 1))
+        out = []
+        # total unigram counts for this bucket's words
+        uw_all = uni["w1"].combine_chunks() if isinstance(
+            uni["w1"], pa.ChunkedArray) else uni["w1"]
+        codes = pc.dictionary_encode(uw_all)
+        codes = codes.combine_chunks() if isinstance(
+            codes, pa.ChunkedArray) else codes
+        uw = codes.dictionary.cast(pa.string())
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uc = np.zeros(len(uw), dtype=np.int64)
+        np.add.at(uc, idx, uni["k"].to_numpy(zero_copy_only=False))
+        # forward the unigram table (same hash -> same stage-B bucket)
+        out.append(pa.table({
+            "__bkt2": pa.array((hash_strings(uw) % np.uint64(B)).astype(np.int64)),
+            "side": pa.array(np.zeros(len(uw), dtype=np.int64)),
+            "w1": uw,
+            "w2": pa.array([""] * len(uw), pa.string()),
+            "c_ab": pa.array(np.zeros(len(uw), dtype=np.int64)),
+            "c1": pa.array(np.zeros(len(uw), dtype=np.int64)),
+            "cu": pa.array(uc),
+        }))
+        # token-count sentinel broadcast to every stage-B bucket
+        tot = int(uc.sum())
+        out.append(pa.table({
+            "__bkt2": pa.array(np.arange(B, dtype=np.int64)),
+            "side": pa.array(np.full(B, 2, dtype=np.int64)),
+            "w1": pa.array([""] * B, pa.string()),
+            "w2": pa.array([""] * B, pa.string()),
+            "c_ab": pa.array(np.zeros(B, dtype=np.int64)),
+            "c1": pa.array(np.zeros(B, dtype=np.int64)),
+            "cu": pa.array(np.full(B, tot, dtype=np.int64)),
+        }))
+        if big.num_rows:
+            bt = big.group_by(["w1", "w2"]).aggregate([("k", "sum")])
+            keep = pc.greater_equal(bt["k_sum"],
+                                    pa.scalar(min_count, pa.int64()))
+            bt = bt.filter(keep)
+            if bt.num_rows:
+                bw1 = bt["w1"].combine_chunks() if isinstance(
+                    bt["w1"], pa.ChunkedArray) else bt["w1"]
+                bw2 = bt["w2"].combine_chunks() if isinstance(
+                    bt["w2"], pa.ChunkedArray) else bt["w2"]
+                pos = pc.index_in(bw1, value_set=uw).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                out.append(pa.table({
+                    "__bkt2": pa.array(
+                        (hash_strings(bw2) % np.uint64(B)).astype(np.int64)),
+                    "side": pa.array(np.ones(bt.num_rows, dtype=np.int64)),
+                    "w1": bt["w1"],
+                    "w2": bt["w2"],
+                    "c_ab": bt["k_sum"],
+                    "c1": pa.array(uc[pos]),
+                    "cu": pa.array(np.zeros(bt.num_rows, dtype=np.int64)),
+                }))
+        return pa.concat_tables([x.cast(_A) for x in out])
+
+    _OUT = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                      ("c_ab", pa.int64()), ("score", pa.int64())])
+
+    def stage_b(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        side = g["side"].to_numpy(zero_copy_only=False)
+        n_total = int(g.filter(pa.array(side == 2))["cu"].to_numpy(
+            zero_copy_only=False).sum())
+        big = g.filter(pa.array(side == 1))
+        if big.num_rows == 0:
+            return _OUT.empty_table()
+        uni = g.filter(pa.array(side == 0))
+        uw = uni["w1"].combine_chunks() if isinstance(
+            uni["w1"], pa.ChunkedArray) else uni["w1"]
+        uc = uni["cu"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bw2 = big["w2"].combine_chunks() if isinstance(
+            big["w2"], pa.ChunkedArray) else big["w2"]
+        pos = pc.index_in(bw2, value_set=uw).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        c2 = uc[pos]
+        c_ab = big["c_ab"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = big["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = ((c_ab * 1_000_000) // c1) * n_total // c2
+        return pa.table({"w1": big["w1"], "w2": big["w2"],
+                         "c_ab": big["c_ab"], "score": pa.array(score)})
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bkt")
+        .map_groups(stage_a, batch_format="pyarrow")
+        .groupby("__bkt2")
+        .map_groups(stage_b, batch_format="pyarrow")
+        .sort(["score", "w1", "w2"], descending=[True, False, False])
+        .limit(top_k)
+    )
+
+
+DOCS_PMI_COLLOCATIONS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest({_TOKENS_SQL}) AS w,
+         generate_subscripts({_TOKENS_SQL}, 1) AS i
+  FROM documents
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+bg AS (
+  SELECT t1.w AS w1, t2.w AS w2
+  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+),
+bgc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+  FROM bg GROUP BY w1, w2 HAVING count(*) >= 5
+)
+SELECT b.w1, b.w2, b.c_ab,
+       CAST(((b.c_ab * 1000000) // u1.c) * (SELECT n FROM tot) // u2.c
+            AS BIGINT) AS score
+FROM bgc b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+ORDER BY score DESC, b.w1, b.w2
+LIMIT 100
+"""

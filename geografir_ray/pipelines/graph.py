@@ -38,13 +38,24 @@ PR_ITERS = 4
 SUPP_NODE_OFFSET = 1_000_000_000   # supplier node ids live above this
 
 
-def _split_block(n_buckets: int):
-    """Task: split one edge block into per-src-bucket piece tables."""
+def _split_block(n_buckets: int, src_col: str = "src", dst_col: str = "dst"):
+    """Task: split one edge block into per-src-bucket piece tables.
+
+    ``src_col``/``dst_col`` let a caller shard the REVERSE graph from
+    the same blocks (hits' h-phase) without materializing swapped
+    edges."""
     from ..functions.hashing import splitmix64
 
     def fn(t: pa.Table):
-        src = pc.cast(t["src"], pa.int64()).to_numpy(zero_copy_only=False)
-        dst = pc.cast(t["dst"], pa.int64()).to_numpy(zero_copy_only=False)
+        if t.num_rows == 0:
+            # Ray's groupby-sort occasionally emits a zero-row block
+            # with an EMPTY schema (the UDF is skipped for empty sort
+            # partitions), so don't index columns before checking.
+            e = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+            return [e] * n_buckets
+        src = pc.cast(t[src_col], pa.int64()).to_numpy(zero_copy_only=False)
+        dst = pc.cast(t[dst_col], pa.int64()).to_numpy(zero_copy_only=False)
         bkt = (splitmix64(src.astype(np.uint64)) % np.uint64(n_buckets)).astype(
             np.int64
         )
@@ -103,6 +114,52 @@ def _build_shard(n_buckets: int):
     return fn
 
 
+def _shard_graph(block_refs, n_buckets: int,
+                 src_col: str = "src", dst_col: str = "dst"):
+    """Shard edge blocks ONCE into B pre-encoded object-store shards
+    (see module docstring).  Returns (shard_refs, dstp_refs)."""
+    import ray
+
+    B = n_buckets
+    split = ray.remote(num_returns=B)(_split_block(B, src_col, dst_col))
+    build = ray.remote(num_returns=2)(_build_shard(B))
+    piece_refs = [split.remote(r) for r in block_refs]
+    if B == 1:  # num_returns=1 yields a bare ref, not a list
+        piece_refs = [[r] for r in piece_refs]
+    shard_refs, dstp_refs = [], []
+    for b in range(B):
+        s, dp = build.remote(*[pr[b] for pr in piece_refs])
+        shard_refs.append(s)
+        dstp_refs.append(dp)
+    return shard_refs, dstp_refs
+
+
+def _init_buckets(shard_refs, dstp_refs, n_buckets: int, fill: int):
+    """Per-bucket node sets + a constant-``fill`` value array each.
+    Bucket b's nodes = shard b's srcs U every shard's dst pieces
+    destined for b (refs passed unpacked so Ray dereferences them)."""
+    import ray
+
+    B = n_buckets
+
+    def _init_bucket(b):
+        def fn(shard, *dst_pieces_all):
+            parts = [shard["usrc"]] + [dp[b] for dp in dst_pieces_all]
+            nodes = np.unique(np.concatenate(parts))
+            return nodes, np.full(len(nodes), fill, dtype=np.int64)
+
+        return fn
+
+    nodes_refs, val_refs = [], []
+    for b in range(B):
+        nr, vr = ray.remote(num_returns=2)(_init_bucket(b)).remote(
+            shard_refs[b], *dstp_refs
+        )
+        nodes_refs.append(nr)
+        val_refs.append(vr)
+    return nodes_refs, val_refs
+
+
 def pagerank(edges, iters: int = PR_ITERS, n_buckets: int = 64):
     """Integer PageRank over ``edges`` (src, dst int64), ``iters``
     synchronous rounds.  Returns a Dataset (node, r).
@@ -117,37 +174,17 @@ def pagerank(edges, iters: int = PR_ITERS, n_buckets: int = 64):
     import ray.data
 
     B = n_buckets
-    block_refs = edges.materialize().to_arrow_refs()
-
-    split = ray.remote(num_returns=B)(_split_block(B))
-    build = ray.remote(num_returns=2)(_build_shard(B))
-    piece_refs = [split.remote(r) for r in block_refs]
-    if B == 1:  # num_returns=1 yields a bare ref, not a list
-        piece_refs = [[r] for r in piece_refs]
-    shard_refs, dstp_refs = [], []
-    for b in range(B):
-        s, dp = build.remote(*[pr[b] for pr in piece_refs])
-        shard_refs.append(s)
-        dstp_refs.append(dp)
-
-    def _init_bucket(b):
-        def fn(shard, *dst_pieces_all):
-            # nodes hashing to b = shard b's srcs U every shard's
-            # dst pieces destined for b (refs passed unpacked so Ray
-            # dereferences them)
-            parts = [shard["usrc"]] + [dp[b] for dp in dst_pieces_all]
-            nodes = np.unique(np.concatenate(parts))
-            return nodes, np.full(len(nodes), PR_SCALE, dtype=np.int64)
-
-        return fn
-
-    nodes_refs, rank_refs = [], []
-    for b in range(B):
-        nr, rr = ray.remote(num_returns=2)(_init_bucket(b)).remote(
-            shard_refs[b], *dstp_refs
-        )
-        nodes_refs.append(nr)
-        rank_refs.append(rr)
+    # Hold the MaterializedDataset until the shard builds finish:
+    # Ray Data eagerly free()s a dataset's blocks when the object is
+    # GC'd (bypassing ref counts), and lineage reconstruction can hand
+    # a split task a pre-select_columns block (observed once as a
+    # KeyError on "dst" from an orders-side union block).  The wait
+    # barrier pins blocks through the only stage that reads them.
+    mat = edges.materialize()
+    shard_refs, dstp_refs = _shard_graph(mat.to_arrow_refs(), B)
+    nodes_refs, rank_refs = _init_buckets(shard_refs, dstp_refs, B, PR_SCALE)
+    ray.wait(list(shard_refs), num_returns=B, fetch_local=False)
+    del mat
 
     def _contrib(shard, nodes, r):
         if len(shard["usrc"]) == 0:
@@ -255,4 +292,198 @@ r{i} AS (
 )""")
     return head + "".join(steps) + f"""
 SELECT node, r FROM r{iters} ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities)
+# ---------------------------------------------------------------------------
+
+HITS_SCALE = 1_000_000
+HITS_ITERS = 2
+
+
+def hits(edges, iters: int = HITS_ITERS, n_buckets: int = 64):
+    """Integer fixed-point HITS over ``edges`` (src, dst int64).
+    Returns a Dataset (node, h, a) after ``iters`` synchronous rounds.
+
+    h_0(u) = HITS_SCALE for every node.  Each round, bit-equal to the
+    unrolled SQL twin (:func:`graph_hits_sql`):
+
+        araw(u) = sum_{(v,u) in E} h(v)          (edge multiplicity counts)
+        a(u)    = (araw(u) * HITS_SCALE) // max_u araw(u)
+        hraw(v) = sum_{(v,u) in E} a(u)
+        h(v)    = (hraw(v) * HITS_SCALE) // max_v hraw(v)
+
+    Max-normalization (Kleinberg's L-inf variant) keeps every value in
+    [0, HITS_SCALE] so int64 never overflows below ~9e12 in-degree —
+    and, unlike sum-normalization, needs no 128-bit intermediate.
+
+    Scale shape: the SAME shard-once BSP engine as :func:`pagerank` —
+    the a-phase pushes h along FORWARD shards (edges bucketed by src),
+    the h-phase pushes a along REVERSE shards (same blocks re-sharded
+    by dst, built once before the loop) — so each phase is B
+    contribution tasks + B merge tasks with only value arrays moving.
+    The per-round global max is B scalars reduced on the driver
+    (bytes, not data).  Dataset.groupby would re-sort the static edge
+    set 2x per round (the measured 50x penalty — module docstring).
+    """
+    import ray
+    import ray.data
+
+    B = n_buckets
+    # Same eager-free hazard as pagerank(): pin the materialized edge
+    # blocks until BOTH shard builds complete (see pagerank comment).
+    mat = edges.materialize()
+    block_refs = mat.to_arrow_refs()
+    fwd_shards, fwd_dstp = _shard_graph(block_refs, B, "src", "dst")
+    rev_shards, rev_dstp = _shard_graph(block_refs, B, "dst", "src")
+    nodes_refs, h_refs = _init_buckets(fwd_shards, fwd_dstp, B, HITS_SCALE)
+    ray.wait(list(fwd_shards) + list(rev_shards), num_returns=2 * B,
+             fetch_local=False)
+    del mat, block_refs
+
+    def _contrib(shard, nodes, v):
+        # per-edge push of v(src) along the shard, bucketed by dst
+        if len(shard["usrc"]) == 0:
+            e = np.array([], dtype=np.int64)
+            return [(e, e)] * B
+        vu = v[np.searchsorted(nodes, shard["usrc"])]
+        share = vu[shard["src_code"]] * shard["w"]
+        c = np.zeros(len(shard["udst"]), dtype=np.int64)
+        np.add.at(c, shard["dst_code"], share)
+        ub = shard["udst_bkt"]
+        return [(shard["udst"][ub == b], c[ub == b]) for b in range(B)]
+
+    def _merge_raw(nodes, *pieces):
+        acc = np.zeros(len(nodes), dtype=np.int64)
+        for nd, c in pieces:
+            if len(nd):
+                np.add.at(acc, np.searchsorted(nodes, nd), c)
+        return acc
+
+    def _bucket_max(raw):
+        return int(raw.max()) if len(raw) else 0
+
+    def _scale(raw, mx):
+        if mx <= 0:
+            return np.zeros(len(raw), dtype=np.int64)
+        return (raw * HITS_SCALE) // mx
+
+    contrib = ray.remote(num_returns=B)(_contrib)
+    merge_raw = ray.remote(_merge_raw)
+    bucket_max = ray.remote(_bucket_max)
+    scale = ray.remote(_scale)
+
+    def _phase(shards, vals):
+        piece = [contrib.remote(shards[b], nodes_refs[b], vals[b])
+                 for b in range(B)]
+        if B == 1:
+            piece = [[p] for p in piece]
+        raw = [merge_raw.remote(nodes_refs[b], *[piece[s][b] for s in range(B)])
+               for b in range(B)]
+        mx = max(ray.get([bucket_max.remote(r) for r in raw]))
+        return [scale.remote(r, mx) for r in raw]
+
+    a_refs = h_refs
+    for _ in range(iters):
+        a_refs = _phase(fwd_shards, h_refs)   # authorities from hubs
+        h_refs = _phase(rev_shards, a_refs)   # hubs from authorities
+
+    def _emit(nodes, h, a):
+        return pa.table({"node": pa.array(nodes), "h": pa.array(h),
+                         "a": pa.array(a)})
+
+    emit = ray.remote(_emit)
+    out_refs = [emit.remote(nodes_refs[b], h_refs[b], a_refs[b])
+                for b in range(B)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def graph_hits(sf_dir: str, iters: int = HITS_ITERS):
+    """HITS over the same customer -> supplier order graph as
+    :func:`graph_pagerank`: customers are pure hubs, suppliers pure
+    authorities (the graph is bipartite, which exercises the zero-raw
+    normalization paths on both sides).  Exact unrolled-CTE DuckDB
+    oracle (:func:`graph_hits_sql`)."""
+    from ..stages.join import hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"okey": pc.cast(t["o_orderkey"], pa.int64()),
+             "src": pc.cast(t["o_custkey"], pa.int64())}
+        )
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": pc.cast(t["l_orderkey"], pa.int64()),
+                "dst": pc.add(
+                    pc.cast(t["l_suppkey"], pa.int64()),
+                    pa.scalar(SUPP_NODE_OFFSET, pa.int64()),
+                ),
+            }
+        )
+
+    edges = hash_join(
+        li.map_batches(l_prep, batch_format="pyarrow"),
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        on="okey",
+        left_cols=["okey", "dst"],
+        right_cols=["okey", "src"],
+    ).select_columns(["src", "dst"])
+
+    return hits(edges, iters=iters).sort("node")
+
+
+def graph_hits_sql(iters: int = HITS_ITERS) -> str:
+    head = f"""
+WITH edges AS (
+  SELECT o_custkey AS src, {SUPP_NODE_OFFSET} + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst AS node FROM edges
+),
+h0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS v FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+araw{i} AS (
+  SELECT n.node, CAST(COALESCE(s.c, 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(h.v) AS BIGINT) AS c
+    FROM edges e JOIN h{i - 1} h ON h.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+),
+a{i} AS (
+  SELECT node,
+         CAST((v * {HITS_SCALE}) // (SELECT max(v) FROM araw{i}) AS BIGINT) AS v
+  FROM araw{i}
+),
+hraw{i} AS (
+  SELECT n.node, CAST(COALESCE(s.c, 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, CAST(sum(a.v) AS BIGINT) AS c
+    FROM edges e JOIN a{i} a ON a.node = e.dst
+    GROUP BY e.src
+  ) s ON s.node = n.node
+),
+h{i} AS (
+  SELECT node,
+         CAST((v * {HITS_SCALE}) // (SELECT max(v) FROM hraw{i}) AS BIGINT) AS v
+  FROM hraw{i}
+)""")
+    return head + "".join(steps) + f"""
+SELECT n.node, h.v AS h, a.v AS a
+FROM nodes n
+JOIN h{iters} h ON h.node = n.node
+JOIN a{iters} a ON a.node = n.node
+ORDER BY n.node
 """

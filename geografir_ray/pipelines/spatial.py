@@ -1249,3 +1249,180 @@ WHERE ({clon} - {slon}) * ({clon} - {slon})
     + ({clat} - {slat}) * ({clat} - {slat}) <= {radius} * {radius}
 ORDER BY point_id, neighbor_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Grid-density hotspot clustering (DBSCAN-on-a-grid)
+# ---------------------------------------------------------------------------
+
+HOTSPOT_RES_DEG = 1.0      # cell edge in degrees (360 x 150 grid here)
+HOTSPOT_MIN_PTS = 20       # density threshold per cell
+
+
+def geo_hotspot_clusters(sf_dir: str, min_pts: int = HOTSPOT_MIN_PTS):
+    """Spatial hotspot mining, the grid flavor of DBSCAN (STING /
+    grid-DBSCAN family): bin every event ping into 1-degree cells, keep
+    cells with >= ``min_pts`` points (dense cells), 8-connect adjacent
+    dense cells into clusters, and report per-cluster extent and mass.
+
+    Returns (cluster_id, n_cells, n_points) with cluster_id = the MIN
+    dense cell id of the component, ordered by cluster_id.  No
+    antimeridian wrap: cells gx=0 and gx=359 are NOT adjacent (the
+    synthetic lon never straddles; documented grid semantics shared
+    with the SQL twin).
+
+    Scale shape: binning is a per-batch combiner + grouped_sum over the
+    BOUNDED 1-degree cell space (rule-2 driver merge at this res; at a
+    0.01-degree grid switch merge="shuffle" — nothing else changes);
+    adjacency probes the dense-cell set against its own 8 neighbor
+    offsets (vectorized searchsorted, no cross join); clustering is the
+    distributed min-label components engine (stages/components.py,
+    pointer-doubled), so NOTHING here depends on the dense-cell count
+    fitting anywhere — at a fine grid both the edge list and the label
+    table stay sharded.
+    """
+    import ray.data
+
+    from ..stages.components import min_label_components
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def bin_cells(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = synthgeo.synth_lat(eid)
+        lon = synthgeo.synth_lon(eid)
+        gx = np.floor((lon + 180.0) / HOTSPOT_RES_DEG).astype(np.int64)
+        gy = np.floor((lat + 90.0) / HOTSPOT_RES_DEG).astype(np.int64)
+        cell = gy * 360 + gx
+        uc, cnt = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(uc),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = grouped_sum(
+        ds.map_batches(bin_cells, batch_format="pyarrow", zero_copy_batch=True),
+        ["cell"], {"n": ("n", "sum")}, merge="driver",
+    ).materialize()
+
+    def dense_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n"], pa.scalar(min_pts, pa.int64())))
+
+    dense = counts.map_batches(
+        dense_only, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # one sorted broadcast of the dense CELL IDS (8 bytes/cell) for the
+    # vectorized neighbor probe — the same needed-set semi-join trick as
+    # stages/knn.py; at a fine grid this is the per-bucket dense set of
+    # a cell-range bucket, not a global array.
+    dense_ids = np.sort(
+        dense.select_columns(["cell"]).to_pandas()["cell"].to_numpy()
+    ).astype(np.int64)
+    if len(dense_ids) == 0:
+        return ray.data.from_arrow(pa.table({
+            "cluster_id": pa.array([], pa.int64()),
+            "n_cells": pa.array([], pa.int64()),
+            "n_points": pa.array([], pa.int64()),
+        }))
+    import ray
+    dense_ref = ray.put(dense_ids)
+
+    def edges_stage(t: pa.Table) -> pa.Table:
+        ids = ray.get(dense_ref)
+        c = t["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx, gy = c % 360, c // 360
+        srcs, dsts = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nx, ny = gx + dx, gy + dy
+                ok = (nx >= 0) & (nx < 360)
+                nb = ny * 360 + nx
+                pos = np.searchsorted(ids, nb)
+                pos_c = np.minimum(pos, len(ids) - 1)
+                hit = ok & (ids[pos_c] == nb)
+                srcs.append(c[hit])
+                dsts.append(nb[hit])
+        return pa.table({"node": pa.array(np.concatenate(srcs)),
+                         "dst": pa.array(np.concatenate(dsts))})
+
+    edges = dense.map_batches(
+        edges_stage, batch_format="pyarrow", zero_copy_batch=True
+    )
+    labels = dense.map_batches(
+        lambda t: pa.table({"node": t["cell"], "label": t["cell"]}),
+        batch_format="pyarrow",
+    )
+    comp = min_label_components(edges, labels, op_name="hotspots")
+
+    # attach per-cell counts back to the labels (both sides keyed on the
+    # dense cell id) and reduce per cluster
+    from ..stages.join import hash_join
+
+    joined = hash_join(
+        comp,
+        dense.map_batches(
+            lambda t: pa.table({"node": t["cell"], "n": t["n"]}),
+            batch_format="pyarrow",
+        ),
+        on="node",
+        left_cols=["node", "label"],
+        right_cols=["node", "n"],
+    )
+
+    def pre_agg(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        ncells = np.bincount(inv).astype(np.int64)
+        npts = np.zeros(len(ul), dtype=np.int64)
+        np.add.at(npts, inv, n)
+        return pa.table({"cluster_id": pa.array(ul),
+                         "n_cells": pa.array(ncells),
+                         "n_points": pa.array(npts)})
+
+    out = grouped_sum(
+        joined.map_batches(pre_agg, batch_format="pyarrow", zero_copy_batch=True),
+        ["cluster_id"],
+        {"n_cells": ("n_cells", "sum"), "n_points": ("n_points", "sum")},
+        merge="driver",
+    )
+    return out.sort("cluster_id")
+
+
+GEO_HOTSPOT_CLUSTERS_SQL = f"""
+WITH RECURSIVE pts AS (
+  SELECT {synth_lat_sql('event_id')} AS lat,
+         {synth_lon_sql('event_id')} AS lon
+  FROM events
+),
+cells AS (
+  SELECT CAST(floor((lat + 90.0) / {HOTSPOT_RES_DEG}) AS BIGINT) * 360
+         + CAST(floor((lon + 180.0) / {HOTSPOT_RES_DEG}) AS BIGINT) AS cell,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pts
+  GROUP BY 1
+  HAVING count(*) >= {HOTSPOT_MIN_PTS}
+),
+edges AS (
+  SELECT a.cell AS src, b.cell AS dst
+  FROM cells a JOIN cells b
+    ON abs((a.cell % 360) - (b.cell % 360)) <= 1
+   AND abs((a.cell // 360) - (b.cell // 360)) <= 1
+   AND a.cell <> b.cell
+),
+reach(node, label) AS (
+  SELECT cell, cell FROM cells
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (
+  SELECT node AS cell, MIN(label) AS cluster_id FROM reach GROUP BY node
+)
+SELECT comp.cluster_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(cells.n) AS BIGINT) AS n_points
+FROM comp JOIN cells ON cells.cell = comp.cell
+GROUP BY comp.cluster_id
+ORDER BY comp.cluster_id
+"""

@@ -122,3 +122,105 @@ def test_lm_score_bucket_invariant(ray_session, sf_small):
     a = docs_lm_score(sf_small, n_buckets=64).to_pandas()
     b = docs_lm_score(sf_small, n_buckets=7).to_pandas()
     assert a.equals(b)
+
+
+def _pmi_reference(texts, min_count=5, top_k=100):
+    from collections import Counter
+
+    uni, big = Counter(), Counter()
+    for s in texts:
+        toks = [w for w in (s or "").split(" ") if w]
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n = sum(uni.values())
+    rows = []
+    for (w1, w2), c_ab in big.items():
+        if c_ab < min_count:
+            continue
+        score = ((c_ab * 1_000_000) // uni[w1]) * n // uni[w2]
+        rows.append((w1, w2, c_ab, score))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows[:top_k]
+
+
+def test_pmi_collocations_brute_replay(ray_session, sf_small):
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.documents import docs_pmi_collocations
+
+    got = docs_pmi_collocations(sf_small, min_count=2).to_pandas()
+    docs = pq.read_table(f"{sf_small}/documents.parquet", columns=["text"])
+    ref = _pmi_reference(docs["text"].to_pylist(), min_count=2)
+    assert len(got) == len(ref)
+    got_rows = list(got.itertuples(index=False, name=None))
+    assert got_rows == ref
+
+
+def test_pmi_collocations_bucket_invariant(ray_session, sf_small):
+    from geografir_ray.pipelines.documents import docs_pmi_collocations
+
+    a = docs_pmi_collocations(sf_small, n_buckets=64, min_count=2).to_pandas()
+    b = docs_pmi_collocations(sf_small, n_buckets=5, min_count=2).to_pandas()
+    assert a.equals(b)
+
+
+def _hits_reference(edges, iters):
+    """Pure-python integer HITS, the spec both engines implement."""
+    from geografir_ray.pipelines.graph import HITS_SCALE
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    h = {n: HITS_SCALE for n in nodes}
+    a = dict(h)
+    for _ in range(iters):
+        araw = {n: 0 for n in nodes}
+        for s, d in edges:
+            araw[d] += h[s]
+        mx = max(araw.values())
+        a = {n: (v * HITS_SCALE) // mx if mx else 0 for n, v in araw.items()}
+        hraw = {n: 0 for n in nodes}
+        for s, d in edges:
+            hraw[s] += a[d]
+        mx = max(hraw.values())
+        h = {n: (v * HITS_SCALE) // mx if mx else 0 for n, v in hraw.items()}
+    return h, a
+
+
+def test_hits_tiny_graph_exact(ray_session):
+    import ray.data
+
+    from geografir_ray.pipelines.graph import hits
+
+    edges = [(0, 1), (1, 2), (1, 2), (2, 1), (2, 3), (3, 4), (0, 4)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    got = hits(ds, iters=2, n_buckets=4).to_pandas()
+    h_ref, a_ref = _hits_reference(edges, 2)
+    assert dict(zip(got["node"], got["h"])) == h_ref
+    assert dict(zip(got["node"], got["a"])) == a_ref
+
+
+def test_hits_partition_invariant(ray_session):
+    import ray.data
+
+    from geografir_ray.pipelines.graph import hits
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 40, 300).astype(np.int64)
+    dst = rng.randint(0, 40, 300).astype(np.int64)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    a = hits(ray.data.from_arrow(t), iters=3, n_buckets=8).to_pandas()
+    b = hits(
+        ray.data.from_arrow(t).repartition(11), iters=3, n_buckets=3
+    ).to_pandas()
+    a = a.sort_values("node").reset_index(drop=True)
+    b = b.sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
+    h_ref, a_ref = _hits_reference(list(zip(src.tolist(), dst.tolist())), 3)
+    assert dict(zip(a["node"], a["h"])) == h_ref
+    assert dict(zip(a["node"], a["a"])) == a_ref
