@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pmi_collocations": D.docs_pmi_collocations,
         "graph_pagerank": G.graph_pagerank,
         "graph_hits": G.graph_hits,
+        "graph_triangles": G.graph_triangles,
         "events_staypoints": E.events_staypoints,
         "events_zone_visits": E.events_zone_visits,
         "events_od_matrix": E.events_od_matrix,
@@ -240,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pmi_collocations": D.DOCS_PMI_COLLOCATIONS_SQL,
         "graph_pagerank": G.graph_pagerank_sql(),
         "graph_hits": G.graph_hits_sql(),
+        "graph_triangles": G.graph_triangles_sql(),
         "events_staypoints": E.events_staypoints_sql(),
         "events_zone_visits": E.events_zone_visits_sql(),
         "events_od_matrix": E.events_od_matrix_sql(),
