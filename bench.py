@@ -712,6 +712,16 @@ def bench_suite() -> dict:
         )
         return pagerank(edges, iters=4, n_buckets=64)
 
+    def triangles_copurchase_1m(sf_dir: str):
+        # per-node triangle counts over the sf0.1 part co-purchase
+        # graph: 1.2M distinct edges / 20k parts (avg degree ~120) ->
+        # ~41M oriented wedges expanded + closed IN-GROUP against the
+        # 9.6 MB broadcast sorted-key set (zero shuffles past the edge
+        # build; the wedge stream never materializes)
+        from geografir_ray.pipelines.graph import graph_triangles
+
+        return graph_triangles(sf_dir)
+
     def lm_score_1m(_sf_dir: str):
         # corpus-conditioned LM scoring over 1M synthetic docs with a
         # COMPOSITE vocab (65x65 two-part tokens -> ~4.2k tokens,
@@ -789,6 +799,7 @@ def bench_suite() -> dict:
         "bbox_join_1m": bbox_join_1m,
         "heavy_hitters_56m": heavy_hitters_56m,
         "pagerank_10m": pagerank_10m,
+        "triangles_copurchase_1m": triangles_copurchase_1m,
         "lm_score_1m": lm_score_1m,
         "streaming_5m": streaming_5m,
         "q1_pricing_summary": R.q1_pricing_summary,

@@ -496,7 +496,37 @@ ORDER BY n.node
 TRI_GROUPS = 64  # wedge-expansion parallelism (bounded group count)
 
 
-def triangles(edges, n_groups: int = TRI_GROUPS):
+TRI_BROADCAST_EDGES = 2_000_000  # 8 B/key -> 16 MB sorted-key broadcast cap
+
+
+def _orient_arrays(a, b, deg_a, deg_b):
+    """Shared degree-orientation kernel: direct every edge from its
+    lower (degree, id)-rank endpoint to the higher one.  Returns
+    (src, dst, rdst) where rdst is dst's packed (deg << 31 | id) rank
+    (wedge pairs sorted by rdst come out in oriented order, so the
+    closing edge — if present — is exactly src' = v, dst' = w)."""
+    if len(a):
+        hi = max(int(a.max()), int(b.max()))
+        hd = max(int(deg_a.max()), int(deg_b.max()))
+        if hi >= (1 << 31) or hd >= (1 << 31):
+            raise ValueError(
+                "triangles: node id / degree >= 2^31 overflows the "
+                "packed (deg << 31 | node) rank"
+            )
+    ra = (deg_a << np.int64(31)) | a
+    rb = (deg_b << np.int64(31)) | b
+    swap = rb < ra
+    src = np.where(swap, b, a)
+    dst = np.where(swap, a, b)
+    rdst = np.where(swap, ra, rb)
+    return src, dst, rdst
+
+
+def triangles(
+    edges,
+    n_groups: int = TRI_GROUPS,
+    broadcast_threshold: int = TRI_BROADCAST_EDGES,
+):
     """Per-node triangle counts over ``edges`` — a Dataset of DISTINCT
     undirected edges ``(a, b)`` int64 with ``a < b``.
 
@@ -509,14 +539,140 @@ def triangles(edges, n_groups: int = TRI_GROUPS):
     joining wedges (pairs of out-neighbors) against the oriented edge
     set counts every triangle exactly once.
 
-    All stages distributed: degrees via grouped_sum (shuffle merge —
-    node space unbounded at scale), orientation via two hash_joins,
-    wedge expansion inside ``n_groups`` BOUNDED hash(src) groups
-    (vectorized sorted-segment triu, size-batched gathers — CLAUDE.md
-    rule 1 compliant), closure via a hash semi-join on the packed
-    (v << 31 | w) edge key, corner counts via grouped_sum.  No stage
-    materializes on the driver.
+    Two plans, picked by the DISTINCT edge count (the edge list is
+    materialized first — it is this pipeline's whole working set and
+    every stage reuses it; leaving it lazy re-ran the upstream build
+    once per consumer, measured 5x end-to-end at 1.2M edges):
+
+    - ``m <= broadcast_threshold`` (16 MB of sorted u64 keys at the
+      default): the CLAUDE.md rule-11 broadcast form.  Degrees,
+      orientation and the sorted closure-key set are computed once
+      driver-side (bounded by the cap), the oriented edge list is
+      split at src-segment boundaries into ``n_groups`` blocks, and
+      the quadratic wedge expansion runs distributed with closure
+      checked IN-GROUP by searchsorted against the broadcast key set
+      — only per-group compacted (node, count) partials ever leave a
+      task.  Zero shuffles; the 40M-wedge stream at 1.2M edges never
+      materializes anywhere.
+
+    - above the cap: fully distributed.  Degrees via grouped_sum
+      (shuffle merge — node space unbounded at scale), orientation
+      via two hash_joins, wedge expansion inside ``n_groups`` BOUNDED
+      hash(src) groups (vectorized sorted-segment triu, size-batched
+      gathers — CLAUDE.md rule 1 compliant), closure via a hash
+      semi-join on the packed (v << 31 | w) edge key, corner counts
+      via grouped_sum.  No stage materializes on the driver; the
+      reused intermediates (degrees, oriented edges) are materialized
+      in the object store, never fetched.
+
+    Both paths are equivalence-tested on the same graphs.
     """
+    edges = edges.materialize()
+    if edges.count() <= int(broadcast_threshold):
+        return _triangles_broadcast(edges, n_groups)
+    return _triangles_shuffle(edges, n_groups)
+
+
+def _triangles_broadcast(edges, n_groups: int):
+    import ray
+    import ray.data
+
+    from ..stages.broadcast import with_broadcast
+    from .common import grouped_sum
+
+    _empty = pa.table(
+        {"node": pa.array([], pa.int64()), "one": pa.array([], pa.int64())}
+    )
+
+    tabs = [
+        t
+        for t in edges.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    ]
+    if not tabs:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "n_tri": pa.array([], pa.int64())}
+            )
+        )
+    whole = pa.concat_tables(tabs)
+    a = whole["a"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    b = whole["b"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    nodes, deg = np.unique(np.concatenate([a, b]), return_counts=True)
+    deg = deg.astype(np.int64)
+    src, dst, rdst = _orient_arrays(
+        a, b, deg[np.searchsorted(nodes, a)], deg[np.searchsorted(nodes, b)]
+    )
+    keys_ref = ray.put(np.sort((src << np.int64(31)) | dst))
+
+    # split the oriented list at src-segment boundaries into ~n_groups
+    # blocks (one Dataset block each -> batch_size=None hands complete
+    # segments to the expansion task)
+    order = np.lexsort((rdst, src))
+    src, dst = src[order], dst[order]
+    m = len(src)
+    seg_starts = np.concatenate(
+        ([0], np.flatnonzero(src[1:] != src[:-1]) + 1)
+    )
+    want = np.linspace(0, m, int(n_groups) + 1).astype(np.int64)[1:-1]
+    cut_idx = np.minimum(
+        np.searchsorted(seg_starts, want), len(seg_starts) - 1
+    )
+    cuts = np.unique(np.concatenate(([0], seg_starts[cut_idx], [m])))
+    oriented = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    blocks = [
+        oriented.slice(int(lo), int(hi - lo))
+        for lo, hi in zip(cuts[:-1], cuts[1:])
+        if hi > lo
+    ]
+
+    def expand_close(keys, t: pa.Table) -> pa.Table:
+        """Wedge expansion + in-group closure: size-batched triu over
+        the src segments (rows arrive segment-complete and sorted by
+        (src, rdst)), each candidate pair checked against the broadcast
+        sorted oriented-key set; emits compacted per-group corner
+        counts only."""
+        if t.num_rows == 0:
+            return _empty
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        change = np.flatnonzero(s[1:] != s[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        sizes = np.diff(np.concatenate((starts, [len(s)])))
+        corners = []
+        for size in np.unique(sizes):
+            if size < 2:
+                continue
+            seg_s = starts[sizes == size]
+            ii, jj = np.triu_indices(int(size), k=1)
+            v = d[seg_s[:, None] + ii[None, :]].ravel()
+            w = d[seg_s[:, None] + jj[None, :]].ravel()
+            kk = (v << np.int64(31)) | w
+            pos = np.minimum(np.searchsorted(keys, kk), len(keys) - 1)
+            hit = keys[pos] == kk
+            if hit.any():
+                u = np.repeat(s[seg_s], len(ii))[hit]
+                corners.extend((u, v[hit], w[hit]))
+        if not corners:
+            return _empty
+        node, n = np.unique(np.concatenate(corners), return_counts=True)
+        return pa.table(
+            {"node": pa.array(node), "one": pa.array(n.astype(np.int64))}
+        )
+
+    parts = ray.data.from_arrow(blocks).map_batches(
+        with_broadcast(keys_ref, expand_close, name="tri_expand_close"),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    # distinct nodes bounded by 2 * broadcast_threshold -> driver merge
+    return grouped_sum(
+        parts, ["node"], {"n_tri": ("one", "sum")}, merge="driver"
+    ).sort("node")
+
+
+def _triangles_shuffle(edges, n_groups: int):
     from ..stages.join import _bucket_of, hash_join
     from .common import grouped_sum
 
@@ -529,12 +685,16 @@ def triangles(edges, n_groups: int = TRI_GROUPS):
              "one": pa.array(np.ones(len(node), dtype=np.int64))}
         )
 
+    # deg is consumed by BOTH orientation joins; oriented by both the
+    # wedge expansion and the closure semi-join — materialize once in
+    # the object store (lazy reuse re-runs the whole upstream chain
+    # per consumer).
     deg = grouped_sum(
         edges.map_batches(endpoints, batch_format="pyarrow"),
         ["node"],
         {"deg": ("one", "sum")},
         merge="shuffle",
-    )
+    ).materialize()
 
     def deg_as(kname: str, vname: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -563,20 +723,7 @@ def triangles(edges, n_groups: int = TRI_GROUPS):
         b = t["b"].to_numpy(zero_copy_only=False)
         da = t["deg_a"].to_numpy(zero_copy_only=False)
         db = t["deg_b"].to_numpy(zero_copy_only=False)
-        if len(a):
-            hi = max(int(a.max()), int(b.max()))
-            hd = max(int(da.max()), int(db.max()))
-            if hi >= (1 << 31) or hd >= (1 << 31):
-                raise ValueError(
-                    "triangles: node id / degree >= 2^31 overflows the "
-                    "packed (deg << 31 | node) rank"
-                )
-        ra = (da << np.int64(31)) | a
-        rb = (db << np.int64(31)) | b
-        swap = rb < ra
-        src = np.where(swap, b, a)
-        dst = np.where(swap, a, b)
-        rdst = np.where(swap, ra, rb)
+        src, dst, rdst = _orient_arrays(a, b, da, db)
         return pa.table(
             {
                 "src": pa.array(src),
@@ -586,7 +733,7 @@ def triangles(edges, n_groups: int = TRI_GROUPS):
             }
         )
 
-    oriented = j2.map_batches(orient, batch_format="pyarrow")
+    oriented = j2.map_batches(orient, batch_format="pyarrow").materialize()
 
     def route(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy(zero_copy_only=False)

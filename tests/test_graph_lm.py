@@ -298,3 +298,10 @@ def test_triangles_random_graph_matches_reference(ray_session):
         ray.data.from_arrow(t).repartition(17), n_groups=3
     ).to_pandas()
     assert dict(zip(got2["node"], got2["n_tri"])) == ref
+    # path equivalence: broadcast_threshold=0 forces the fully
+    # distributed semi-join plan on the same graph
+    got3 = triangles(
+        ray.data.from_arrow(t).repartition(5), n_groups=4,
+        broadcast_threshold=0,
+    ).to_pandas()
+    assert dict(zip(got3["node"], got3["n_tri"])) == ref
