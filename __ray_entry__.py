@@ -168,6 +168,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": E.events_range_join,
         "distinct_parts_per_flag": R.distinct_parts_per_flag,
         "distinct_supps_per_part": R.distinct_supps_per_part,
+        # TPC-H-shaped composites: argmin join, global-share filter,
+        # aggregate-of-aggregate, scalar-avg + anti-join composite
+        "min_price_supplier": R.min_price_supplier,
+        "nation_value_share": R.nation_value_share,
+        "cust_order_histogram": R.cust_order_histogram,
+        "idle_rich_custs": R.idle_rich_custs,
+        # time-series gap fill (generate_series + left join shape)
+        "events_gapfill": E.events_gapfill,
     }
 
 
@@ -285,6 +293,11 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": E.EVENTS_RANGE_JOIN_SQL,
         "distinct_parts_per_flag": R.DISTINCT_PARTS_SQL,
         "distinct_supps_per_part": R.DISTINCT_SUPPS_SQL,
+        "min_price_supplier": R.MIN_PRICE_SUPPLIER_SQL,
+        "nation_value_share": R.NATION_VALUE_SHARE_SQL,
+        "cust_order_histogram": R.CUST_ORDER_HISTOGRAM_SQL,
+        "idle_rich_custs": R.IDLE_RICH_CUSTS_SQL,
+        "events_gapfill": E.EVENTS_GAPFILL_SQL,
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_crosscorpus_neardup,
         # docs_simhash, docs_langid_quality, docs_fingerprints,

@@ -2089,3 +2089,138 @@ WHERE pzone IS NOT NULL
 GROUP BY pzone, zone
 ORDER BY zone_from, zone_to
 """
+
+
+# ---------------------------------------------------------------------------
+# Gap filling: per-user dense hourly series with zero-filled holes
+# (the time-series resample/asfreq surface; SQL twin = generate_series)
+# ---------------------------------------------------------------------------
+
+# pack (user_id, epoch_hour) into one int64 join key: epoch-hour needs
+# 20 bits through year 2089; user ids get the remaining 43.  Guarded
+# below — a violation raises rather than silently corrupting the join.
+_GAPFILL_HOUR_BITS = 20
+
+
+def events_gapfill(sf_dir: str):
+    """Per-user hourly event counts with ZERO rows filled in for every
+    hour between that user's first and last event — the gap-fill /
+    resample operator a telemetry or training-curriculum pipeline needs
+    before windowed models (SQL shape: generate_series + left join).
+
+    Scale plan: three bounded exchanges, none keyed on raw rows —
+    (1) per-(user, hour) counts via the combiner + one hash exchange,
+    (2) per-user [min, max] hour spans off those counts (already one
+    row per user-hour), (3) the dense grid is EXPLODED from the spans
+    inside map_batches (np.repeat/arange, zero Python loops) and
+    left-joins the counts back through the bucketed hash_join on the
+    packed (user, hour) key.  Grid size is sum of user spans — the
+    output's own size — so no stage materializes more than the result.
+    """
+    from ..stages.join import hash_join
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        hr = ts.astype("datetime64[h]").astype(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if hr.size:
+            assert int(hr.max()) < (1 << _GAPFILL_HOUR_BITS) and int(hr.min()) >= 0
+            assert int(uid.max()) < (1 << (63 - _GAPFILL_HOUR_BITS))
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "hr": pa.array(hr),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    counts = grouped_sum(
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "hr"],
+        {"n_events": ("one", "sum")},
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        hr = t["hr"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "gk": pa.array((uid << _GAPFILL_HOUR_BITS) | hr),
+                "n_events": t["n_events"],
+            }
+        )
+
+    packed = counts.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+
+    spans = grouped_sum(
+        counts,
+        ["user_id"],
+        {"mn": ("hr", "min"), "mx": ("hr", "max")},
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        mn = t["mn"].to_numpy().astype(np.int64)
+        mx = t["mx"].to_numpy().astype(np.int64)
+        width = mx - mn + 1
+        total = int(width.sum())
+        users = np.repeat(uid, width)
+        starts = np.repeat(mn, width)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(width) - width, width
+        )
+        hr = starts + offs
+        return pa.table(
+            {
+                "user_id": pa.array(users),
+                "hr": pa.array(hr),
+                "gk": pa.array((users << _GAPFILL_HOUR_BITS) | hr),
+            }
+        )
+
+    grid = spans.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join(
+        grid,
+        packed,
+        on="gk",
+        left_cols=["gk", "user_id", "hr"],
+        right_cols=["gk", "n_events"],
+        how="left",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_events"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = np.where(np.isnan(n), 0, n).astype(np.int64)
+        hr = t["hr"].to_numpy().astype("datetime64[h]").astype("datetime64[us]")
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "hour": pa.array(hr),
+                "n_events": pa.array(n),
+            }
+        )
+
+    out = joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    # the join emits one small block per bucket; coalesce before the
+    # global sort (CLAUDE.md rule 9: sort cost tracks block COUNT)
+    return out.repartition(8).sort(["user_id", "hour"])
+
+
+EVENTS_GAPFILL_SQL = """
+WITH h AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, date_trunc('hour', ts) AS hr,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM h GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+  FROM spans
+)
+SELECT g.user_id, g.hr AS hour, COALESCE(h.n, 0) AS n_events
+FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.hr = h.hr
+ORDER BY g.user_id, hour
+"""

@@ -1176,3 +1176,413 @@ WHERE EXISTS (
 GROUP BY 1
 ORDER BY prio
 """
+
+
+# ---------------------------------------------------------------------------
+# min_price_supplier: argmin-join (TPC-H Q2/Q15 shape) — for every part,
+# the supplier(s) offering its minimum unit price
+# ---------------------------------------------------------------------------
+
+
+def min_price_supplier(sf_dir: str):
+    """Per-part minimum unit price and the supplier(s) achieving it —
+    the correlated-min / argmin-join surface (reference has no engine;
+    TPC-H Q2/Q15 are the published shape).
+
+    Scale plan: unit prices collapse to one row per DISTINCT
+    (part, supplier) pair in a per-batch combiner before the exchange;
+    per-part mins are a second bounded-width exchange over those pairs;
+    the argmin recovery is one bucketed hash_join (pairs x mins) with a
+    vectorized equality filter — no correlated per-part probe, no
+    driver-side state at any part cardinality.
+    """
+    from ..stages.join import hash_join
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+
+    def unit(t: pa.Table) -> pa.Table:
+        # floor((extendedprice / quantity) * 100): IEEE division and
+        # multiply are correctly rounded, so numpy and DuckDB produce
+        # the identical double -> identical int64 cents (common.py).
+        u = pc.divide(t["l_extendedprice"], t["l_quantity"])
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "unit_c": floor_scale(u),
+            }
+        )
+
+    pairs = grouped_sum(
+        li.map_batches(unit, batch_format="pyarrow", zero_copy_batch=True),
+        ["p_partkey", "s_suppkey"],
+        {"unit_c": ("unit_c", "min")},
+    )
+    mins = grouped_sum(pairs, ["p_partkey"], {"min_c": ("unit_c", "min")})
+    joined = hash_join(
+        pairs,
+        mins,
+        on="p_partkey",
+        left_cols=["p_partkey", "s_suppkey", "unit_c"],
+        right_cols=["p_partkey", "min_c"],
+    )
+
+    def keep_min(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["unit_c"], t["min_c"]))
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "s_suppkey": t["s_suppkey"],
+                "min_unit_price": pc.divide(
+                    pc.cast(t["min_c"], pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(keep_min, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .sort(["p_partkey", "s_suppkey"])
+    )
+
+
+MIN_PRICE_SUPPLIER_SQL = f"""
+WITH costs AS (
+  SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+         CAST(l_suppkey AS BIGINT) AS s_suppkey,
+         min({floor_scale_sql('l_extendedprice / l_quantity')}) AS unit_c
+  FROM lineitem GROUP BY 1, 2
+), mins AS (
+  SELECT p_partkey, min(unit_c) AS min_c FROM costs GROUP BY 1
+)
+SELECT c.p_partkey, c.s_suppkey,
+       CAST(m.min_c AS BIGINT) / 100.0 AS min_unit_price
+FROM costs c JOIN mins m ON c.p_partkey = m.p_partkey AND c.unit_c = m.min_c
+ORDER BY c.p_partkey, c.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# nation_value_share: global-scalar share filter (TPC-H Q11 shape)
+# ---------------------------------------------------------------------------
+
+_SHARE_MIN_BP = 400  # keep nations holding >= 4% of total revenue
+
+
+def nation_value_share(sf_dir: str):
+    """Per-nation supplier revenue kept only where the nation holds at
+    least ``_SHARE_MIN_BP`` basis points of GLOBAL revenue — the
+    scalar-subquery-against-a-global-aggregate surface (TPC-H Q11).
+
+    Scale plan: supplier->nation is a broadcast dimension lookup inside
+    the fact scan (rule 3/4); the per-nation aggregate is driver-merged
+    (<= 25 keys, rule 2); the global total is one int on the driver.
+    share_bp = (rev_c * 10000) // total is all-integer on both engines.
+    """
+    from ..sources.tables import read_table_local
+    from ..stages.broadcast import with_broadcast
+
+    supp = read_table_local(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nat = read_table_local(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    sk = supp["s_suppkey"].to_numpy().astype(np.int64)
+    order = np.argsort(sk, kind="stable")
+    supp_sorted = sk[order]
+    supp_nation = supp["s_nationkey"].to_numpy().astype(np.int64)[order]
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def tag(bc, t: pa.Table) -> pa.Table:
+        ssort, snat = bc
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        keys = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nkey = snat[np.searchsorted(ssort, keys)]
+        return pa.table(
+            {
+                "n_nationkey": pa.array(nkey),
+                "rev_c": floor_scale(rev),
+            }
+        )
+
+    import ray
+
+    supp_ref = ray.put((supp_sorted, supp_nation))
+    tagged = li.map_batches(
+        with_broadcast(supp_ref, tag),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    per_nation = grouped_sum(
+        tagged,
+        ["n_nationkey"],
+        {"rev_c": ("rev_c", "sum")},
+        merge="driver",  # bounded: <= 25 nations
+    ).materialize()
+
+    total = 0
+    parts = []
+    for b in per_nation.iter_batches(batch_size=None, batch_format="pyarrow"):
+        parts.append(b)
+        total += int(pc.sum(b["rev_c"]).as_py() or 0)
+
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    norder = np.argsort(nk, kind="stable")
+    nk_sorted = nk[norder]
+    nname = nat["n_name"].to_numpy()[norder]
+
+    whole = pa.concat_tables(parts)
+    rev_c = whole["rev_c"].to_numpy().astype(np.int64)
+    share_bp = (rev_c * 10000) // total
+    keep = share_bp >= _SHARE_MIN_BP
+    keys = whole["n_nationkey"].to_numpy().astype(np.int64)
+    names = nname[np.searchsorted(nk_sorted, keys[keep])]
+    out = pa.table(
+        {
+            "n_name": pa.array(names),
+            "revenue": pa.array(rev_c[keep].astype(np.float64) / 100.0),
+            "share_bp": pa.array(share_bp[keep]),
+        }
+    )
+    import ray.data
+
+    return ray.data.from_arrow(out).sort("n_name")
+
+
+NATION_VALUE_SHARE_SQL = f"""
+WITH rev AS (
+  SELECT n_name,
+         CAST(sum({floor_scale_sql('l_extendedprice * (1.0 - l_discount)')}) AS BIGINT) AS rev_c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name
+), tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS t FROM rev)
+SELECT n_name, rev_c / 100.0 AS revenue,
+       (rev_c * 10000) // t AS share_bp
+FROM rev, tot
+WHERE (rev_c * 10000) // t >= {_SHARE_MIN_BP}
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# cust_order_histogram: two-level aggregate (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+
+def cust_order_histogram(sf_dir: str):
+    """Distribution of customers by order count INCLUDING the zero-order
+    bucket — the aggregate-of-an-aggregate surface (TPC-H Q13).
+
+    Scale plan: level 1 (count per customer) is the standard combiner +
+    one hash exchange over the unbounded custkey; level 2 re-aggregates
+    those counts per DISTINCT n_orders — a bounded key space (order
+    counts are small integers) so it driver-merges (rule 2).  The zero
+    bucket needs no join: it is |customer| minus the number of level-1
+    groups, two driver scalars (customer is a dimension, rule 4).
+    """
+    from ..sources.tables import read_table_local
+
+    n_customers = len(read_table_local(sf_dir, "customer", columns=["c_custkey"]))
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    per_cust = grouped_sum(
+        orders.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["c_custkey"],
+        {"n_orders": ("one", "sum")},
+    )
+
+    def count_counts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_orders": t["n_orders"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    hist = grouped_sum(
+        per_cust.map_batches(count_counts, batch_format="pyarrow"),
+        ["n_orders"],
+        {"n_custs": ("one", "sum")},
+        merge="driver",  # bounded: distinct order counts are small ints
+    ).materialize()
+
+    parts = [
+        b
+        for b in hist.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    whole = pa.concat_tables(parts)
+    with_orders = int(pc.sum(whole["n_custs"]).as_py() or 0)
+    zero = n_customers - with_orders
+    if zero > 0:
+        whole = pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "n_orders": pa.array([0], pa.int64()),
+                        "n_custs": pa.array([zero], pa.int64()),
+                    }
+                ),
+                whole,
+            ]
+        )
+    import ray.data
+
+    return ray.data.from_arrow(whole).sort("n_orders")
+
+
+CUST_ORDER_HISTOGRAM_SQL = """
+SELECT n_orders, count(*) AS n_custs
+FROM (
+  SELECT c_custkey, COALESCE(o.n, 0) AS n_orders
+  FROM customer
+  LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+    ON c_custkey = o.o_custkey
+)
+GROUP BY n_orders
+ORDER BY n_orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# idle_rich_custs: scalar-avg filter + anti-join + bounded agg
+# (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+_IDLE_DATE = "1998-06-01"
+
+
+def idle_rich_custs(sf_dir: str):
+    """Per-market-segment count and balance of customers whose balance
+    exceeds the positive-balance average but who placed NO orders on or
+    after ``_IDLE_DATE`` — the TPC-H Q22 composite: global scalar
+    subquery + anti-join + bounded grouped aggregate.
+
+    Exactness: the average comparison is cross-multiplied
+    (bal_c * n_pos > sum_pos_c) so no engine ever divides — identical
+    int64 predicates on both sides.  Scale plan: the two scalars come
+    off the dimension table locally (rule 4); the anti-join is the
+    bucketed hash_join with the orders side pre-collapsed to distinct
+    custkeys by the combiner; the final aggregate driver-merges over
+    <= 5 segments (rule 2).
+    """
+    from ..stages.join import hash_join
+    from .common import partial_groupby
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_acctbal", "c_mktsegment"]
+    )
+
+    # global scalars (dimension-side, rule 4)
+    from ..sources.tables import read_table_local
+
+    cl = read_table_local(sf_dir, "customer", columns=["c_acctbal"])
+    bal_raw = cl["c_acctbal"].to_numpy()
+    bal_all = np.floor(bal_raw * 100.0).astype(np.int64)
+    pos = bal_all[bal_raw > 0.0]
+    n_pos = int(len(pos))
+    sum_pos_c = int(pos.sum())
+
+    def rich(t: pa.Table) -> pa.Table:
+        bal_c = floor_scale(t["c_acctbal"]).to_numpy()
+        keep = bal_c * n_pos > sum_pos_c
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_mktsegment": t["c_mktsegment"],
+                "bal_c": floor_scale(t["c_acctbal"]),
+            }
+        )
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow", zero_copy_batch=True)
+
+    cutoff = np.datetime64(_IDLE_DATE, "us")
+    okeys = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "c_custkey": pc.cast(f["o_custkey"], pa.int64()),
+                    "one": pa.array(np.ones(f.num_rows, dtype=np.int64)),
+                }
+            )
+        )(t.filter(pc.greater_equal(t["o_orderdate"], pa.scalar(cutoff)))),
+        batch_format="pyarrow",
+    ).map_batches(
+        partial_groupby(["c_custkey"], {"one": ("one", "sum")}),
+        batch_format="pyarrow",
+    )
+
+    idle = hash_join(
+        rich_ds,
+        okeys,
+        on="c_custkey",
+        left_cols=["c_custkey", "c_mktsegment", "bal_c"],
+        right_cols=["c_custkey", "one"],
+        how="anti",
+    )
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "bal_c": t["bal_c"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    agg = grouped_sum(
+        idle.map_batches(ones, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        {"n_custs": ("one", "sum"), "bal_c": ("bal_c", "sum")},
+        merge="driver",  # bounded: <= 5 market segments
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "n_custs": t["n_custs"],
+                "total_bal": pc.divide(pc.cast(t["bal_c"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("c_mktsegment")
+
+
+IDLE_RICH_CUSTS_SQL = f"""
+WITH pos AS (
+  SELECT {floor_scale_sql('c_acctbal')} AS bal_c FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment, count(*) AS n_custs,
+       sum({floor_scale_sql('c_acctbal')}) / 100.0 AS total_bal
+FROM customer c
+WHERE {floor_scale_sql('c_acctbal')} * (SELECT count(*) FROM pos)
+        > (SELECT CAST(sum(bal_c) AS BIGINT) FROM pos)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{_IDLE_DATE}'
+  )
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
