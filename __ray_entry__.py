@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_rich_custs": R.idle_rich_custs,
         # time-series gap fill (generate_series + left join shape)
         "events_gapfill": E.events_gapfill,
+        # FULL OUTER join surface (hash_join how="full")
+        "part_activity_full": R.part_activity_full,
     }
 
 
@@ -298,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         "cust_order_histogram": R.CUST_ORDER_HISTOGRAM_SQL,
         "idle_rich_custs": R.IDLE_RICH_CUSTS_SQL,
         "events_gapfill": E.EVENTS_GAPFILL_SQL,
+        "part_activity_full": R.PART_ACTIVITY_FULL_SQL,
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_crosscorpus_neardup,
         # docs_simhash, docs_langid_quality, docs_fingerprints,

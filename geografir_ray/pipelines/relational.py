@@ -1586,3 +1586,102 @@ WHERE {floor_scale_sql('c_acctbal')} * (SELECT count(*) FROM pos)
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# part_activity_full: FULL OUTER join of two derived aggregates
+# ---------------------------------------------------------------------------
+
+
+def part_activity_full(sf_dir: str):
+    """FULL OUTER join of two per-part aggregates over DIFFERENT row
+    subsets (tiny-quantity revenue vs deep-discount counts) — parts can
+    appear on either side only, both, or neither.  The full-join engine
+    surface: stages/join.hash_join how='full' keeps unmatched rows from
+    BOTH sides with typed-null opposite columns, coalescing the key.
+
+    Scale plan: each side pre-collapses to one row per part via the
+    combiner + one exchange; the full join is the same single bucketed
+    exchange as every other hash_join (no broadcast, no driver state).
+    """
+    from ..stages.join import hash_join
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def low_qty(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_quantity"], pa.scalar(1.0)))
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "rev_c": floor_scale(t["l_extendedprice"]),
+            }
+        )
+
+    def deep_disc(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_discount"], pa.scalar(0.09)))
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    a = grouped_sum(
+        li.map_batches(low_qty, batch_format="pyarrow", zero_copy_batch=True),
+        ["p_partkey"],
+        {"rev_c": ("rev_c", "sum")},
+    )
+    b = grouped_sum(
+        li.map_batches(deep_disc, batch_format="pyarrow", zero_copy_batch=True),
+        ["p_partkey"],
+        {"n_disc": ("one", "sum")},
+    )
+
+    joined = hash_join(
+        a,
+        b,
+        on="p_partkey",
+        left_cols=["p_partkey", "rev_c"],
+        right_cols=["p_partkey", "n_disc"],
+        how="full",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        rev = t["rev_c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nd = t["n_disc"].to_numpy(zero_copy_only=False).astype(np.float64)
+        rev = np.where(np.isnan(rev), 0, rev).astype(np.int64)
+        nd = np.where(np.isnan(nd), 0, nd).astype(np.int64)
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "low_qty_rev": pa.array(rev.astype(np.float64) / 100.0),
+                "n_disc": pa.array(nd),
+            }
+        )
+
+    return (
+        joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .sort("p_partkey")
+    )
+
+
+PART_ACTIVITY_FULL_SQL = f"""
+WITH a AS (
+  SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+         CAST(sum({floor_scale_sql('l_extendedprice')}) AS BIGINT) AS rev_c
+  FROM lineitem WHERE l_quantity <= 1.0 GROUP BY 1
+), b AS (
+  SELECT CAST(l_partkey AS BIGINT) AS p_partkey, count(*) AS n_disc
+  FROM lineitem WHERE l_discount > 0.09 GROUP BY 1
+)
+SELECT COALESCE(a.p_partkey, b.p_partkey) AS p_partkey,
+       COALESCE(a.rev_c, 0) / 100.0 AS low_qty_rev,
+       COALESCE(b.n_disc, 0) AS n_disc
+FROM a FULL JOIN b ON a.p_partkey = b.p_partkey
+ORDER BY p_partkey
+"""

@@ -73,10 +73,12 @@ def hash_join(
 
     ``how``: "inner" (default), "left" (unmatched left rows kept with
     typed-null right columns so matched and unmatched blocks agree on
-    schema), "semi" (left rows with a match, left columns only), or
+    schema), "full" (additionally keeps unmatched RIGHT rows with
+    typed-null left columns; ``on`` is coalesced from whichever side
+    has it), "semi" (left rows with a match, left columns only), or
     "anti" (left rows without a match, left columns only).
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "full", "semi", "anti"):
         raise ValueError(f"unsupported join how={how!r}")
 
     def tag(side: int, cols):
@@ -102,7 +104,7 @@ def hash_join(
     r_pa: pa.Schema = getattr(rschema, "base_schema", rschema)
     lnames = [c for c in (left_cols or l_pa.names) if c != on]
     rnames = [c for c in (right_cols or r_pa.names) if c != on]
-    out_rnames = rnames if how in ("inner", "left") else []
+    out_rnames = rnames if how in ("inner", "left", "full") else []
 
     def _empty_out() -> pa.Table:
         cols: dict[str, pa.Array] = {on: pa.array([], type=l_pa.field(on).type)}
@@ -112,11 +114,23 @@ def hash_join(
             cols[c] = pa.array([], type=r_pa.field(c).type)
         return pa.table(cols)
 
+    def _right_only(rt_tbl: pa.Table) -> pa.Table:
+        """Right rows with typed-null left columns (full-join remainder)."""
+        cols = {on: rt_tbl[on]}
+        for c in lnames:
+            cols[c] = pa.nulls(rt_tbl.num_rows, type=l_pa.field(c).type)
+        for c in rnames:
+            cols[c] = rt_tbl[c]
+        return pa.table(cols)
+
     def merge(g: pa.Table) -> pa.Table:
         present = set(g.column_names)
         # a fully-empty side contributes no blocks to the union, so its
         # columns never materialize in the group table
         if any(c not in present for c in (on, *lnames)):
+            if how == "full" and all(c in present for c in rnames):
+                side0 = g["__side"].to_numpy(zero_copy_only=False)
+                return _right_only(g.filter(pa.array(side0 == 1)))
             return _empty_out()
         side = g["__side"].to_numpy(zero_copy_only=False)
         lmask = side == 0
@@ -137,7 +151,7 @@ def hash_join(
         if len(rk) == 0:
             if how == "inner":
                 return _empty_out()
-            # left join, no right rows in bucket: typed nulls
+            # left/full join, no right rows in bucket: typed nulls
             cols = {on: lt_[on]}
             for c in lnames:
                 cols[c] = lt_[c]
@@ -160,7 +174,8 @@ def hash_join(
                 cols[c] = out_r[c]
             return pa.table(cols)
 
-        # how == "left": unmatched left rows emit one row of typed nulls
+        # how in ("left", "full"): unmatched left rows emit one row of
+        # typed nulls
         cnt2 = np.where(cnt == 0, 1, cnt)
         total = int(cnt2.sum())
         li2 = np.repeat(np.arange(len(lk), dtype=np.int64), cnt2)
@@ -178,7 +193,15 @@ def hash_join(
             cols[c] = out_l[c]
         for c in rnames:
             cols[c] = out_r[c]
-        return pa.table(cols)
+        out = pa.table(cols)
+        if how != "full":
+            return out
+        # full join: append right rows no left key matched
+        r_unmatched = ~np.isin(rk, lk)
+        if not r_unmatched.any():
+            return out
+        rest = _right_only(rt_full.select([on, *rnames]).filter(pa.array(r_unmatched)))
+        return pa.concat_tables([out, rest])
 
     return unioned.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 

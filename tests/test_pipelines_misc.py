@@ -1378,3 +1378,46 @@ def test_events_od_matrix_matches_duckdb(ray_session, sf_small):
         )
     exp = con.execute(events_od_matrix_sql()).df()
     assert list(map(tuple, got.values)) == list(map(tuple, exp.values))
+
+
+def test_full_join_random_vs_duckdb(ray_session):
+    """hash_join how='full' matches DuckDB FULL JOIN on random keys with
+    duplicates, left-only keys, right-only keys and empty-side buckets."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geografir_ray.stages.join import hash_join
+
+    rng = np.random.default_rng(7)
+    for trial, (nl, nr) in enumerate([(500, 300), (40, 700), (0, 50), (60, 0)]):
+        lk = rng.integers(0, 200, nl).astype(np.int64)
+        rk = (rng.integers(0, 200, nr) + 100).astype(np.int64)  # partial overlap
+        lt = pa.table({"k": lk, "lv": np.arange(nl, dtype=np.int64)})
+        rt = pa.table({"k": rk, "rv": np.arange(nr, dtype=np.int64) * 10})
+        out = (
+            hash_join(
+                ray.data.from_arrow(lt),
+                ray.data.from_arrow(rt),
+                on="k",
+                n_buckets=7,
+                how="full",
+            )
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("lt", lt)
+        con.register("rt", rt)
+        ref = con.sql(
+            """SELECT COALESCE(lt.k, rt.k) AS k, lv, rv
+               FROM lt FULL JOIN rt ON lt.k = rt.k
+               ORDER BY k, lv NULLS LAST, rv NULLS LAST"""
+        ).df()
+        assert len(out) == len(ref), (trial, len(out), len(ref))
+        for col in ("k", "lv", "rv"):
+            a = out[col].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = ref[col].to_numpy(dtype=np.float64, na_value=np.nan)
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), (trial, col)
