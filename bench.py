@@ -681,6 +681,43 @@ def bench_suite() -> dict:
         )
         return heavy_hitters_ds(docs, phi_denom=1000)
 
+    def components_5m(_sf_dir: str):
+        # connected components on the shard-once BSP engine
+        # (stages/components.min_label_components_bsp — rule 22: the
+        # Dataset-iterative twin pays ~9 s/round of exchange overhead
+        # at ANY size) over 5M random edges in 1000 communities x 1000
+        # nodes (~5 edges/node: connected whp, intra-community diameter
+        # ~5 -> a couple of doubling rounds).  Per round only label
+        # arrays move; the sharded edge set never leaves the store.
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from geografir_ray.functions.hashing import splitmix64
+        from geografir_ray.stages.components import min_label_components_bsp
+
+        N_NODES = 1_000_000
+        COMM = 1_000  # nodes per community
+
+        def build(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy().astype(np.uint64)
+            h = splitmix64(ids)
+            comm = (ids % np.uint64(N_NODES // COMM)) * np.uint64(COMM)
+            src = (comm + (h % np.uint64(COMM))).astype(np.int64)
+            dst = (comm + ((h >> np.uint64(32)) % np.uint64(COMM))).astype(np.int64)
+            # undirected: propagate both ways
+            return pa.table(
+                {
+                    "src": pa.array(np.concatenate([src, dst])),
+                    "dst": pa.array(np.concatenate([dst, src])),
+                }
+            )
+
+        edges = rd.range(5_000_000, override_num_blocks=64).map_batches(
+            build, batch_format="pyarrow", batch_size=None
+        )
+        return min_label_components_bsp(edges)
+
     def pagerank_10m(_sf_dir: str):
         # 4 synchronous integer-PageRank rounds over a 10M-edge
         # synthetic web-link graph (1M src pages; dst skewed by a
@@ -799,6 +836,7 @@ def bench_suite() -> dict:
         "bbox_join_1m": bbox_join_1m,
         "heavy_hitters_56m": heavy_hitters_56m,
         "pagerank_10m": pagerank_10m,
+        "components_5m": components_5m,
         "triangles_copurchase_1m": triangles_copurchase_1m,
         "lm_score_1m": lm_score_1m,
         "streaming_5m": streaming_5m,

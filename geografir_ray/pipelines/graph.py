@@ -53,7 +53,7 @@ def _split_block(n_buckets: int, src_col: str = "src", dst_col: str = "dst"):
             # partitions), so don't index columns before checking.
             e = pa.table({"src": pa.array([], pa.int64()),
                           "dst": pa.array([], pa.int64())})
-            return [e] * n_buckets
+            return [e] * n_buckets if n_buckets > 1 else e
         src = pc.cast(t[src_col], pa.int64()).to_numpy(zero_copy_only=False)
         dst = pc.cast(t[dst_col], pa.int64()).to_numpy(zero_copy_only=False)
         bkt = (splitmix64(src.astype(np.uint64)) % np.uint64(n_buckets)).astype(
@@ -62,11 +62,14 @@ def _split_block(n_buckets: int, src_col: str = "src", dst_col: str = "dst"):
         order = np.argsort(bkt, kind="stable")
         sb, ss, sd = bkt[order], src[order], dst[order]
         bounds = np.searchsorted(sb, np.arange(n_buckets + 1))
-        return [
+        out = [
             pa.table({"src": pa.array(ss[bounds[b]:bounds[b + 1]]),
                       "dst": pa.array(sd[bounds[b]:bounds[b + 1]])})
             for b in range(n_buckets)
         ]
+        # num_returns=1 hands the whole list back as ONE object; the
+        # caller re-wraps, so return the bare table at n_buckets=1
+        return out if n_buckets > 1 else out[0]
 
     return fn
 
@@ -189,13 +192,14 @@ def pagerank(edges, iters: int = PR_ITERS, n_buckets: int = 64):
     def _contrib(shard, nodes, r):
         if len(shard["usrc"]) == 0:
             e = np.array([], dtype=np.int64)
-            return [(e, e)] * B
+            return [(e, e)] * B if B > 1 else (e, e)
         ru = r[np.searchsorted(nodes, shard["usrc"])]
         share = (ru // shard["d"])[shard["src_code"]] * shard["w"]
         c = np.zeros(len(shard["udst"]), dtype=np.int64)
         np.add.at(c, shard["dst_code"], share)
         ub = shard["udst_bkt"]
-        return [(shard["udst"][ub == b], c[ub == b]) for b in range(B)]
+        out = [(shard["udst"][ub == b], c[ub == b]) for b in range(B)]
+        return out if B > 1 else out[0]
 
     def _merge(nodes, *pieces):
         acc = np.zeros(len(nodes), dtype=np.int64)
@@ -347,13 +351,14 @@ def hits(edges, iters: int = HITS_ITERS, n_buckets: int = 64):
         # per-edge push of v(src) along the shard, bucketed by dst
         if len(shard["usrc"]) == 0:
             e = np.array([], dtype=np.int64)
-            return [(e, e)] * B
+            return [(e, e)] * B if B > 1 else (e, e)
         vu = v[np.searchsorted(nodes, shard["usrc"])]
         share = vu[shard["src_code"]] * shard["w"]
         c = np.zeros(len(shard["udst"]), dtype=np.int64)
         np.add.at(c, shard["dst_code"], share)
         ub = shard["udst_bkt"]
-        return [(shard["udst"][ub == b], c[ub == b]) for b in range(B)]
+        out = [(shard["udst"][ub == b], c[ub == b]) for b in range(B)]
+        return out if B > 1 else out[0]
 
     def _merge_raw(nodes, *pieces):
         acc = np.zeros(len(nodes), dtype=np.int64)

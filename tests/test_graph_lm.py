@@ -305,3 +305,63 @@ def test_triangles_random_graph_matches_reference(ray_session):
         broadcast_threshold=0,
     ).to_pandas()
     assert dict(zip(got3["node"], got3["n_tri"])) == ref
+
+
+def test_components_bsp_matches_union_find_and_dataset_engine(ray_session):
+    """BSP components (shard-once, pointer doubling) vs a pure-python
+    union-find AND the Dataset min-label engine, on a random graph plus
+    a 200-node path (exercises the doubling ladder), at two bucket
+    counts (1 hits the num_returns=1 edge paths)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geografir_ray.stages.components import (
+        min_label_components,
+        min_label_components_bsp,
+    )
+
+    rng = np.random.default_rng(3)
+    N, E = 500, 700
+    src = rng.integers(0, N, E)
+    dst = rng.integers(0, N, E)
+    path = np.arange(200)
+    src = np.concatenate([src, path[:-1] + N])
+    dst = np.concatenate([dst, path[1:] + N])
+    s2 = np.concatenate([src, dst]).astype(np.int64)
+    d2 = np.concatenate([dst, src]).astype(np.int64)
+
+    parent = np.arange(N + 200)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(s2.tolist(), d2.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, set] = {}
+    for v in set(s2.tolist()) | set(d2.tolist()):
+        comp.setdefault(find(v), set()).add(v)
+    exp = {}
+    for mem in comp.values():
+        m = min(mem)
+        for v in mem:
+            exp[v] = m
+
+    for nb in (1, 8):
+        edges = rd.from_arrow(pa.table({"src": s2, "dst": d2})).repartition(4)
+        out = min_label_components_bsp(edges, n_buckets=nb).to_pandas()
+        got = dict(zip(out["node"].tolist(), out["label"].tolist()))
+        assert got == exp, f"n_buckets={nb}"
+
+    # Dataset engine agreement (same labels on the same graph)
+    edges_ds = rd.from_arrow(pa.table({"node": s2, "dst": d2})).repartition(4)
+    nodes = np.array(sorted(exp.keys()), dtype=np.int64)
+    labels = rd.from_arrow(pa.table({"node": nodes, "label": nodes}))
+    out2 = min_label_components(edges_ds, labels).to_pandas()
+    got2 = dict(zip(out2["node"].tolist(), out2["label"].tolist()))
+    assert got2 == exp
