@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": G.graph_pagerank,
         "graph_hits": G.graph_hits,
         "graph_triangles": G.graph_triangles,
+        "graph_kcore": G.graph_kcore,
         "events_staypoints": E.events_staypoints,
         "events_zone_visits": E.events_zone_visits,
         "events_od_matrix": E.events_od_matrix,
@@ -252,6 +253,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": G.graph_pagerank_sql(),
         "graph_hits": G.graph_hits_sql(),
         "graph_triangles": G.graph_triangles_sql(),
+        "graph_kcore": G.graph_kcore_sql(),
         "events_staypoints": E.events_staypoints_sql(),
         "events_zone_visits": E.events_zone_visits_sql(),
         "events_od_matrix": E.events_od_matrix_sql(),

@@ -886,3 +886,227 @@ FROM (
 GROUP BY node
 ORDER BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling) on the shard-once BSP engine
+# ---------------------------------------------------------------------------
+
+KCORE_K = 2
+KCORE_MIN_W = 2       # co-purchase edge threshold (>= 2 shared orders)
+KCORE_MAX_ROUNDS = 10  # SQL twin unrolls this many peel rounds
+
+
+def kcore_bsp(edges, k: int, n_buckets: int = 64,
+              max_rounds: int = KCORE_MAX_ROUNDS):
+    """k-core via synchronous peeling over the shard-once BSP engine:
+    every round each node counts its ALIVE neighbors and dies if the
+    count is < k; fixpoint = the k-core.  Returns a Dataset
+    (node, deg) of surviving nodes with their in-core degree.
+
+    ``edges`` must contain BOTH orientations of each distinct
+    undirected edge (so out-degree == undirected degree and every node
+    appears as a src in its owner shard); multiplicities are honored
+    via the shard weights (pass distinct edges for simple-graph cores).
+
+    Per round: B owner-bucket lookup tasks serve alive flags for the
+    STATIC distinct-dst request lists built at shard time (dstp_refs),
+    then B update tasks recount degrees (one np.add.at over the static
+    edge codes) and kill locally — only alive bitmaps move; the driver
+    sees B kill-counts per round.  Raises if max_rounds is hit before
+    the fixpoint so the unrolled SQL twin can never silently diverge.
+    """
+    import ray
+    import ray.data
+
+    B = n_buckets
+    mat = edges.materialize()
+    shard_refs, dstp_refs = _shard_graph(mat.to_arrow_refs(), B)
+    nodes_refs, _ = _init_buckets(shard_refs, dstp_refs, B, fill=1)
+    ray.wait(list(shard_refs), num_returns=B, fetch_local=False)
+    del mat
+
+    def _init_alive(nodes):
+        return np.ones(len(nodes), dtype=bool)
+
+    def _serve(nodes, alive, *req_lists):
+        """Owner bucket c: alive flags for each shard b's distinct dsts
+        owned by c (req_lists[b] = dstp_refs[b] value, indexed [c] by
+        the closure bucket)."""
+        out = [alive[np.searchsorted(nodes, req)] if len(req) else
+               np.array([], dtype=bool) for req in req_lists]
+        return out if B > 1 else out[0]
+
+    def _update(shard, nodes, alive, *alive_pieces):
+        """Shard/owner bucket b: recount alive-neighbor degrees for its
+        srcs and kill those below k.  Returns (alive', deg_by_node,
+        n_kills)."""
+        deg = np.zeros(len(nodes), dtype=np.int64)
+        if len(shard["usrc"]):
+            alive_udst = np.zeros(len(shard["udst"]), dtype=bool)
+            ub = shard["udst_bkt"]
+            for c in range(B):
+                piece = alive_pieces[c]
+                if len(piece):
+                    alive_udst[ub == c] = piece
+            pos = np.searchsorted(nodes, shard["usrc"])
+            e_alive = alive_udst[shard["dst_code"]]
+            dsum = np.zeros(len(shard["usrc"]), dtype=np.int64)
+            np.add.at(dsum, shard["src_code"],
+                      np.where(e_alive, shard["w"], 0))
+            # a dead src keeps degree 0 so it can never resurrect
+            deg[pos] = np.where(alive[pos], dsum, 0)
+        new_alive = alive & (deg >= k)
+        return new_alive, deg, int((alive & ~new_alive).sum())
+
+    init = ray.remote(_init_alive)
+    serve = ray.remote(num_returns=B)(_serve)
+    update = ray.remote(num_returns=3)(_update)
+
+    alive_refs = [init.remote(nodes_refs[b]) for b in range(B)]
+    deg_refs = alive_refs  # placeholder; set in round 1
+
+    # static request lists: req_refs[b][c] = shard b's distinct dsts
+    # owned by bucket c — split ONCE from each dstp list, reused every
+    # round (the pieces stay in the object store)
+    def _sel(dp, c):
+        return dp[c]
+
+    sel = ray.remote(_sel)
+    req_refs = [[sel.remote(dstp_refs[b], c) for c in range(B)]
+                for b in range(B)]
+
+    converged = False
+    for _ in range(max_rounds + 1):  # +1: the confirming zero-kill round
+        served = [
+            serve.remote(nodes_refs[c], alive_refs[c],
+                         *[req_refs[b][c] for b in range(B)])
+            for c in range(B)
+        ]
+        if B == 1:
+            served = [[s] for s in served]
+        out = [update.remote(shard_refs[b], nodes_refs[b], alive_refs[b],
+                             *[served[c][b] for c in range(B)])
+               for b in range(B)]
+        alive_refs = [o[0] for o in out]
+        deg_refs = [o[1] for o in out]
+        kills = sum(ray.get([o[2] for o in out]))
+        if kills == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"kcore_bsp: peeling exceeded max_rounds={max_rounds}; "
+            f"raise the cap (and the SQL twin's unroll) together"
+        )
+
+    def _emit(nodes, alive, deg):
+        return pa.table({"node": pa.array(nodes[alive]),
+                         "deg": pa.array(deg[alive])})
+
+    emit = ray.remote(_emit)
+    return ray.data.from_arrow_refs(
+        [emit.remote(nodes_refs[b], alive_refs[b], deg_refs[b])
+         for b in range(B)]
+    )
+
+
+def graph_kcore(sf_dir: str, k: int = KCORE_K):
+    """k-core of the thresholded part co-purchase graph (parts linked
+    iff co-ordered in >= KCORE_MIN_W orders — the raw co-purchase
+    projection is too dense to peel).  Exact unrolled-peel DuckDB
+    oracle (:func:`graph_kcore_sql`)."""
+    from ..stages.join import hash_join
+    from .common import grouped_sum
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def side(name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "okey": pc.cast(t["l_orderkey"], pa.int64()),
+                    name: pc.cast(t["l_partkey"], pa.int64()),
+                }
+            )
+
+        fn.__name__ = f"li_side_{name}"
+        return fn
+
+    pairs = hash_join(
+        li.map_batches(side("a"), batch_format="pyarrow"),
+        li.map_batches(side("b"), batch_format="pyarrow"),
+        on="okey",
+        left_cols=["okey", "a"],
+        right_cols=["okey", "b"],
+    )
+
+    def ordered(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["a"], t["b"]))
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    edges = grouped_sum(
+        pairs.map_batches(ordered, batch_format="pyarrow"),
+        ["a", "b"],
+        {"w": ("one", "sum")},
+        merge="shuffle",
+    )
+
+    def both_ways(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["w"], pa.scalar(KCORE_MIN_W)))
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    undirected = edges.map_batches(both_ways, batch_format="pyarrow")
+    return kcore_bsp(undirected, k=k).sort("node")
+
+
+def graph_kcore_sql(k: int = KCORE_K, rounds: int = KCORE_MAX_ROUNDS) -> str:
+    head = f"""
+WITH e0 AS MATERIALIZED (
+  SELECT CAST(l1.l_partkey AS BIGINT) AS a, CAST(l2.l_partkey AS BIGINT) AS b
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {KCORE_MIN_W}
+),
+a0 AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0
+  )
+)"""
+    step = """,
+a{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS d FROM (
+      SELECT e.a AS node FROM e0 e
+      JOIN a{p} x ON e.a = x.node JOIN a{p} y ON e.b = y.node
+      UNION ALL
+      SELECT e.b AS node FROM e0 e
+      JOIN a{p} x ON e.a = x.node JOIN a{p} y ON e.b = y.node
+    ) GROUP BY node
+  ) WHERE d >= {k}
+)"""
+    steps = [step.format(i=i, p=i - 1, k=k) for i in range(1, rounds + 1)]
+    return head + "".join(steps) + f"""
+SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+  SELECT e.a AS node FROM e0 e
+  JOIN a{rounds} x ON e.a = x.node JOIN a{rounds} y ON e.b = y.node
+  UNION ALL
+  SELECT e.b AS node FROM e0 e
+  JOIN a{rounds} x ON e.a = x.node JOIN a{rounds} y ON e.b = y.node
+) GROUP BY node
+ORDER BY node
+"""

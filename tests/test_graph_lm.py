@@ -365,3 +365,52 @@ def test_components_bsp_matches_union_find_and_dataset_engine(ray_session):
     out2 = min_label_components(edges_ds, labels).to_pandas()
     got2 = dict(zip(out2["node"].tolist(), out2["label"].tolist()))
     assert got2 == exp
+
+
+def test_kcore_bsp_matches_numpy_peel(ray_session):
+    """kcore_bsp vs a direct numpy peel replay on a random graph, at
+    two bucket counts and two k values (k=4 empties the graph)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geografir_ray.pipelines.graph import kcore_bsp
+
+    rng = np.random.default_rng(11)
+    N, E = 300, 900
+    a = rng.integers(0, N, E).astype(np.int64)
+    b = rng.integers(0, N, E).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    # distinct undirected edges
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    pairs = np.unique(lo * N + hi)
+    lo, hi = pairs // N, pairs % N
+    s2 = np.concatenate([lo, hi])
+    d2 = np.concatenate([hi, lo])
+
+    def peel(k):
+        nodes, inv = np.unique(np.concatenate([lo, hi]), return_inverse=True)
+        ia, ib = inv[: len(lo)], inv[len(lo):]
+        alive = np.ones(len(nodes), bool)
+        while True:
+            m = alive[ia] & alive[ib]
+            deg = np.zeros(len(nodes), np.int64)
+            np.add.at(deg, ia[m], 1)
+            np.add.at(deg, ib[m], 1)
+            kills = alive & (deg < k)
+            if not kills.any():
+                return {
+                    int(n): int(d)
+                    for n, d, al in zip(nodes, deg, alive)
+                    if al
+                }
+            alive &= ~kills
+
+    for k in (3, 4):
+        exp = peel(k)
+        for nb in (1, 8):
+            edges = rd.from_arrow(pa.table({"src": s2, "dst": d2})).repartition(4)
+            out = kcore_bsp(edges, k=k, n_buckets=nb, max_rounds=40).to_pandas()
+            got = dict(zip(out["node"].tolist(), out["deg"].tolist()))
+            assert got == exp, (k, nb)
