@@ -175,8 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_value_share": R.nation_value_share,
         "cust_order_histogram": R.cust_order_histogram,
         "idle_rich_custs": R.idle_rich_custs,
-        # time-series gap fill (generate_series + left join shape)
+        # time-series gap fill + linear interpolation
         "events_gapfill": E.events_gapfill,
+        "events_interpolate": E.events_interpolate,
         # FULL OUTER join surface (hash_join how="full")
         "part_activity_full": R.part_activity_full,
     }
@@ -302,6 +303,7 @@ def oracle_sql() -> dict[str, str]:
         "cust_order_histogram": R.CUST_ORDER_HISTOGRAM_SQL,
         "idle_rich_custs": R.IDLE_RICH_CUSTS_SQL,
         "events_gapfill": E.EVENTS_GAPFILL_SQL,
+        "events_interpolate": E.EVENTS_INTERPOLATE_SQL,
         "part_activity_full": R.PART_ACTIVITY_FULL_SQL,
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_crosscorpus_neardup,

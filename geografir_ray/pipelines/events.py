@@ -2224,3 +2224,226 @@ SELECT g.user_id, g.hr AS hour, COALESCE(h.n, 0) AS n_events
 FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.hr = h.hr
 ORDER BY g.user_id, hour
 """
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation over the gap-filled hourly series (resample +
+# interpolate — the other half of events_gapfill)
+# ---------------------------------------------------------------------------
+
+
+def events_interpolate(sf_dir: str):
+    """Per-user dense hourly VALUE series: known hours carry the exact
+    hourly cents sum; gap hours are linearly interpolated between the
+    neighboring known hours.  The interpolation is the all-non-negative
+    integer form ``(v0*(gap-off) + v1*off) // gap`` so floor == trunc
+    and the DuckDB twin (IGNORE-NULLS window walk) is bit-equal — the
+    naive ``v0 + ((v1-v0)*off)//gap`` diverges on negative slopes
+    (numpy floors, DuckDB truncates).
+
+    Scale plan: ONE exchange for the hourly sums, a global sort, then
+    a single vectorized pass — adjacent in-block known pairs explode
+    their gap rows locally (np.repeat/arange); pairs SPLIT by a block
+    boundary are repaired from O(blocks) edge records on the driver
+    (same machinery as events_travel_distance).  No stage holds more
+    than the output.
+    """
+    import ray.data
+
+    from .common import grouped_sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def hourly(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        hr = ts.astype("datetime64[h]").astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "hr": pa.array(hr),
+                "v": pc.cast(
+                    pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
+                ),
+            }
+        )
+
+    known = grouped_sum(
+        ds.map_batches(hourly, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "hr"],
+        {"v": ("v", "sum")},
+    ).repartition(8).sort(["user_id", "hr"])
+
+    _SCHEMA = pa.schema(
+        [
+            ("kind", pa.int8()),  # 0 = series row, 1 = block edge record
+            ("user_id", pa.int64()),
+            ("hr", pa.int64()),
+            ("v", pa.int64()),
+            ("first_uid", pa.int64()),
+            ("first_hr", pa.int64()),
+            ("first_v", pa.int64()),
+            ("last_uid", pa.int64()),
+            ("last_hr", pa.int64()),
+            ("last_v", pa.int64()),
+        ]
+    )
+
+    def _interp(u0, t0, v0, t1, v1):
+        """Explode interior hours of each (t0, v0) -> (t1, v1) pair."""
+        gap = t1 - t0
+        width = np.maximum(gap - 1, 0)
+        total = int(width.sum())
+        if total == 0:
+            e = np.array([], dtype=np.int64)
+            return e, e, e
+        users = np.repeat(u0, width)
+        g = np.repeat(gap, width)
+        base = np.repeat(t0, width)
+        a = np.repeat(v0, width)
+        b = np.repeat(v1, width)
+        off = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(width) - width, width)
+            + 1
+        )
+        val = (a * (g - off) + b * off) // g
+        return users, base + off, val
+
+    def per_block(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _SCHEMA.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        hr = t["hr"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        same = uid[1:] == uid[:-1]
+        iu, it, iv = _interp(
+            uid[:-1][same], hr[:-1][same], v[:-1][same],
+            hr[1:][same], v[1:][same],
+        )
+        z = np.zeros(n + len(iu), dtype=np.int64)
+        rows = pa.table(
+            {
+                "kind": pa.array(np.zeros(n + len(iu), dtype=np.int8)),
+                "user_id": pa.array(np.concatenate([uid, iu])),
+                "hr": pa.array(np.concatenate([hr, it])),
+                "v": pa.array(np.concatenate([v, iv])),
+                "first_uid": pa.array(z), "first_hr": pa.array(z),
+                "first_v": pa.array(z), "last_uid": pa.array(z),
+                "last_hr": pa.array(z), "last_v": pa.array(z),
+            },
+            schema=_SCHEMA,
+        )
+        zero = pa.array([0], type=pa.int64())
+        edge = pa.table(
+            {
+                "kind": pa.array(np.array([1], dtype=np.int8)),
+                "user_id": pa.array([-1], type=pa.int64()),
+                "hr": zero, "v": zero,
+                "first_uid": pa.array([int(uid[0])], type=pa.int64()),
+                "first_hr": pa.array([int(hr[0])], type=pa.int64()),
+                "first_v": pa.array([int(v[0])], type=pa.int64()),
+                "last_uid": pa.array([int(uid[-1])], type=pa.int64()),
+                "last_hr": pa.array([int(hr[-1])], type=pa.int64()),
+                "last_v": pa.array([int(v[-1])], type=pa.int64()),
+            },
+            schema=_SCHEMA,
+        )
+        return pa.concat_tables([rows, edge])
+
+    tagged = known.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+
+    series = tagged.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(["user_id", "hr", "v"]),
+        batch_format="pyarrow",
+    )
+
+    # boundary pairs: known points split across adjacent sorted blocks
+    edges = tagged.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 1)).select(
+            ["first_uid", "first_hr", "first_v", "last_uid", "last_hr", "last_v"]
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    edges.sort(key=lambda e: (e["first_uid"], e["first_hr"]))
+    fix_u, fix_t, fix_v = [], [], []
+    for i in range(1, len(edges)):
+        if edges[i]["first_uid"] == edges[i - 1]["last_uid"]:
+            u0 = np.array([edges[i - 1]["last_uid"]], dtype=np.int64)
+            t0 = np.array([edges[i - 1]["last_hr"]], dtype=np.int64)
+            v0 = np.array([edges[i - 1]["last_v"]], dtype=np.int64)
+            t1 = np.array([edges[i]["first_hr"]], dtype=np.int64)
+            v1 = np.array([edges[i]["first_v"]], dtype=np.int64)
+            iu, it, iv = _interp(u0, t0, v0, t1, v1)
+            fix_u.append(iu)
+            fix_t.append(it)
+            fix_v.append(iv)
+    if fix_u:
+        fixes = pa.table(
+            {
+                "user_id": pa.array(np.concatenate(fix_u)),
+                "hr": pa.array(np.concatenate(fix_t)),
+                "v": pa.array(np.concatenate(fix_v)),
+            }
+        )
+        if fixes.num_rows:
+            series = series.union(ray.data.from_arrow(fixes))
+
+    def finish(t: pa.Table) -> pa.Table:
+        hr = t["hr"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "hour": pa.array(
+                    hr.astype("datetime64[h]").astype("datetime64[us]")
+                ),
+                "value": pc.divide(pc.cast(t["v"], pa.float64()), 100.0),
+            }
+        )
+
+    return (
+        series.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .sort(["user_id", "hour"])
+    )
+
+
+EVENTS_INTERPOLATE_SQL = """
+WITH h AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, date_trunc('hour', ts) AS hr,
+         CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM h GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+  FROM spans
+), j AS (
+  SELECT g.user_id, g.hr, h.v
+  FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.hr = h.hr
+), w AS (
+  SELECT user_id, hr, v,
+    last_value(v IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY hr ROWS UNBOUNDED PRECEDING) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY hr ROWS UNBOUNDED PRECEDING) AS pt,
+    first_value(v IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY hr
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY hr
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j
+)
+SELECT user_id, hr AS hour,
+  CASE WHEN v IS NOT NULL THEN v
+       ELSE (pv * (CAST(datediff('hour', pt, nt) AS BIGINT)
+                   - CAST(datediff('hour', pt, hr) AS BIGINT))
+             + nv * CAST(datediff('hour', pt, hr) AS BIGINT))
+            // CAST(datediff('hour', pt, nt) AS BIGINT)
+  END / 100.0 AS value
+FROM w
+ORDER BY user_id, hour
+"""
