@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_crosscorpus_neardup": D.docs_crosscorpus_neardup,  # rows-only: minhash seeds
         "docs_bm25_topk": D.docs_bm25_topk,
         "docs_simhash": D.docs_simhash,  # rows-only: simhash bits
+        "docs_simhash_dedup": D.docs_simhash_dedup,  # rows-only: simhash bits, replay-gated
         "docs_langid_quality": D.docs_langid_quality,  # rows-only: heuristic model
         "docs_fingerprints": D.docs_fingerprints,  # rows-only: rolling hash
         # embeddings (similarity search / ANN)

@@ -398,3 +398,22 @@ def minhash_signatures_arrow(col, num_perm: int = 128, k: int = 3) -> np.ndarray
             res[:, p0:p1] = np.minimum.reduceat(v, offsets, axis=0)
     out[nonempty] = res
     return out
+
+
+def simhash64_arrow(col) -> np.ndarray:
+    """Vectorized SimHash over an Arrow string column; bit-identical to
+    :func:`simhash64` per row (same tokenizer, same FNV-1a token
+    hashes, same strict-majority bit rule), with zero per-row Python:
+    one flat tokenize, one buffer-native hash pass, then 64 bincounts
+    over the doc index (bit j set iff 2 * ones_j > n_tokens)."""
+    flat, docidx, counts = flat_tokens(col)
+    n_docs = len(counts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    th = token_hashes_arrow(flat)
+    if len(th) == 0:
+        return out
+    for j in range(64):
+        bit = ((th >> np.uint64(j)) & np.uint64(1)).astype(np.float64)
+        ones = np.bincount(docidx, weights=bit, minlength=n_docs)
+        out |= (2 * ones.astype(np.int64) > counts).astype(np.uint64) << np.uint64(j)
+    return out

@@ -610,11 +610,9 @@ def docs_simhash(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sim(t: pa.Table) -> pa.Table:
-        sh = np.fromiter(
-            (T.simhash64(s or "") for s in t["text"].to_pylist()),
-            dtype=np.uint64,
-            count=t.num_rows,
-        )
+        # buffer-native vectorized simhash (bit-identical to the scalar
+        # T.simhash64 — parity-tested); no per-row Python (rule 19)
+        sh = T.simhash64_arrow(t["text"])
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -3995,3 +3993,90 @@ JOIN uni u2 ON u2.w = b.w2
 ORDER BY score DESC, b.w1, b.w2
 LIMIT 100
 """
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup dedup (banded Hamming, keep-first) — the text twin
+# of mm_phash_dedup, completing the dedup family (exact / normalized /
+# MinHash-LSH / n-gram Jaccard / SimHash / embedding-cosine)
+# ---------------------------------------------------------------------------
+
+SIMHASH_HAM_TAU = 3
+
+
+def docs_simhash_dedup(sf_dir: str, tau: int = SIMHASH_HAM_TAU):
+    """Drop doc b iff some a with a.doc_id < b.doc_id has
+    popcount(simhash_a XOR simhash_b) <= tau.  With 4 bands x 16 bits,
+    any pair within tau <= 3 shares at least one exact band
+    (pigeonhole), so banded candidate generation has recall 1 and the
+    keep-first rule is EXACTLY the global all-pairs rule — pinned by
+    the brute-force replay test (tests/test_webcorpus.py).
+
+    Scale design: signatures are one buffer-native vectorized pass
+    (functions/text.simhash64_arrow); the exchange carries only
+    (band-bucket, doc_id, simhash) = 24 B/row x 4 bands; candidate
+    pairs meet inside banded buckets (widen bands / multi-probe at
+    corpus scale to bound bucket occupancy — same documented knob as
+    mm_phash_dedup); winners resolve with one distributed anti-join.
+    rows-only: simhash bits are not SQL-expressible (documented in
+    __ray_entry__ and tests/test_entry.py).
+    """
+    from ..stages.join import hash_join
+    from ..stages.multimodal import popcount64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sig(t: pa.Table) -> pa.Table:
+        sh = T.simhash64_arrow(t["text"])
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "simhash": pa.array(sh.view(np.int64)),
+            }
+        )
+
+    hashed = ds.map_batches(
+        sig, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # (doc_id, simhash) — 16 B/row, reused twice below
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("bb", pa.int64()), ("doc_id", pa.int64()), ("simhash", pa.int64())]
+            ).empty_table()
+        h = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(h)
+        bands = np.arange(4, dtype=np.uint64)
+        bits = (h[:, None] >> (bands * np.uint64(16))[None, :]) & np.uint64(0xFFFF)
+        bb = (bands[None, :] * np.uint64(65536) + bits).astype(np.int64).ravel()
+        rep = np.repeat(np.arange(n, dtype=np.int64), 4)
+        return pa.table(
+            {
+                "bb": pa.array(bb),
+                "doc_id": t["doc_id"].take(pa.array(rep)),
+                "simhash": t["simhash"].take(pa.array(rep)),
+            }
+        )
+
+    _DROP = pa.schema([("doc_id", pa.int64())])
+
+    def bucket_dropped(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return _DROP.empty_table()
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, h = ids[order], h[order]
+        ii, jj = np.triu_indices(n, k=1)
+        ham = popcount64((h[ii] ^ h[jj]).view(np.int64))
+        hit = np.unique(jj[ham <= tau])
+        return pa.table({"doc_id": pa.array(ids[hit])})
+
+    dropped = (
+        hashed.map_batches(explode_bands, batch_format="pyarrow")
+        .groupby("bb")
+        .map_groups(bucket_dropped, batch_format="pyarrow")
+    )
+    kept = hash_join(hashed, dropped, on="doc_id", how="anti")
+    return kept.sort("doc_id")

@@ -27,6 +27,7 @@ def test_queries_have_oracles_or_are_documented(ray_session):
         "docs_minhash_lsh",
         "docs_crosscorpus_neardup",
         "docs_simhash",
+        "docs_simhash_dedup",
         "docs_langid_quality",
         "docs_fingerprints",
         "emb_label_stats",

@@ -392,3 +392,33 @@ def test_crosscorpus_neardup_brute_containment(ray_session, sf_small):
     assert emitted <= brute
     if brute:
         assert len(emitted) / len(brute) >= 0.6
+
+
+def test_simhash_dedup_matches_brute_force(ray_session, sf_small):
+    """docs_simhash_dedup == the global all-pairs keep-first rule
+    (banded recall is exactly 1 for tau <= 3 by pigeonhole)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geografir_ray.functions import text as T
+    from geografir_ray.functions.text import hamming64
+    from geografir_ray.pipelines.documents import SIMHASH_HAM_TAU, docs_simhash_dedup
+
+    out = docs_simhash_dedup(sf_small).to_pandas()
+
+    tb = pq.read_table(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    ids = tb["doc_id"].to_numpy().astype(np.int64)
+    sh = T.simhash64_arrow(tb["text"].combine_chunks())
+    keep = []
+    for i in range(len(ids)):
+        dup = False
+        for j in range(i):
+            if int(hamming64(sh[i : i + 1], sh[j : j + 1])[0]) <= SIMHASH_HAM_TAU:
+                dup = True
+                break
+        if not dup:
+            keep.append(int(ids[i]))
+    assert out["doc_id"].tolist() == keep
+    assert len(keep) < len(ids)  # the corpus has near-dups to drop
