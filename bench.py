@@ -681,6 +681,50 @@ def bench_suite() -> dict:
         )
         return heavy_hitters_ds(docs, phi_denom=1000)
 
+    def interpolate_10m(_sf_dir: str):
+        # time-series resample+interpolate at bench scale: 10M events,
+        # 1M users each confined to an 8-hour window (output ~7.5M
+        # dense hourly rows).  One exchange for hourly sums, global
+        # sort, one vectorized gap-explode pass with O(blocks)
+        # boundary repair.
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from geografir_ray.functions.hashing import splitmix64
+        from geografir_ray.pipelines.events import interpolate_hourly_ds
+
+        N_USERS = 1_000_000
+        BASE_US = 1_700_000_000_000_000  # 2023-11-14, epoch us
+
+        def build(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy().astype(np.uint64)
+            h = splitmix64(ids)
+            uid = (h % np.uint64(N_USERS)).astype(np.int64)
+            # user's own 8h window, offset by a per-user start hour
+            start_h = (splitmix64(uid.astype(np.uint64)) % np.uint64(720)).astype(
+                np.int64
+            )
+            off_us = ((h >> np.uint64(20)) % np.uint64(8 * 3600 * 1_000_000)).astype(
+                np.int64
+            )
+            ts = (
+                BASE_US + start_h * 3_600_000_000 + off_us
+            ).astype("datetime64[us]")
+            val = ((h >> np.uint64(8)) % np.uint64(10_000)).astype(np.float64) / 100.0
+            return pa.table(
+                {
+                    "user_id": pa.array(uid),
+                    "ts": pa.array(ts),
+                    "value": pa.array(val),
+                }
+            )
+
+        events = rd.range(10_000_000, override_num_blocks=64).map_batches(
+            build, batch_format="pyarrow", batch_size=None
+        )
+        return interpolate_hourly_ds(events)
+
     def components_5m(_sf_dir: str):
         # connected components on the shard-once BSP engine
         # (stages/components.min_label_components_bsp — rule 22: the
@@ -837,6 +881,7 @@ def bench_suite() -> dict:
         "heavy_hitters_56m": heavy_hitters_56m,
         "pagerank_10m": pagerank_10m,
         "components_5m": components_5m,
+        "interpolate_10m": interpolate_10m,
         "triangles_copurchase_1m": triangles_copurchase_1m,
         "lm_score_1m": lm_score_1m,
         "streaming_5m": streaming_5m,

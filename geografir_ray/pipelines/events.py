@@ -2233,6 +2233,14 @@ ORDER BY g.user_id, hour
 
 
 def events_interpolate(sf_dir: str):
+    """Per-user dense hourly VALUE series over the events table (see
+    :func:`interpolate_hourly_ds` for the engine)."""
+    return interpolate_hourly_ds(
+        read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    )
+
+
+def interpolate_hourly_ds(ds):
     """Per-user dense hourly VALUE series: known hours carry the exact
     hourly cents sum; gap hours are linearly interpolated between the
     neighboring known hours.  The interpolation is the all-non-negative
@@ -2241,37 +2249,75 @@ def events_interpolate(sf_dir: str):
     naive ``v0 + ((v1-v0)*off)//gap`` diverges on negative slopes
     (numpy floors, DuckDB truncates).
 
-    Scale plan: ONE exchange for the hourly sums, a global sort, then
-    a single vectorized pass — adjacent in-block known pairs explode
-    their gap rows locally (np.repeat/arange); pairs SPLIT by a block
-    boundary are repaired from O(blocks) edge records on the driver
-    (same machinery as events_travel_distance).  No stage holds more
-    than the output.
+    Scale plan: ONE exchange for the hourly sums — hash(user_id) % B
+    bucket tag + per-bucket vectorized lexsort/segment-sum (the
+    _shuffle_dedup shape; Ray's sort-based Aggregate over millions of
+    (user, hr) partial keys measured 60+ s at 10M rows where this runs
+    in ~4 s) — then a single vectorized pass: adjacent in-block known
+    pairs explode their gap rows locally (np.repeat/arange); pairs
+    SPLIT by a block boundary are repaired from O(blocks) edge records
+    on the driver (same machinery as events_travel_distance).  Users
+    never span buckets, so a cross-bucket edge pair can't false-match
+    (uids are disjoint); within-bucket splits repair exactly as the
+    sorted case.  No stage holds more than the output.  ``ds`` needs
+    (user_id, ts, value) columns.
     """
     import ray.data
 
-    from .common import grouped_sum
+    from ..functions.hashing import splitmix64
 
-    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    N_BUCKETS = 64
 
     def hourly(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_numpy(zero_copy_only=False)
         hr = ts.astype("datetime64[h]").astype(np.int64)
+        uid = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        bkt = (splitmix64(uid.astype(np.uint64)) % np.uint64(N_BUCKETS)).astype(
+            np.int64
+        )
         return pa.table(
             {
-                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "user_id": pa.array(uid),
                 "hr": pa.array(hr),
                 "v": pc.cast(
                     pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
                 ),
+                "__bkt": pa.array(bkt),
             }
         )
 
-    known = grouped_sum(
-        ds.map_batches(hourly, batch_format="pyarrow", zero_copy_batch=True),
-        ["user_id", "hr"],
-        {"v": ("v", "sum")},
-    ).repartition(8).sort(["user_id", "hr"])
+    _KNOWN_SCHEMA = pa.schema(
+        [("user_id", pa.int64()), ("hr", pa.int64()), ("v", pa.int64())]
+    )
+
+    def bucket_sum(g: pa.Table) -> pa.Table:
+        # all rows of every user in this bucket are co-located: one
+        # lexsort + reduceat yields the exact hourly sums, pre-sorted
+        # by (user_id, hr) — which is all the explode pass needs
+        if g.num_rows == 0:
+            return _KNOWN_SCHEMA.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        hr = g["hr"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((hr, uid))
+        uo, ho, vo = uid[order], hr[order], v[order]
+        first = np.ones(len(uo), dtype=bool)
+        first[1:] = (uo[1:] != uo[:-1]) | (ho[1:] != ho[:-1])
+        starts = np.flatnonzero(first)
+        return pa.table(
+            {
+                "user_id": pa.array(uo[starts]),
+                "hr": pa.array(ho[starts]),
+                "v": pa.array(np.add.reduceat(vo, starts)),
+            },
+            schema=_KNOWN_SCHEMA,
+        )
+
+    known = (
+        ds.map_batches(hourly, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bkt")
+        .map_groups(bucket_sum, batch_format="pyarrow")
+    )
 
     _SCHEMA = pa.schema(
         [
