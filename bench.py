@@ -681,6 +681,33 @@ def bench_suite() -> dict:
         )
         return heavy_hitters_ds(docs, phi_denom=1000)
 
+    def group_highcard_10m(_sf_dir: str):
+        # the Aggregate-cardinality-cliff fix (CLAUDE.md rule 23):
+        # exact grouped sum over 10M rows with 8M DISTINCT keys — the
+        # regime where the per-batch combiner cannot collapse anything
+        # and Ray's sort-based groupby().aggregate() measured 62 s.
+        # grouped_sum's merge="bucket" default (hash-partition + per-
+        # bucket pyarrow C++ group_by) runs it in one exchange.
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from geografir_ray.pipelines.common import grouped_sum
+
+        def build(t: pa.Table) -> pa.Table:
+            i = t["id"].to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "k": pa.array((i * 2654435761) % 8_000_000),
+                    "v": pa.array(i % 100),
+                }
+            )
+
+        ds = rd.range(10_000_000, override_num_blocks=64).map_batches(
+            build, batch_format="pyarrow", batch_size=None
+        )
+        return grouped_sum(ds, ["k"], {"v": ("v", "sum")})
+
     def interpolate_10m(_sf_dir: str):
         # time-series resample+interpolate at bench scale: 10M events,
         # 1M users each confined to an 8-hour window (output ~7.5M
@@ -881,6 +908,7 @@ def bench_suite() -> dict:
         "heavy_hitters_56m": heavy_hitters_56m,
         "pagerank_10m": pagerank_10m,
         "components_5m": components_5m,
+        "group_highcard_10m": group_highcard_10m,
         "interpolate_10m": interpolate_10m,
         "triangles_copurchase_1m": triangles_copurchase_1m,
         "lm_score_1m": lm_score_1m,

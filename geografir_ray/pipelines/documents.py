@@ -1692,8 +1692,6 @@ def docs_dup_ngrams(sf_dir: str, n: int = _DUP_NGRAM_N, n_buckets: int = 64):
     collision would need two distinct grams with equal hashes
     (~m^2/2^65 for m distinct grams; ~1e-9 even at 10^9 grams), and the
     sf-scale oracles would catch any deterministic instance."""
-    from ray.data.aggregate import Sum
-
     from ..functions.hashing import splitmix64
     from ..stages.join import hash_join
 
@@ -1759,12 +1757,12 @@ def docs_dup_ngrams(sf_dir: str, n: int = _DUP_NGRAM_N, n_buckets: int = 64):
         dup = seg_rows[seg] > 1
         return pa.table({"doc_id": pa.array(d[dup]), "dup_c": pa.array(c[dup])})
 
-    dup_per_doc = (
+    dup_per_doc = grouped_sum(
         pair_ds.map_batches(tag, batch_format="pyarrow")
         .groupby("__bkt")
-        .map_groups(find_dups, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("dup_c", alias_name="n_dup"))
+        .map_groups(find_dups, batch_format="pyarrow"),
+        ["doc_id"],
+        {"n_dup": ("dup_c", "sum")},
     )
 
     totals_ds = ds.map_batches(totals, batch_format="pyarrow", zero_copy_batch=True)

@@ -412,8 +412,20 @@ def set_ops_orders(sf_dir: str):
     out = both.map_batches(
         with_broadcast(ref, anti_join, "anti_join"), batch_format="pyarrow"
     )
-    # distinct (union of the two subsets overlaps)
-    return out.groupby("o_orderkey").count().select_columns(["o_orderkey"]).sort("o_orderkey")
+    # distinct (union of the two subsets overlaps) — via the bucketed
+    # grouped-min, not Ray's groupby().count() (the Aggregate
+    # cardinality cliff: every surviving orderkey is its own group)
+    distinct = grouped_sum(
+        out.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        ["o_orderkey"],
+        {"one": ("one", "min")},
+    )
+    return distinct.select_columns(["o_orderkey"]).sort("o_orderkey")
 
 
 SET_OPS_SQL = """

@@ -1421,3 +1421,50 @@ def test_full_join_random_vs_duckdb(ray_session):
             a = out[col].to_numpy(dtype=np.float64, na_value=np.nan)
             b = ref[col].to_numpy(dtype=np.float64, na_value=np.nan)
             assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), (trial, col)
+
+
+def test_grouped_sum_bucket_merge_parity(ray_session):
+    """merge="bucket" (default) == merge="shuffle" == plain pandas on
+    composite string+int keys with nulls — the Aggregate-cliff
+    replacement must be value-exact in every mode (CLAUDE.md rule 23)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geografir_ray.pipelines.common import grouped_sum
+
+    rng = np.random.RandomState(7)
+    n = 20_000
+    ks = pd.Series(rng.randint(0, 500, n)).astype(str)
+    ks[rng.rand(n) < 0.01] = None  # null string keys form their own group
+    ki = rng.randint(0, 37, n)
+    v = rng.randint(-1000, 1000, n).astype(np.int64)
+    t = pa.table({"ks": pa.array(ks), "ki": pa.array(ki), "v": pa.array(v)})
+    ds = rd.from_arrow(t).repartition(13)
+
+    aggs = {"v_sum": ("v", "sum"), "v_min": ("v", "min"), "n": ("v", "count")}
+    want = (
+        pd.DataFrame({"ks": ks, "ki": ki, "v": v})
+        .groupby(["ks", "ki"], dropna=False)["v"]
+        .agg(v_sum="sum", v_min="min", n="count")
+        .reset_index()
+        .sort_values(["ki", "ks"], na_position="first")
+        .reset_index(drop=True)
+    )
+    for merge in ("bucket", "shuffle"):
+        got = (
+            grouped_sum(ds, ["ks", "ki"], aggs, merge=merge, n_buckets=7)
+            .to_pandas()
+            .sort_values(["ki", "ks"], na_position="first")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want), merge
+        assert np.array_equal(
+            got["ki"].to_numpy(), want["ki"].to_numpy()
+        ) and list(got["ks"].fillna("∅")) == list(want["ks"].fillna("∅")), merge
+        for c in ("v_sum", "v_min", "n"):
+            assert np.array_equal(
+                got[c].to_numpy().astype(np.int64),
+                want[c].to_numpy().astype(np.int64),
+            ), (merge, c)
