@@ -176,6 +176,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_value_share": R.nation_value_share,
         "cust_order_histogram": R.cust_order_histogram,
         "idle_rich_custs": R.idle_rich_custs,
+        # Q7/Q14/Q18 shapes: nation-pair trade volume, promo share,
+        # large-volume orders (per-order sums on the bucketed merge)
+        "nation_trade_volume": R.nation_trade_volume,
+        "promo_revenue_share": R.promo_revenue_share,
+        "big_orders": R.big_orders,
         # time-series gap fill + linear interpolation
         "events_gapfill": E.events_gapfill,
         "events_interpolate": E.events_interpolate,
@@ -303,6 +308,9 @@ def oracle_sql() -> dict[str, str]:
         "nation_value_share": R.NATION_VALUE_SHARE_SQL,
         "cust_order_histogram": R.CUST_ORDER_HISTOGRAM_SQL,
         "idle_rich_custs": R.IDLE_RICH_CUSTS_SQL,
+        "nation_trade_volume": R.NATION_TRADE_VOLUME_SQL,
+        "promo_revenue_share": R.PROMO_REVENUE_SHARE_SQL,
+        "big_orders": R.BIG_ORDERS_SQL,
         "events_gapfill": E.EVENTS_GAPFILL_SQL,
         "events_interpolate": E.EVENTS_INTERPOLATE_SQL,
         "part_activity_full": R.PART_ACTIVITY_FULL_SQL,

@@ -1697,3 +1697,276 @@ SELECT COALESCE(a.p_partkey, b.p_partkey) AS p_partkey,
 FROM a FULL JOIN b ON a.p_partkey = b.p_partkey
 ORDER BY p_partkey
 """
+
+
+def nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 shape (reference has no engine; the relational surface
+    is the north-rule target): shipped revenue between every DISTINCT
+    (supplier nation, customer nation) pair by ship year.  Both nation
+    taggings ride one broadcast closure over the lineitem scan
+    (CLAUDE.md rule 3); the (25 x 24 x years)-bounded aggregate
+    driver-merges (rule 2).  Revenue in integer cents both engines."""
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    nation = read_table_local(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    cust = read_table_local(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp = read_table_local(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    orders = read_table_local(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    ck = np.argsort(cust["c_custkey"].values, kind="stable")
+    ck_keys = cust["c_custkey"].values[ck].astype(np.int64)
+    ck_nat = cust["c_nationkey"].values[ck].astype(np.int64)
+    o_ck = orders["o_custkey"].values.astype(np.int64)
+    pos = np.clip(np.searchsorted(ck_keys, o_ck), 0, len(ck_keys) - 1)
+    o_nat = np.where(ck_keys[pos] == o_ck, ck_nat[pos], -1)
+    oi = np.argsort(orders["o_orderkey"].values, kind="stable")
+    ok_sorted = orders["o_orderkey"].values[oi].astype(np.int64)
+    on_sorted = o_nat[oi]
+    sk_sorted = np.sort(supp["s_suppkey"].values.astype(np.int64))
+    sn_sorted = supp.sort_values("s_suppkey")["s_nationkey"].values.astype(np.int64)
+    ref = ray.put((ok_sorted, on_sorted, sk_sorted, sn_sorted))
+
+    def tag(state, t: pa.Table) -> pa.Table:
+        ok_s, on_s, sk_s, sn_s = state
+        lok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        lsk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        p1 = np.clip(np.searchsorted(ok_s, lok), 0, len(ok_s) - 1)
+        cn = np.where(ok_s[p1] == lok, on_s[p1], -1)
+        p2 = np.clip(np.searchsorted(sk_s, lsk), 0, len(sk_s) - 1)
+        sn = np.where(sk_s[p2] == lsk, sn_s[p2], -2)
+        keep = (cn != sn) & (cn >= 0) & (sn >= 0)
+        t2 = t.filter(pa.array(keep))
+        year = (
+            t2["l_shipdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        )
+        rev = pc.multiply(
+            t2["l_extendedprice"], pc.subtract(pa.scalar(1.0), t2["l_discount"])
+        )
+        return pa.table(
+            {
+                "supp_nat": pa.array(sn[keep]),
+                "cust_nat": pa.array(cn[keep]),
+                "l_year": pa.array(year),
+                "rev_c": floor_scale(rev),
+            }
+        )
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        with_broadcast(ref, tag, "q7_tag"), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    agg = grouped_sum(
+        li, ["supp_nat", "cust_nat", "l_year"], {"revenue_c": ("rev_c", "sum")},
+        merge="driver",  # <= 25*24*years keys (CLAUDE.md rule 2)
+    )
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    [nmap[int(k)] for k in t["supp_nat"].to_numpy(zero_copy_only=False)]
+                ),
+                "cust_nation": pa.array(
+                    [nmap[int(k)] for k in t["cust_nat"].to_numpy(zero_copy_only=False)]
+                ),
+                "l_year": t["l_year"],
+                "revenue": pc.divide(pc.cast(t["revenue_c"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["supp_nation", "cust_nation", "l_year"]
+    )
+
+
+NATION_TRADE_VOLUME_SQL = f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum({floor_scale_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) / 100.0
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE s_nationkey <> c_nationkey
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape: per ship month, the share (in basis points) of
+    revenue from PROMO-type parts.  The part→is_promo lookup is a
+    broadcast sorted-key probe fused into the lineitem scan; months are
+    bounded so both the promo and total sums driver-merge; the share is
+    all-integer ((promo_c * 10000) // total_c) on both engines."""
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    part = read_table_local(sf_dir, "part", columns=["p_partkey", "p_type"])
+    pk = np.argsort(part["p_partkey"].values, kind="stable")
+    pk_keys = part["p_partkey"].values[pk].astype(np.int64)
+    pk_promo = (part["p_type"].values[pk] == "PROMO").astype(np.int64)
+    ref = ray.put((pk_keys, pk_promo))
+
+    def tag(state, t: pa.Table) -> pa.Table:
+        keys, promo = state
+        lpk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(keys, lpk), 0, len(keys) - 1)
+        isp = np.where(keys[pos] == lpk, promo[pos], 0)
+        month = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[M]")
+        ym = (month.astype(np.int64) // 12 + 1970) * 100 + (
+            month.astype(np.int64) % 12 + 1
+        )
+        rev_c = floor_scale(
+            pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "month": pa.array(ym),
+                "promo_c": pa.array(rev_c * isp),
+                "total_c": pa.array(rev_c),
+            }
+        )
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        with_broadcast(ref, tag, "q14_tag"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = grouped_sum(
+        li, ["month"], {"promo_c": ("promo_c", "sum"), "total_c": ("total_c", "sum")},
+        merge="driver",  # bounded: one key per ship month
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        p = t["promo_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = t["total_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "month": t["month"],
+                "promo_share_bp": pa.array(p * 10000 // np.maximum(tot, 1)),
+                "total_revenue": pa.array(tot.astype(np.float64) / 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("month")
+
+
+PROMO_REVENUE_SHARE_SQL = f"""
+WITH m AS (
+  SELECT CAST(EXTRACT(year FROM l_shipdate) * 100 + EXTRACT(month FROM l_shipdate)
+              AS BIGINT) AS month,
+         CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN {floor_scale_sql("l_extendedprice * (1 - l_discount)")}
+                       ELSE 0 END) AS BIGINT) AS promo_c,
+         CAST(sum({floor_scale_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+           AS total_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT month,
+       promo_c * 10000 // greatest(total_c, 1) AS promo_share_bp,
+       total_c / 100.0 AS total_revenue
+FROM m ORDER BY month
+"""
+
+
+def big_orders(sf_dir: str, min_qty: int = 300):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    ``min_qty``, with customer name and order facts.  The per-order
+    quantity sums are the Aggregate-cliff regime (every order is its
+    own group) and run on grouped_sum's bucketed merge; survivors are
+    rare by construction, so they hash_join back to orders and take
+    the customer name from a broadcast probe."""
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+    from ..stages.join import hash_join
+
+    def qty(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "qty_c": floor_scale(t["l_quantity"], 1.0),
+            }
+        )
+
+    per_order = grouped_sum(
+        read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]).map_batches(
+            qty, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["o_orderkey"],
+        {"sum_qty_c": ("qty_c", "sum")},
+    )
+    survivors = per_order.map_batches(
+        lambda t: t.filter(pc.greater(t["sum_qty_c"], min_qty)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    joined = hash_join(
+        survivors,
+        orders,
+        on="o_orderkey",
+        left_cols=["o_orderkey", "sum_qty_c"],
+        right_cols=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    cust = read_table_local(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    ck = np.argsort(cust["c_custkey"].values, kind="stable")
+    ck_keys = cust["c_custkey"].values[ck].astype(np.int64)
+    ck_names = cust["c_name"].values[ck]
+    ref = ray.put((ck_keys, ck_names))
+
+    def name_tag(state, t: pa.Table) -> pa.Table:
+        keys, names = state
+        okc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(keys, okc), 0, len(keys) - 1)
+        nm = np.where(keys[pos] == okc, names[pos], None)
+        return pa.table(
+            {
+                "c_name": pa.array(nm.astype(object), type=pa.string()),
+                "c_custkey": pa.array(okc),
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_orderdate": t["o_orderdate"],
+                "o_totalprice": t["o_totalprice"],
+                "sum_qty": pc.cast(t["sum_qty_c"], pa.int64()),
+            }
+        )
+
+    return joined.map_batches(
+        with_broadcast(ref, name_tag, "q18_names"), batch_format="pyarrow"
+    ).sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+
+
+BIG_ORDERS_SQL = """
+SELECT c_name, CAST(o_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum_qty AS BIGINT) AS sum_qty
+FROM (
+  SELECT l_orderkey, CAST(sum(floor(l_quantity)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(floor(l_quantity)) > 300
+) q
+JOIN orders ON q.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
