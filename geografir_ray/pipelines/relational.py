@@ -15,7 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sources.tables import read_table, read_table_local
-from .common import floor_scale, floor_scale_sql, grouped_sum
+from .common import floor_scale, floor_scale_sql, group_by_nullsafe, grouped_sum
 
 _CUTOFF = "1998-09-01"
 
@@ -499,8 +499,9 @@ def distinct_parts_per_flag(sf_dir: str):
     ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
 
     def dedup_batch(t: pa.Table) -> pa.Table:
-        g = t.group_by(["l_returnflag", "l_partkey"]).aggregate([])
-        return g
+        # nullsafe: multi-key group_by duplicates null-key groups
+        # (CLAUDE.md rule 24); raw parquet columns may be nullable
+        return group_by_nullsafe(t, ["l_returnflag", "l_partkey"], [])
 
     pairs = ds.map_batches(dedup_batch, batch_format="pyarrow", zero_copy_batch=True)
     # global distinct pairs, then count per flag (bounded: flags x parts)
