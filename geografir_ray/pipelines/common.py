@@ -42,16 +42,20 @@ def group_by_nullsafe(t: pa.Table, keys: list[str], spec: list) -> pa.Table:
         if col.null_count == 0:
             continue
         typ = col.type
-        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
-            sentinel: object = ""
-        elif pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
-            sentinel = b""
-        else:
-            sentinel = pc.cast(pa.scalar(0, pa.int64()), typ)
         flag = f"__nv_{k}"
-        aug = aug.set_column(
-            aug.schema.get_field_index(k), k, pc.fill_null(col, sentinel)
-        )
+        if pa.types.is_null(typ):
+            # degenerate all-null key column (Arrow null type): one
+            # group; stand in a constant and restore nulls after
+            filled = pa.array(np.zeros(len(col), dtype=np.int8))
+        else:
+            if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                sentinel: object = ""
+            elif pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+                sentinel = b""
+            else:
+                sentinel = pc.cast(pa.scalar(0, pa.int64()), typ)
+            filled = pc.fill_null(col, sentinel)
+        aug = aug.set_column(aug.schema.get_field_index(k), k, filled)
         aug = aug.append_column(flag, pc.cast(pc.is_null(col), pa.int8()))
         flags.append((k, flag))
     g = aug.group_by(keys + [f for _, f in flags]).aggregate(spec)

@@ -95,3 +95,40 @@ def test_hex_center_roundtrip_property(lat, lon, res):
     cell = cells.hex_cell(np.array([lat]), np.array([lon]), res)
     clat, clon = cells.hex_center(cell)
     assert cells.hex_cell(clat, clon, res)[0] == cell[0]
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31), n=st.integers(1, 400))
+@settings(max_examples=60, deadline=None)
+def test_group_by_nullsafe_matches_pandas(seed, n):
+    """group_by_nullsafe == pandas groupby(dropna=False) on random
+    multi-key tables with null string AND null int keys — the pyarrow
+    16.1 grouper duplicates null-key groups (CLAUDE.md rule 24); the
+    nullsafe wrapper must not."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from geografir_ray.pipelines.common import group_by_nullsafe
+
+    rng = np.random.RandomState(seed)
+    ks = pd.Series(rng.randint(0, 8, n)).astype(str)
+    ks[rng.rand(n) < 0.2] = None
+    ki = pd.Series(rng.randint(0, 5, n).astype(np.float64))
+    ki[rng.rand(n) < 0.2] = None  # nullable numeric key
+    v = rng.randint(-100, 100, n).astype(np.int64)
+    t = pa.table({"ks": pa.array(ks), "ki": pa.array(ki), "v": pa.array(v)})
+
+    g = group_by_nullsafe(t, ["ks", "ki"], [("v", "sum")]).to_pandas()
+    want = (
+        pd.DataFrame({"ks": ks, "ki": ki, "v": v})
+        .groupby(["ks", "ki"], dropna=False)["v"]
+        .sum()
+        .reset_index(name="v_sum")
+    )
+    key = lambda df: df.assign(
+        ks=df["ks"].fillna("∅"), ki=df["ki"].fillna(-999.0)
+    ).sort_values(["ks", "ki"]).reset_index(drop=True)
+    g, want = key(g), key(want)
+    assert len(g) == len(want)
+    assert (g["ks"] == want["ks"]).all()
+    assert np.allclose(g["ki"], want["ki"])
+    assert (g["v_sum"].to_numpy() == want["v_sum"].to_numpy()).all()
