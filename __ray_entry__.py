@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # time-series gap fill + linear interpolation
         "events_gapfill": E.events_gapfill,
         "events_interpolate": E.events_interpolate,
+        # semi-structured extraction over the JSON props column
+        "events_props_stats": E.events_props_stats,
         # FULL OUTER join surface (hash_join how="full")
         "part_activity_full": R.part_activity_full,
     }
@@ -313,6 +315,7 @@ def oracle_sql() -> dict[str, str]:
         "big_orders": R.BIG_ORDERS_SQL,
         "events_gapfill": E.EVENTS_GAPFILL_SQL,
         "events_interpolate": E.EVENTS_INTERPOLATE_SQL,
+        "events_props_stats": E.EVENTS_PROPS_STATS_SQL,
         "part_activity_full": R.PART_ACTIVITY_FULL_SQL,
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_crosscorpus_neardup,

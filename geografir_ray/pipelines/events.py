@@ -2493,3 +2493,55 @@ SELECT user_id, hr AS hour,
 FROM w
 ORDER BY user_id, hour
 """
+
+
+def events_props_stats(sf_dir: str):
+    """Semi-structured extraction: parse the integer ``k`` field out of
+    the JSON ``props`` column and aggregate per event type.
+
+    The extraction is ONE vectorized RE2 pass (pc.extract_regex) over
+    the string column — the flat-field fast path every log-processing
+    pipeline wants before reaching for a JSON parser; rows whose props
+    lack a parseable integer k (or are null) are excluded on both
+    engines.  Per-type sums are bounded (5 event types) and
+    driver-merge (CLAUDE.md rule 2).  All-integer, so the oracle hash
+    is exact."""
+    from .common import grouped_sum
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        ok = pc.is_valid(k)
+        et = t["event_type"].filter(ok)
+        kv = k.filter(ok)
+        return pa.table(
+            {
+                "event_type": et,
+                "k": kv,
+                "one": pa.array(np.ones(len(et), dtype=np.int64)),
+            }
+        )
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"]).map_batches(
+        extract, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = grouped_sum(
+        ds,
+        ["event_type"],
+        {"n": ("one", "sum"), "sum_k": ("k", "sum"), "max_k": ("k", "max")},
+        merge="driver",  # bounded: one key per event type
+    )
+    return agg.sort("event_type")
+
+
+EVENTS_PROPS_STATS_SQL = r"""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT))
+            AS BIGINT) AS sum_k,
+       max(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS max_k
+FROM events
+WHERE regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''
+GROUP BY event_type
+ORDER BY event_type
+"""
