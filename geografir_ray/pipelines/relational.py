@@ -1971,3 +1971,112 @@ JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
 """
+
+
+def fk_orphan_audit(sf_dir: str):
+    """Data-quality audit: orphan counts for every FK relationship in
+    the star schema, BOTH directions — child rows whose key has no
+    parent (broken FK) and parent rows no child references (dead
+    dimension rows).  Each check is one bucketed anti-join
+    (stages/join.hash_join how="anti": hash(key) % B co-partition,
+    per-bucket sorted-probe — no broadcast, no driver state), then a
+    distributed count; at 100 TB each relationship costs one bounded
+    exchange of its key columns only."""
+    import ray.data
+
+    from ..stages.join import hash_join
+
+    rels = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ]
+
+    def keyed(name: str, col: str):
+        # project to the key column only — the audit never ships payload
+        return read_table(sf_dir, name, columns=[col]).map_batches(
+            lambda t, c=col: pa.table({"k": pc.cast(t[c], pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def distinct_keys(ds):
+        return grouped_sum(
+            ds.map_batches(
+                lambda t: t.append_column(
+                    "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+            ),
+            ["k"],
+            {"one": ("one", "min")},
+        ).select_columns(["k"])
+
+    def count_rows(ds) -> int:
+        # distributed count: per-batch sizes -> one driver-merged sum
+        from .common import grouped_sum as gs
+
+        t = gs(
+            ds.map_batches(
+                lambda t: pa.table(
+                    {
+                        "g": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                        "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["g"],
+            {"n": ("one", "sum")},
+            merge="driver",
+        ).to_pandas()
+        return int(t["n"].iloc[0]) if len(t) else 0
+
+    names, orphans, dead = [], [], []
+    for label, child, ckey, parent, pkey in rels:
+        child_keys = distinct_keys(keyed(child, ckey))
+        parent_keys = distinct_keys(keyed(parent, pkey))
+        broken = hash_join(child_keys, parent_keys, on="k", how="anti")
+        unused = hash_join(parent_keys, child_keys, on="k", how="anti")
+        names.append(label)
+        orphans.append(count_rows(broken))
+        dead.append(count_rows(unused))
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "relationship": pa.array(names),
+                "n_orphan_keys": pa.array(np.array(orphans, dtype=np.int64)),
+                "n_unreferenced_parents": pa.array(np.array(dead, dtype=np.int64)),
+            }
+        )
+    ).sort("relationship")
+
+
+FK_ORPHAN_AUDIT_SQL = """
+WITH rel AS (
+  SELECT 'lineitem.l_orderkey->orders' AS relationship,
+         (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) c
+          WHERE NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.l_orderkey))
+           AS n_orphan_keys,
+         (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders) p
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem c WHERE c.l_orderkey = p.o_orderkey))
+           AS n_unreferenced_parents
+  UNION ALL
+  SELECT 'orders.o_custkey->customer',
+         (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders) c
+          WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey)),
+         (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer) p
+          WHERE NOT EXISTS (SELECT 1 FROM orders c WHERE c.o_custkey = p.c_custkey))
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier',
+         (SELECT count(*) FROM (SELECT DISTINCT l_suppkey FROM lineitem) c
+          WHERE NOT EXISTS (SELECT 1 FROM supplier p WHERE p.s_suppkey = c.l_suppkey)),
+         (SELECT count(*) FROM (SELECT DISTINCT s_suppkey FROM supplier) p
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem c WHERE c.l_suppkey = p.s_suppkey))
+)
+SELECT relationship,
+       CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys,
+       CAST(n_unreferenced_parents AS BIGINT) AS n_unreferenced_parents
+FROM rel ORDER BY relationship
+"""
