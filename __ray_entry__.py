@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_rich_custs": R.idle_rich_custs,
         # Q7/Q14/Q18 shapes: nation-pair trade volume, promo share,
         # large-volume orders (per-order sums on the bucketed merge)
+        "cust_revenue_3way": R.cust_revenue_3way,
         "fk_orphan_audit": R.fk_orphan_audit,
         "nation_trade_volume": R.nation_trade_volume,
         "promo_revenue_share": R.promo_revenue_share,
@@ -311,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_value_share": R.NATION_VALUE_SHARE_SQL,
         "cust_order_histogram": R.CUST_ORDER_HISTOGRAM_SQL,
         "idle_rich_custs": R.IDLE_RICH_CUSTS_SQL,
+        "cust_revenue_3way": R.CUST_REVENUE_3WAY_SQL,
         "fk_orphan_audit": R.FK_ORPHAN_AUDIT_SQL,
         "nation_trade_volume": R.NATION_TRADE_VOLUME_SQL,
         "promo_revenue_share": R.PROMO_REVENUE_SHARE_SQL,

@@ -2080,3 +2080,91 @@ SELECT relationship,
        CAST(n_unreferenced_parents AS BIGINT) AS n_unreferenced_parents
 FROM rel ORDER BY relationship
 """
+
+
+def cust_revenue_3way(sf_dir: str, topn: int = 50):
+    """Three-table join chain with NO broadcast side: lineitem ⋈
+    orders on orderkey, then ⋈ customer on custkey — both as bucketed
+    hash_joins (each key hash-co-partitioned, per-bucket sorted probe),
+    the shape a 100 TB fact-to-fact chain takes when no side fits an
+    object.  Revenue pre-aggregates per orderkey BEFORE the first join
+    (combiner: the join then moves one row per order, not one per
+    lineitem) and per custkey before the second.  Top-N customers by
+    revenue, names carried through the join itself."""
+    from ..stages.join import hash_join
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "rev_c": floor_scale(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    )
+                ),
+            }
+        )
+
+    per_order = grouped_sum(
+        read_table(
+            sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+        ).map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderkey"],
+        {"rev_c": ("rev_c", "sum")},
+    )
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j1 = hash_join(
+        per_order,
+        orders,
+        on="o_orderkey",
+        left_cols=["o_orderkey", "rev_c"],
+        right_cols=["o_orderkey", "o_custkey"],
+    )
+    per_cust = grouped_sum(
+        j1.map_batches(
+            lambda t: pa.table(
+                {"c_custkey": pc.cast(t["o_custkey"], pa.int64()), "rev_c": t["rev_c"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["c_custkey"],
+        {"rev_c": ("rev_c", "sum")},
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    j2 = hash_join(
+        per_cust,
+        cust,
+        on="c_custkey",
+        left_cols=["c_custkey", "rev_c"],
+        right_cols=["c_custkey", "c_name"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "revenue": pc.divide(pc.cast(t["rev_c"], pa.float64()), 100.0),
+            }
+        )
+
+    return (
+        j2.map_batches(finish, batch_format="pyarrow")
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .limit(topn)
+    )
+
+
+CUST_REVENUE_3WAY_SQL = f"""
+SELECT CAST(o_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(sum({floor_scale_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+         / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+ORDER BY revenue DESC, c_custkey
+LIMIT 50
+"""
