@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interpolate": E.events_interpolate,
         # semi-structured extraction over the JSON props column
         "events_props_stats": E.events_props_stats,
+        # sliding-window DISTINCT (holistic aggregate, bucketed dedupe)
+        "events_sliding_distinct": E.events_sliding_distinct,
         # FULL OUTER join surface (hash_join how="full")
         "part_activity_full": R.part_activity_full,
     }
@@ -320,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
         "events_gapfill": E.EVENTS_GAPFILL_SQL,
         "events_interpolate": E.EVENTS_INTERPOLATE_SQL,
         "events_props_stats": E.EVENTS_PROPS_STATS_SQL,
+        "events_sliding_distinct": E.EVENTS_SLIDING_DISTINCT_SQL,
         "part_activity_full": R.PART_ACTIVITY_FULL_SQL,
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_crosscorpus_neardup,

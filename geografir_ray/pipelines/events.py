@@ -2545,3 +2545,75 @@ WHERE regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def events_sliding_distinct(sf_dir: str):
+    """Distinct users per sliding 2-hour window (each hour h covers
+    events in (h-1h, h]) — the windowed-DISTINCT shape where the
+    aggregate is holistic, so no combiner can collapse values.
+
+    Plan: explode each event into its two covering windows, dedupe
+    (window, user) pairs with one bucketed grouped-min (the pair key is
+    unbounded — users x windows — exactly the merge="bucket" regime),
+    then count per window (bounded: one key per hour, driver merge).
+    Two exchanges total, each moving at most 2 rows per event."""
+    from .common import grouped_sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        hour = ts.astype("datetime64[h]").astype(np.int64)
+        uid = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        win = np.concatenate([hour, hour + 1])
+        u2 = np.concatenate([uid, uid])
+        return pa.table(
+            {
+                "win": pa.array(win),
+                "user_id": pa.array(u2),
+                "one": pa.array(np.ones(len(win), dtype=np.int64)),
+            }
+        )
+
+    pairs = grouped_sum(
+        read_table(sf_dir, "events", columns=["ts", "user_id"]).map_batches(
+            explode, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["win", "user_id"],
+        {"one": ("one", "min")},
+    )
+    counts = grouped_sum(
+        pairs.map_batches(
+            lambda t: pa.table(
+                {"win": t["win"], "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["win"],
+        {"n_users": ("one", "sum")},
+        merge="driver",  # bounded: one key per hour
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        w = t["win"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "window_end": pa.array(
+                    w.astype("datetime64[h]").astype("datetime64[us]")
+                ),
+                "n_users": t["n_users"],
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow").sort("window_end")
+
+
+EVENTS_SLIDING_DISTINCT_SQL = """
+WITH h AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS hr, user_id FROM events
+), w AS (
+  SELECT hr AS window_end, user_id FROM h
+  UNION
+  SELECT hr + INTERVAL 1 HOUR, user_id FROM h
+)
+SELECT window_end, count(DISTINCT user_id) AS n_users
+FROM w GROUP BY window_end ORDER BY window_end
+"""
