@@ -681,6 +681,44 @@ def bench_suite() -> dict:
         )
         return heavy_hitters_ds(docs, phi_denom=1000)
 
+    def _skew_join_sides():
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        def build(t):
+            i = t["id"].to_numpy().astype(np.int64)
+            hot = (i % 10) < 8
+            k = np.where(hot, 7, 10 + i % 100_000)
+            return pa.table({"k": pa.array(k), "lv": pa.array(i % 1000)})
+
+        left = rd.range(20_000_000, override_num_blocks=128).map_batches(
+            build, batch_format="pyarrow", batch_size=None
+        )
+        rk = np.concatenate([[7], np.arange(10, 100_010, dtype=np.int64)])
+        right = rd.from_arrow(
+            pa.table({"k": pa.array(rk), "rv": pa.array(rk * 3)})
+        ).repartition(8)
+        return left, right
+
+    def join_skew_naive_20m(_sf_dir: str):
+        # 20M-row left with an 80%-hot key joined bucketed: the hot
+        # key's 16M rows land in ONE bucket task (the skew pathology
+        # hash_join(hot_keys=...) exists for)
+        from geografir_ray.stages.join import hash_join
+
+        left, right = _skew_join_sides()
+        return hash_join(left, right, on="k")
+
+    def join_skew_salted_20m(_sf_dir: str):
+        # same join with the hot key salted over 16 sub-buckets and the
+        # right fragment replicated per salt (equivalence-tested in
+        # tests/test_pipelines_misc.py)
+        from geografir_ray.stages.join import hash_join
+
+        left, right = _skew_join_sides()
+        return hash_join(left, right, on="k", hot_keys=[7], n_salts=16)
+
     def group_highcard_10m(_sf_dir: str):
         # the Aggregate-cardinality-cliff fix (CLAUDE.md rule 23):
         # exact grouped sum over 10M rows with 8M DISTINCT keys — the
@@ -910,6 +948,8 @@ def bench_suite() -> dict:
         "components_5m": components_5m,
         "group_highcard_10m": group_highcard_10m,
         "interpolate_10m": interpolate_10m,
+        "join_skew_naive_20m": join_skew_naive_20m,
+        "join_skew_salted_20m": join_skew_salted_20m,
         "triangles_copurchase_1m": triangles_copurchase_1m,
         "lm_score_1m": lm_score_1m,
         "streaming_5m": streaming_5m,

@@ -63,6 +63,8 @@ def hash_join(
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
     how: str = "inner",
+    hot_keys=None,
+    n_salts: int = 8,
 ):
     """Equi-join of two Datasets on an int64 key column.
 
@@ -77,16 +79,80 @@ def hash_join(
     typed-null left columns; ``on`` is coalesced from whichever side
     has it), "semi" (left rows with a match, left columns only), or
     "anti" (left rows without a match, left columns only).
+
+    ``hot_keys``: optional list/array of skewed key values.  A zipf-hot
+    key otherwise lands its entire left payload in ONE bucket task;
+    with salting, left rows of a hot key spread over ``n_salts``
+    sub-buckets (salt from a row-content hash) and the hot key's RIGHT
+    rows replicate once per salt — the classic replicated-fragment
+    skew join.  The per-bucket merge is key-based and each left row
+    lives in exactly one bucket, so every (l, r) pair is still emitted
+    exactly once; correctness holds for inner/left/semi/anti.  "full"
+    rejects hot_keys (replicated right rows would duplicate in the
+    right-only remainder).  Hot-key detection is the caller's job (a
+    sampled heavy-hitter pass or domain knowledge).
     """
     if how not in ("inner", "left", "full", "semi", "anti"):
         raise ValueError(f"unsupported join how={how!r}")
+    hot_sorted = None
+    if hot_keys is not None:
+        hot_sorted = np.sort(np.asarray(hot_keys, dtype=np.int64))
+        if len(hot_sorted) and how == "full":
+            raise ValueError("hot_keys salting is not supported for how='full'")
+
+    def _is_hot(k: np.ndarray) -> np.ndarray:
+        pos = np.clip(np.searchsorted(hot_sorted, k), 0, len(hot_sorted) - 1)
+        return hot_sorted[pos] == k
+
+    def _salted_bucket(k: np.ndarray, salt: np.ndarray) -> np.ndarray:
+        mixed = splitmix64(k.astype(np.uint64)) ^ (salt.astype(np.uint64) + np.uint64(1))
+        return (splitmix64(mixed) % np.uint64(n_buckets)).astype(np.int64)
 
     def tag(side: int, cols):
         def fn(t: pa.Table) -> pa.Table:
             if cols:
                 t = t.select(cols)
             k = _int64(t[on])
-            t = t.append_column("__bucket", pa.array(_bucket_of(k, n_buckets)))
+            b = _bucket_of(k, n_buckets)
+            if hot_sorted is not None and len(hot_sorted) and t.num_rows:
+                hot = _is_hot(k)
+                if side == 0:
+                    # spread hot left rows over n_salts sub-buckets
+                    salt = (
+                        splitmix64(np.arange(t.num_rows, dtype=np.uint64))
+                        % np.uint64(n_salts)
+                    ).astype(np.int64)
+                    b = np.where(hot, _salted_bucket(k, salt), b)
+                else:
+                    # replicate hot right rows once per salt
+                    cold = t.filter(pa.array(~hot))
+                    ct = cold.append_column(
+                        "__bucket", pa.array(b[~hot])
+                    ).append_column(
+                        "__side",
+                        pa.array(np.full(cold.num_rows, side, dtype=np.int8)),
+                    )
+                    if not hot.any():
+                        return ct
+                    hrows = t.filter(pa.array(hot))
+                    hk = k[hot]
+                    reps = []
+                    for s in range(n_salts):
+                        sb = _salted_bucket(
+                            hk, np.full(len(hk), s, dtype=np.int64)
+                        )
+                        reps.append(
+                            hrows.append_column(
+                                "__bucket", pa.array(sb)
+                            ).append_column(
+                                "__side",
+                                pa.array(
+                                    np.full(hrows.num_rows, side, dtype=np.int8)
+                                ),
+                            )
+                        )
+                    return pa.concat_tables([ct, *reps])
+            t = t.append_column("__bucket", pa.array(b))
             return t.append_column(
                 "__side", pa.array(np.full(t.num_rows, side, dtype=np.int8))
             )

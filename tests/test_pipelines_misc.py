@@ -1468,3 +1468,44 @@ def test_grouped_sum_bucket_merge_parity(ray_session):
                 got[c].to_numpy().astype(np.int64),
                 want[c].to_numpy().astype(np.int64),
             ), (merge, c)
+
+
+def test_hash_join_hot_key_salting_equivalence(ray_session):
+    """hash_join(hot_keys=...) == plain hash_join for every supported
+    how, on an 80%-hot key — the replicated-fragment skew join must be
+    a pure execution change."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from geografir_ray.stages.join import hash_join
+
+    rng = np.random.RandomState(11)
+    n = 30_000
+    hot = rng.rand(n) < 0.8
+    lk = np.where(hot, 7, rng.randint(0, 500, n)).astype(np.int64)
+    lv = rng.randint(0, 1000, n).astype(np.int64)
+    # right: multiple rows for some keys incl. the hot one; some keys
+    # on one side only
+    rk = np.concatenate([[7, 7, 7], rng.randint(250, 750, 200)]).astype(np.int64)
+    rv = np.arange(len(rk), dtype=np.int64)
+    L = rd.from_arrow(pa.table({"k": pa.array(lk), "lv": pa.array(lv)})).repartition(9)
+    R = rd.from_arrow(pa.table({"k": pa.array(rk), "rv": pa.array(rv)})).repartition(5)
+
+    for how in ("inner", "left", "semi", "anti"):
+        plain = hash_join(L, R, on="k", how=how).to_pandas()
+        salted = hash_join(L, R, on="k", how=how, hot_keys=[7], n_salts=4).to_pandas()
+        cols = list(plain.columns)
+        a = plain.sort_values(cols).reset_index(drop=True)
+        b = salted.sort_values(cols).reset_index(drop=True)
+        assert len(a) == len(b), how
+        for c in cols:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if av.dtype.kind == "f":
+                assert np.allclose(av, bv, equal_nan=True), (how, c)
+            else:
+                assert (av == bv).all(), (how, c)
+
+    with pytest.raises(ValueError):
+        hash_join(L, R, on="k", how="full", hot_keys=[7])
