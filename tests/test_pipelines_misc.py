@@ -1097,6 +1097,14 @@ def test_ivf_join_identity_and_invariance(ray_session, sf_small):
     ).to_pandas()
     assert out.reset_index(drop=True).equals(out7.reset_index(drop=True))
 
+    # hot-cell fragmentation: a tiny salt_rows forces every cell to
+    # split into many fragments (targets sharded, queries replicated
+    # per fragment) — the result must be bit-identical
+    out_salted = ann_ivf_join(
+        q7, ds7, cent, k=5, nprobe=3, exclude_self=True, salt_rows=20
+    ).to_pandas()
+    assert out.reset_index(drop=True).equals(out_salted.reset_index(drop=True))
+
 
 def test_semantic_dedup_exact_replay(ray_session, sf_small):
     """Clustered keep-first dedup == brute-force replay of the same
