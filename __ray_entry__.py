@@ -183,6 +183,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_volume": R.nation_trade_volume,
         "promo_revenue_share": R.promo_revenue_share,
         "big_orders": R.big_orders,
+        # Q21/Q17 shapes: exclusivity semi/anti composite, correlated
+        # per-group average (cross-multiplied all-integer)
+        "late_only_supplier": R.late_only_supplier,
+        "small_qty_revenue": R.small_qty_revenue,
         # time-series gap fill + linear interpolation
         "events_gapfill": E.events_gapfill,
         "events_interpolate": E.events_interpolate,
@@ -319,6 +323,8 @@ def oracle_sql() -> dict[str, str]:
         "nation_trade_volume": R.NATION_TRADE_VOLUME_SQL,
         "promo_revenue_share": R.PROMO_REVENUE_SHARE_SQL,
         "big_orders": R.BIG_ORDERS_SQL,
+        "late_only_supplier": R.LATE_ONLY_SUPPLIER_SQL,
+        "small_qty_revenue": R.SMALL_QTY_REVENUE_SQL,
         "events_gapfill": E.EVENTS_GAPFILL_SQL,
         "events_interpolate": E.EVENTS_INTERPOLATE_SQL,
         "events_props_stats": E.EVENTS_PROPS_STATS_SQL,

@@ -2168,3 +2168,256 @@ GROUP BY 1, 2
 ORDER BY revenue DESC, c_custkey
 LIMIT 50
 """
+
+# ---------------------------------------------------------------------------
+# late_only_supplier: exclusivity semi/anti composite (TPC-H Q21 shape)
+# ---------------------------------------------------------------------------
+
+
+def late_only_supplier(sf_dir: str, topn: int = 100):
+    """TPC-H Q21 shape (adapted: this schema has no receipt/commit
+    dates, so "late" = a RETURNED line, ``l_returnflag = 'R'``): for
+    each supplier, count the multi-supplier orders in which it was the
+    ONLY supplier with a returned line — the EXISTS + NOT-EXISTS
+    double-correlation (reference has no engine; the published TPC-H
+    query is the shape).
+
+    Scale plan: lineitem collapses to one row per DISTINCT
+    (order, supplier) pair carrying ``any_r = max(is_returned)`` in a
+    per-batch combiner before one bucketed exchange (grouped_sum
+    merge="bucket" — the pair key is unbounded); per-order supplier /
+    returned-supplier counts are a second bounded-width exchange over
+    those pairs; the EXISTS/NOT-EXISTS predicates become one bucketed
+    hash_join (pairs x order stats) + a vectorized filter.  The pair
+    table is materialized once because it feeds both the join and the
+    per-order aggregate (diamond dataflow; one row per distinct pair,
+    spills to the object store at scale).  The final per-supplier
+    count is driver-merged — the supplier dimension is bounded."""
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+    from ..stages.join import hash_join
+
+    def pair_stage(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "is_r": pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64()),
+            }
+        )
+
+    pairs = grouped_sum(
+        read_table(
+            sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"]
+        ).map_batches(pair_stage, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey", "l_suppkey"],
+        {"any_r": ("is_r", "max")},
+    ).materialize()
+
+    def ord_stage(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "any_r": t["any_r"],
+            }
+        )
+
+    per_order = grouped_sum(
+        pairs.map_batches(ord_stage, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"],
+        {"n_supps": ("one", "sum"), "n_r": ("any_r", "sum")},
+    )
+
+    joined = hash_join(
+        pairs,
+        per_order,
+        on="l_orderkey",
+        left_cols=["l_orderkey", "l_suppkey", "any_r"],
+        right_cols=["l_orderkey", "n_supps", "n_r"],
+    )
+
+    def qualify(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.equal(t["any_r"], 1), pc.greater_equal(t["n_supps"], 2)),
+            pc.equal(t["n_r"], 1),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "s_suppkey": t["l_suppkey"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    numwait = grouped_sum(
+        joined.map_batches(qualify, batch_format="pyarrow", zero_copy_batch=True),
+        ["s_suppkey"],
+        {"numwait": ("one", "sum")},
+        merge="driver",
+    )
+
+    supp = read_table_local(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    sk = np.argsort(supp["s_suppkey"].values, kind="stable")
+    ref = ray.put(
+        (supp["s_suppkey"].values[sk].astype(np.int64), supp["s_name"].values[sk])
+    )
+
+    def name_tag(state, t: pa.Table) -> pa.Table:
+        keys, names = state
+        k = t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(keys, k), 0, len(keys) - 1)
+        nm = np.where(keys[pos] == k, names[pos], None)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(k),
+                "s_name": pa.array(nm.astype(object), type=pa.string()),
+                "numwait": pc.cast(t["numwait"], pa.int64()),
+            }
+        )
+
+    return (
+        numwait.map_batches(
+            with_broadcast(ref, name_tag, "q21_names"), batch_format="pyarrow"
+        )
+        .sort(["numwait", "s_suppkey"], descending=[True, False])
+        .limit(topn)
+    )
+
+
+LATE_ONLY_SUPPLIER_SQL = """
+WITH pair AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         CAST(l_suppkey AS BIGINT) AS s_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS any_r
+  FROM lineitem GROUP BY 1, 2
+), ord AS (
+  SELECT l_orderkey, count(*) AS n_supps, sum(any_r) AS n_r
+  FROM pair GROUP BY 1
+)
+SELECT p.s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM pair p
+JOIN ord o ON p.l_orderkey = o.l_orderkey
+JOIN supplier ON p.s_suppkey = supplier.s_suppkey
+WHERE p.any_r = 1 AND o.n_supps >= 2 AND o.n_r = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, p.s_suppkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# small_qty_revenue: correlated per-group average (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#13"
+
+
+def small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders of one brand's parts were no longer filled — lineitems whose
+    quantity is below 20% of their part's average quantity.
+
+    The correlated scalar subquery (avg per part) cross-multiplies to
+    all-integer form on both engines: ``qty < 0.2 * (sum/cnt)`` becomes
+    ``5 * qty_c * cnt < sum_qty_c * 100`` (qty_c = floor(qty*100), so
+    no floating division ever happens).
+
+    Scale plan: the brand's partkeys ride one ray.put broadcast into
+    the lineitem scan (a dimension-sized set — never a shuffle join);
+    per-part (sum, cnt) stats driver-merge (bounded by the part
+    dimension) and broadcast back into a SECOND streaming pass over the
+    same pruned read; nothing materializes."""
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    part = read_table_local(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    brand_keys = np.sort(
+        part["p_partkey"].values[part["p_brand"].values == _Q17_BRAND].astype(np.int64)
+    )
+    keys_ref = ray.put(brand_keys)
+
+    def brand_lines(state, t: pa.Table) -> pa.Table:
+        keys = state
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(keys, pk), 0, max(len(keys) - 1, 0))
+        keep = keys[pos] == pk if len(keys) else np.zeros(len(pk), dtype=bool)
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "qty_c": floor_scale(t["l_quantity"]),
+                "price_c": floor_scale(t["l_extendedprice"]),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def scan():
+        return read_table(
+            sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+        ).map_batches(
+            with_broadcast(keys_ref, brand_lines, "q17_brand_keys"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    stats = grouped_sum(
+        scan(),
+        ["p_partkey"],
+        {"sum_qty_c": ("qty_c", "sum"), "cnt": ("one", "sum")},
+        merge="driver",
+    )
+    st = pa.concat_tables(
+        [b for b in stats.iter_batches(batch_size=None, batch_format="pyarrow")]
+    )
+    order = np.argsort(st["p_partkey"].to_numpy(), kind="stable")
+    stats_ref = ray.put(
+        (
+            st["p_partkey"].to_numpy()[order],
+            st["sum_qty_c"].to_numpy()[order],
+            st["cnt"].to_numpy()[order],
+        )
+    )
+
+    def small_rev(state, t: pa.Table) -> pa.Table:
+        keys, sums, cnts = state
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, pk)  # every key present by construction
+        qty = t["qty_c"].to_numpy(zero_copy_only=False)
+        small = 5 * qty * cnts[pos] < sums[pos]
+        total = t["price_c"].to_numpy(zero_copy_only=False)[small].sum()
+        return pa.table({"rev_c": pa.array([np.int64(total)])})
+
+    partials = scan().map_batches(
+        with_broadcast(stats_ref, small_rev, "q17_part_stats"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    total_c = 0
+    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows:
+            total_c += int(b["rev_c"].to_numpy().sum())
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({"avg_yearly": pa.array([np.int64(total_c // 7)], pa.int64())})
+    )
+
+
+SMALL_QTY_REVENUE_SQL = f"""
+WITH brand_lines AS (
+  SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+         {floor_scale_sql('l_quantity')} AS qty_c,
+         {floor_scale_sql('l_extendedprice')} AS price_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{_Q17_BRAND}'
+), stats AS (
+  SELECT p_partkey, sum(qty_c) AS sum_qty_c, count(*) AS cnt
+  FROM brand_lines GROUP BY 1
+)
+SELECT CAST(coalesce(sum(price_c), 0) // 7 AS BIGINT) AS avg_yearly
+FROM brand_lines b JOIN stats s ON b.p_partkey = s.p_partkey
+WHERE 5 * b.qty_c * s.cnt < s.sum_qty_c
+"""

@@ -1517,3 +1517,27 @@ def test_hash_join_hot_key_salting_equivalence(ray_session):
 
     with pytest.raises(ValueError):
         hash_join(L, R, on="k", how="full", hot_keys=[7])
+
+
+def test_late_only_supplier_and_small_qty_revenue_oracle(ray_session, sf_small):
+    """Q21/Q17-shape composites match their DuckDB twins at sf0.001
+    (the driver gate re-checks at sf0.01): value-hash parity via the
+    same order-insensitive compare the gate uses."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from tools.check_oracle import to_table, value_hash
+
+    con = duckdb.connect()
+    for t in ("lineitem", "supplier", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_small}/{t}.parquet')"
+        )
+    qs = E.queries()
+    sqls = E.oracle_sql()
+    for name in ("late_only_supplier", "small_qty_revenue"):
+        got = to_table(qs[name](sf_small))
+        want = con.execute(sqls[name]).arrow()
+        assert got.num_rows == want.num_rows, name
+        assert sorted(got.column_names) == sorted(want.column_names), name
+        assert value_hash(got) == value_hash(want), name
