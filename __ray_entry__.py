@@ -187,6 +187,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-group average (cross-multiplied all-integer)
         "late_only_supplier": R.late_only_supplier,
         "small_qty_revenue": R.small_qty_revenue,
+        # grouped top-N window shape (RANK ties kept, no shuffle after
+        # the revenue exchange: per-block partial top-k + driver rank)
+        "top_parts_per_nation": R.top_parts_per_nation,
         # time-series gap fill + linear interpolation
         "events_gapfill": E.events_gapfill,
         "events_interpolate": E.events_interpolate,
@@ -325,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "big_orders": R.BIG_ORDERS_SQL,
         "late_only_supplier": R.LATE_ONLY_SUPPLIER_SQL,
         "small_qty_revenue": R.SMALL_QTY_REVENUE_SQL,
+        "top_parts_per_nation": R.TOP_PARTS_PER_NATION_SQL,
         "events_gapfill": E.EVENTS_GAPFILL_SQL,
         "events_interpolate": E.EVENTS_INTERPOLATE_SQL,
         "events_props_stats": E.EVENTS_PROPS_STATS_SQL,

@@ -2421,3 +2421,155 @@ SELECT CAST(coalesce(sum(price_c), 0) // 7 AS BIGINT) AS avg_yearly
 FROM brand_lines b JOIN stats s ON b.p_partkey = s.p_partkey
 WHERE 5 * b.qty_c * s.cnt < s.sum_qty_c
 """
+
+# ---------------------------------------------------------------------------
+# top_parts_per_nation: top-k per group with RANK ties (window top-N shape)
+# ---------------------------------------------------------------------------
+
+
+def _block_topk_with_ties(t: pa.Table, k: int) -> pa.Table:
+    """Per-block partial grouped top-k, RANK-tie inclusive: keep every
+    row whose rev_c ties-or-beats the block's k-th largest (duplicates
+    counted) within its nation.  A subset's k-th largest never exceeds
+    the superset's, so every globally rank<=k row survives this filter
+    — the standard partial-top-k argument, extended to ties."""
+    if t.num_rows == 0:
+        return t
+    nk = t["n_nationkey"].to_numpy(zero_copy_only=False)
+    rv = t["rev_c"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((-rv, nk))
+    nk_s, rv_s = nk[order], rv[order]
+    starts = np.flatnonzero(np.r_[True, nk_s[1:] != nk_s[:-1]])
+    seg = np.cumsum(np.r_[False, nk_s[1:] != nk_s[:-1]])
+    idx_in_seg = np.arange(len(nk_s)) - starts[seg]
+    thr = np.full(len(starts), np.iinfo(np.int64).min, dtype=np.int64)
+    kth = idx_in_seg == (k - 1)
+    thr[seg[kth]] = rv_s[kth]
+    keep_sorted = rv_s >= thr[seg]
+    keep = np.zeros(len(nk_s), dtype=bool)
+    keep[order] = keep_sorted
+    return t.filter(pa.array(keep))
+
+
+def top_parts_per_nation(sf_dir: str, k: int = 3):
+    """Top-k parts by supplier-nation revenue with RANK() tie
+    semantics (ties at the boundary all kept) — the grouped top-N
+    window shape.
+
+    Scale plan: supplier→nation rides a ray.put broadcast into the
+    lineitem scan; per-(nation, part) revenue is one bucketed exchange
+    (grouped_sum merge="bucket" — the composite key is unbounded); the
+    top-N itself never shuffles: after the merge each key's total
+    lives in exactly ONE block, so a per-block vectorized partial
+    keeps, per nation, only rows tying-or-beating the block's k-th
+    revenue (a subset's k-th largest never exceeds the superset's, so
+    every global top-k row survives its block filter), and the driver
+    finishes an exact RANK over the O(nations × k × blocks) survivors."""
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    supp = read_table_local(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    sk = np.argsort(supp["s_suppkey"].values, kind="stable")
+    supp_ref = ray.put(
+        (
+            supp["s_suppkey"].values[sk].astype(np.int64),
+            supp["s_nationkey"].values[sk].astype(np.int64),
+        )
+    )
+
+    def tag(state, t: pa.Table) -> pa.Table:
+        keys, nk = state
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, s)  # FK integrity: every suppkey present
+        rev = floor_scale(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        )
+        return pa.table(
+            {
+                "n_nationkey": pa.array(nk[pos]),
+                "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "rev_c": rev,
+            }
+        )
+
+    per_np = grouped_sum(
+        read_table(
+            sf_dir,
+            "lineitem",
+            columns=["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"],
+        ).map_batches(
+            with_broadcast(supp_ref, tag, "topk_supp_nation"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["n_nationkey", "p_partkey"],
+        {"rev_c": ("rev_c", "sum")},
+    )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        return _block_topk_with_ties(t, k)
+
+    survivors = per_np.map_batches(
+        block_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    parts = [
+        b
+        for b in survivors.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    nation = read_table_local(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    names = dict(
+        zip(nation["n_nationkey"].values.astype(int), nation["n_name"].values)
+    )
+    if not parts:
+        return pa.table(
+            {
+                "n_name": pa.array([], pa.string()),
+                "p_partkey": pa.array([], pa.int64()),
+                "rev_c": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
+    whole = pa.concat_tables(parts)
+    nk = whole["n_nationkey"].to_numpy()
+    rv = whole["rev_c"].to_numpy()
+    pk = whole["p_partkey"].to_numpy()
+    out = {"n_name": [], "p_partkey": [], "rev_c": [], "rnk": []}
+    for key in np.unique(nk):  # bounded: one iteration per nation
+        m = nk == key
+        r, p = rv[m], pk[m]
+        rnk = len(r) - np.searchsorted(np.sort(r), r, side="right") + 1  # RANK()
+        sel = rnk <= k
+        order = np.lexsort((p[sel], rnk[sel]))
+        out["n_name"].extend([names[int(key)]] * int(sel.sum()))
+        out["p_partkey"].extend(p[sel][order].tolist())
+        out["rev_c"].extend(r[sel][order].tolist())
+        out["rnk"].extend(rnk[sel][order].tolist())
+    return pa.table(
+        {
+            "n_name": pa.array(out["n_name"], pa.string()),
+            "p_partkey": pa.array(out["p_partkey"], pa.int64()),
+            "rev_c": pa.array(out["rev_c"], pa.int64()),
+            "rnk": pa.array(out["rnk"], pa.int64()),
+        }
+    )
+
+
+TOP_PARTS_PER_NATION_SQL = f"""
+WITH rev AS (
+  SELECT CAST(s_nationkey AS BIGINT) AS n_nationkey,
+         CAST(l_partkey AS BIGINT) AS p_partkey,
+         sum({floor_scale_sql('l_extendedprice * (1 - l_discount)')}) AS rev_c
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT n_nationkey, p_partkey, rev_c,
+         RANK() OVER (PARTITION BY n_nationkey ORDER BY rev_c DESC) AS rnk
+  FROM rev
+)
+SELECT n_name, p_partkey, CAST(rev_c AS BIGINT) AS rev_c, CAST(rnk AS BIGINT) AS rnk
+FROM ranked JOIN nation ON ranked.n_nationkey = nation.n_nationkey
+WHERE rnk <= 3
+ORDER BY n_name, rnk, p_partkey
+"""

@@ -132,3 +132,60 @@ def test_group_by_nullsafe_matches_pandas(seed, n):
     assert (g["ks"] == want["ks"]).all()
     assert np.allclose(g["ki"], want["ki"])
     assert (g["v_sum"].to_numpy() == want["v_sum"].to_numpy()).all()
+
+
+def test_block_topk_with_ties_partial_safety():
+    """Property: splitting the (nation, part, rev) table into ANY blocks
+    and filtering each with _block_topk_with_ties never drops a row
+    whose global RANK() <= k — including heavy tie plateaus at the
+    boundary — and the union still yields the exact RANK<=k set."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geografir_ray.pipelines.relational import _block_topk_with_ties
+
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        n = int(rng.integers(1, 200))
+        nk = rng.integers(0, 5, n).astype(np.int64)
+        # tiny value range forces massive ties, incl. at the k-boundary
+        rv = rng.integers(0, 4, n).astype(np.int64)
+        pk = np.arange(n, dtype=np.int64)
+        t = pa.table({"n_nationkey": nk, "p_partkey": pk, "rev_c": rv})
+        k = int(rng.integers(1, 4))
+
+        # brute-force global RANK() <= k membership
+        want = set()
+        for key in np.unique(nk):
+            m = nk == key
+            r = rv[m]
+            rnk = (r[:, None] < r[None, :]).sum(axis=1) + 1  # strictly greater
+            for pid in pk[m][rnk <= k]:
+                want.add(int(pid))
+
+        # random block split (incl. single-row blocks)
+        n_blocks = int(rng.integers(1, max(2, n)))
+        assign = rng.integers(0, n_blocks, n)
+        survived = set()
+        for b in range(n_blocks):
+            blk = t.filter(pa.array(assign == b))
+            kept = _block_topk_with_ties(blk, k)
+            survived.update(kept["p_partkey"].to_pylist())
+        assert want <= survived, f"trial {trial}: partial filter dropped winners"
+
+        # driver finish over survivors reproduces the exact set
+        sub = t.filter(pa.array([int(p) in survived for p in pk]))
+        snk = sub["n_nationkey"].to_numpy()
+        srv = sub["rev_c"].to_numpy()
+        spk = sub["p_partkey"].to_numpy()
+        got = set()
+        for key in np.unique(snk):
+            m = snk == key
+            r = srv[m]
+            full = rv[nk == key]
+            # rank vs the FULL group (all survivors of that group present
+            # above the threshold, so ranks <= k are preserved)
+            rnk = (full[None, :] > r[:, None]).sum(axis=1) + 1
+            for pid in spk[m][rnk.ravel() <= k]:
+                got.add(int(pid))
+        assert got == want, f"trial {trial}: finish set mismatch"
