@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_term_topk": D.docs_term_topk,
         "docs_exact_dedup": D.docs_exact_dedup,
         "docs_normalized_dedup": D.docs_normalized_dedup,
+        # CDC snapshot merge (Delta/Hudi MERGE shape): distributed
+        # grouped argmax with payload carry + tombstone drop
+        "docs_merge_upsert": D.docs_merge_upsert,
         "docs_jsonl_ingest": D.docs_jsonl_ingest,
         "docs_jaccard_pairs": D.docs_jaccard_pairs,
         "docs_quality": D.docs_quality,
@@ -253,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_term_topk": D.DOCS_TERM_TOPK_SQL,
         "docs_exact_dedup": D.DOCS_EXACT_DEDUP_SQL,
         "docs_normalized_dedup": D.DOCS_NORMALIZED_DEDUP_SQL,
+        "docs_merge_upsert": D.DOCS_MERGE_UPSERT_SQL,
         "docs_jsonl_ingest": D.DOCS_JSONL_INGEST_SQL,
         "docs_jaccard_pairs": D.DOCS_JACCARD_SQL,
         "docs_quality": D.DOCS_QUALITY_SQL,

@@ -4078,3 +4078,133 @@ def docs_simhash_dedup(sf_dir: str, tau: int = SIMHASH_HAM_TAU):
     )
     kept = hash_join(hashed, dropped, on="doc_id", how="anti")
     return kept.sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# CDC merge / upsert: keep-latest snapshot with tombstones (the Delta/
+# Hudi MERGE shape — the ingestion pattern every continuously-crawled
+# corpus needs: base snapshot + changelog of updates/deletes -> latest)
+# ---------------------------------------------------------------------------
+
+
+def keep_latest_by_version(ds, key: str = "doc_id", version: str = "version",
+                           n_buckets: int = 64):
+    """Grouped argmax with payload carry: one hash-partition exchange on
+    ``key`` (same shape as grouped_sum merge="bucket" / _shuffle_dedup),
+    then a vectorized per-bucket lexsort + segment-first gather keeps
+    the max-``version`` row per key, all other columns riding along.
+    Per-group Python cost is per-BUCKET (bounded), never per-key; no
+    driver state at any key cardinality."""
+    from .common import bucket_ids
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__bkt", pa.array(bucket_ids(t, [key], n_buckets)))
+
+    def latest(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bkt"])
+        if g.num_rows == 0:
+            return g
+        k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g[version].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((-v, k))
+        k_s = k[order]
+        first = np.r_[True, k_s[1:] != k_s[:-1]]
+        return g.take(pa.array(order[first]))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bkt")
+        .map_groups(latest, batch_format="pyarrow")
+    )
+
+
+def docs_merge_upsert(sf_dir: str):
+    """CDC snapshot merge: the base corpus (version 1) unioned with a
+    deterministic changelog — updates (``doc_id % 7 == 3`` → version 2,
+    rewritten text) and delete tombstones (``doc_id % 13 == 5`` →
+    version 3) — reduced to the latest live row per document.
+
+    The keep-latest is a genuine distributed grouped argmax with
+    payload carry (keep_latest_by_version: one bucketed exchange, no
+    driver state); tombstone rows win the argmax and are then dropped,
+    so a doc that was updated AND deleted stays deleted.  Text rides
+    the whole path and must come back byte-identical (the oracle
+    value-hashes it)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def changelog(t: pa.Table) -> pa.Table:
+        doc = pc.cast(t["doc_id"], pa.int64())
+        base = pa.table(
+            {
+                "doc_id": doc,
+                "version": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "is_delete": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "text": t["text"],
+                "lang": t["lang"],
+            }
+        )
+        d = doc.to_numpy(zero_copy_only=False)
+        upd = t.filter(pa.array(d % 7 == 3))
+        udoc = pc.cast(upd["doc_id"], pa.int64())
+        updates = pa.table(
+            {
+                "doc_id": udoc,
+                "version": pa.array(np.full(upd.num_rows, 2, dtype=np.int64)),
+                "is_delete": pa.array(np.zeros(upd.num_rows, dtype=np.int8)),
+                "text": pc.binary_join_element_wise(
+                    pa.array(["UPDATED v2: "] * upd.num_rows, pa.string()),
+                    upd["text"],
+                    "",
+                ),
+                "lang": upd["lang"],
+            }
+        )
+        dele = t.filter(pa.array(d % 13 == 5))
+        deletes = pa.table(
+            {
+                "doc_id": pc.cast(dele["doc_id"], pa.int64()),
+                "version": pa.array(np.full(dele.num_rows, 3, dtype=np.int64)),
+                "is_delete": pa.array(np.ones(dele.num_rows, dtype=np.int8)),
+                "text": pa.array([None] * dele.num_rows, pa.string()),
+                "lang": dele["lang"],
+            }
+        )
+        return pa.concat_tables([base, updates, deletes])
+
+    log = ds.map_batches(changelog, batch_format="pyarrow", zero_copy_batch=True)
+    latest = keep_latest_by_version(log, key="doc_id", version="version")
+
+    def live(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["is_delete"], 0))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "version": t["version"],
+                "lang": t["lang"],
+                "text": t["text"],
+            }
+        )
+
+    return latest.map_batches(live, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+DOCS_MERGE_UPSERT_SQL = """
+WITH changelog AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, 1 AS version, 0 AS is_delete,
+         text, lang FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), 2, 0, 'UPDATED v2: ' || text, lang
+  FROM documents WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), 3, 1, NULL, lang
+  FROM documents WHERE doc_id % 13 = 5
+), latest AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+  FROM changelog
+)
+SELECT doc_id, CAST(version AS BIGINT) AS version, lang, text
+FROM latest WHERE rn = 1 AND is_delete = 0
+ORDER BY doc_id
+"""

@@ -1541,3 +1541,35 @@ def test_late_only_supplier_and_small_qty_revenue_oracle(ray_session, sf_small):
         assert got.num_rows == want.num_rows, name
         assert sorted(got.column_names) == sorted(want.column_names), name
         assert value_hash(got) == value_hash(want), name
+
+
+def test_merge_upsert_semantics_and_block_invariance(ray_session, sf_small):
+    """Tombstones beat updates (doc 31 matches BOTH rules and must be
+    gone); updated docs carry version-2 rewritten text; the bucketed
+    keep-latest is invariant to block size (forced tiny blocks)."""
+    from ray.data import DataContext
+
+    from geografir_ray.pipelines.documents import docs_merge_upsert
+
+    df = docs_merge_upsert(sf_small).to_pandas()
+    assert df["doc_id"].is_unique
+    # doc 31: 31 % 7 == 3 (updated) and 31 % 13 == 5 (deleted) -> gone
+    assert 31 not in set(df["doc_id"])
+    upd = df[df["doc_id"] % 7 == 3]
+    assert (upd["version"] == 2).all()
+    assert upd["text"].str.startswith("UPDATED v2: ").all()
+    base = df[(df["doc_id"] % 7 != 3)]
+    assert (base["version"] == 1).all()
+    assert set(df[df["version"] == 2]["doc_id"]) == {
+        d for d in df["doc_id"] if d % 7 == 3
+    }
+    assert not (df["doc_id"] % 13 == 5).any()
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        tiny = docs_merge_upsert(sf_small).to_pandas()
+    finally:
+        ctx.target_max_block_size = old
+    assert tiny.values.tolist() == df.values.tolist()
