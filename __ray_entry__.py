@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_merge_upsert": D.docs_merge_upsert,
         "docs_jsonl_ingest": D.docs_jsonl_ingest,
         "docs_jaccard_pairs": D.docs_jaccard_pairs,
+        "docs_containment_pairs": D.docs_containment_pairs,
         "docs_quality": D.docs_quality,
         "docs_text_passthrough": D.docs_text_passthrough,
         "docs_html_extract": D.docs_html_extract,
@@ -259,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_merge_upsert": D.DOCS_MERGE_UPSERT_SQL,
         "docs_jsonl_ingest": D.DOCS_JSONL_INGEST_SQL,
         "docs_jaccard_pairs": D.DOCS_JACCARD_SQL,
+        "docs_containment_pairs": D.DOCS_CONTAINMENT_SQL,
         "docs_quality": D.DOCS_QUALITY_SQL,
         "docs_text_passthrough": D.DOCS_TEXT_PASSTHROUGH_SQL,
         "docs_html_extract": D.DOCS_HTML_EXTRACT_SQL,

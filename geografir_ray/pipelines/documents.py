@@ -292,31 +292,13 @@ _PAIR_SIZE_SCHEMA = pa.schema(
 )
 
 
-def docs_jaccard_pairs(
-    sf_dir: str,
-    threshold: float = 0.8,
-    df_cutoff: int = JACCARD_DF_CUTOFF,
-    n_groups: int = 64,
-):
-    """Token-inverted n-gram Jaccard pairs with a document-frequency
-    cutoff: tokens whose GLOBAL df exceeds ``df_cutoff`` are excluded
-    from both intersections and set sizes (standard stop-token
-    filtering — mirrored exactly in the SQL twin), which caps the
-    per-token pair blowup at C(df_cutoff, 2) regardless of skew.
-
-    Exact all-pairs jaccard is inherently quadratic on a corpus with a
-    64-word vocabulary (nearly every doc pair is similar), so the exact
-    query also runs on a deterministic doc window; the scalable
-    candidate generator for full corpora is docs_minhash_lsh.
-
-    Shape: postings hash-bucket by token into ``n_groups`` groups (ONE
-    merge call per group, not per token — the per-group-Python trap);
-    a token's postings all land in one group, so the in-group segment
-    length IS the global df and the cutoff needs no extra pass.  Pair
-    counts and df-filtered size partials ride the SAME distributed
-    grouped-sum exchange (size partials use the b = -1 sentinel); only
-    the tiny per-doc size table lands on the driver for the broadcast
-    verify."""
+def _token_pair_counts(sf_dir: str, df_cutoff: int, n_groups: int):
+    """Shared machinery for the exact pair-similarity family
+    (jaccard / containment): df-filtered distinct-token postings →
+    in-group pair expansion → one grouped-sum exchange.  Returns the
+    merged (a, b, common) Dataset (b = -1 sentinel rows carry per-doc
+    df-filtered set sizes) and a ray.put ref of the sorted per-doc
+    size table for broadcast verifies."""
     import ray
 
     from ..functions.hashing import splitmix64
@@ -407,8 +389,39 @@ def docs_jaccard_pairs(
     keys = sizes_pd["a"].values.astype(np.int64)
     szs = sizes_pd["common"].values.astype(np.int64)
     ref = ray.put((keys, szs))
+    return merged, ref
 
+
+
+
+def docs_jaccard_pairs(
+    sf_dir: str,
+    threshold: float = 0.8,
+    df_cutoff: int = JACCARD_DF_CUTOFF,
+    n_groups: int = 64,
+):
+    """Token-inverted n-gram Jaccard pairs with a document-frequency
+    cutoff: tokens whose GLOBAL df exceeds ``df_cutoff`` are excluded
+    from both intersections and set sizes (standard stop-token
+    filtering — mirrored exactly in the SQL twin), which caps the
+    per-token pair blowup at C(df_cutoff, 2) regardless of skew.
+
+    Exact all-pairs jaccard is inherently quadratic on a corpus with a
+    64-word vocabulary (nearly every doc pair is similar), so the exact
+    query also runs on a deterministic doc window; the scalable
+    candidate generator for full corpora is docs_minhash_lsh.
+
+    Shape: postings hash-bucket by token into ``n_groups`` groups (ONE
+    merge call per group, not per token — the per-group-Python trap);
+    a token's postings all land in one group, so the in-group segment
+    length IS the global df and the cutoff needs no extra pass.  Pair
+    counts and df-filtered size partials ride the SAME distributed
+    grouped-sum exchange (size partials use the b = -1 sentinel); only
+    the tiny per-doc size table lands on the driver for the broadcast
+    verify."""
     from ..stages.broadcast import with_broadcast
+
+    merged, ref = _token_pair_counts(sf_dir, df_cutoff, n_groups)
 
     def verify(state, t: pa.Table) -> pa.Table:
         keys, szs = state
@@ -453,6 +466,96 @@ JOIN sizes sa ON sa.doc_id = a
 JOIN sizes sb ON sb.doc_id = b
 WHERE c >= 0.8 * (sa.sz + sb.sz - c)
 ORDER BY a, b
+"""
+
+
+# containment pairs: one-sided near-dup (quote / mirror-with-boilerplate
+# detection) — containment(x -> y) = |x ∩ y| / |x| catches docs whose
+# token set is swallowed by a larger doc, which symmetric Jaccard
+# misses entirely (a 50-token quote inside a 5000-token page has
+# jaccard ~0.01 but containment 1.0).  Same distributed machinery as
+# docs_jaccard_pairs (_token_pair_counts); the verify emits ORDERED
+# (contained, container) pairs, integer-exact threshold (100*c >= P*sz).
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_PCT = 90  # keep pairs where >= 90% of the smaller set is covered
+
+
+def docs_containment_pairs(
+    sf_dir: str,
+    pct: int = _CONTAINMENT_PCT,
+    df_cutoff: int = JACCARD_DF_CUTOFF,
+    n_groups: int = 64,
+):
+    """Ordered containment pairs over df-filtered distinct token sets:
+    emit (contained, container, containment_bp) whenever at least
+    ``pct``% of one doc's tokens appear in the other.  The threshold
+    and the reported basis points are all-integer (100*c >= pct*sz;
+    bp = 10000*c // sz) so both engines compare exactly."""
+    from ..stages.broadcast import with_broadcast
+
+    merged, ref = _token_pair_counts(sf_dir, df_cutoff, n_groups)
+
+    def verify(state, t: pa.Table) -> pa.Table:
+        keys, szs = state
+        t = t.filter(pc.greater_equal(t["b"], 0))
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        common = t["common"].to_numpy(zero_copy_only=False)
+        sa = szs[np.searchsorted(keys, a)]
+        sb = szs[np.searchsorted(keys, b)]
+        out_src, out_dst, out_bp = [], [], []
+        for src, dst, sz in ((a, b, sa), (b, a, sb)):
+            keep = 100 * common >= pct * sz
+            out_src.append(src[keep])
+            out_dst.append(dst[keep])
+            out_bp.append(10000 * common[keep] // sz[keep])
+        return pa.table(
+            {
+                "contained": pa.array(np.concatenate(out_src)),
+                "container": pa.array(np.concatenate(out_dst)),
+                "containment_bp": pa.array(np.concatenate(out_bp)),
+            }
+        )
+
+    return merged.map_batches(
+        with_broadcast(ref, verify, "verify_containment"), batch_format="pyarrow"
+    ).sort(["contained", "container"])
+
+
+DOCS_CONTAINMENT_SQL = f"""
+WITH tok0 AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS token
+  FROM documents WHERE doc_id < {JACCARD_DOC_LIMIT}
+),
+df AS (
+  SELECT token FROM tok0 GROUP BY token
+  HAVING count(*) <= {JACCARD_DF_CUTOFF}
+),
+tok AS (
+  SELECT t.doc_id, t.token FROM tok0 t JOIN df USING (token)
+),
+sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS sz FROM tok GROUP BY doc_id
+),
+common AS (
+  SELECT t1.doc_id AS a, t2.doc_id AS b, count(*)::BIGINT AS c
+  FROM tok t1 JOIN tok t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+  GROUP BY t1.doc_id, t2.doc_id
+),
+directed AS (
+  SELECT a AS contained, b AS container, c, sa.sz AS sz
+  FROM common JOIN sizes sa ON sa.doc_id = a
+  UNION ALL
+  SELECT b, a, c, sb.sz
+  FROM common JOIN sizes sb ON sb.doc_id = b
+)
+SELECT CAST(contained AS BIGINT) AS contained,
+       CAST(container AS BIGINT) AS container,
+       CAST(10000 * c // sz AS BIGINT) AS containment_bp
+FROM directed
+WHERE 100 * c >= {_CONTAINMENT_PCT} * sz
+ORDER BY contained, container
 """
 
 
