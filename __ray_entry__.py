@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_pairs": D.docs_jaccard_pairs,
         "docs_containment_pairs": D.docs_containment_pairs,
         "docs_quality": D.docs_quality,
+        "docs_quality_percentile": D.docs_quality_percentile,
         "docs_text_passthrough": D.docs_text_passthrough,
         "docs_html_extract": D.docs_html_extract,
         "docs_normalize_text": D.docs_normalize_text,
@@ -262,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_jaccard_pairs": D.DOCS_JACCARD_SQL,
         "docs_containment_pairs": D.DOCS_CONTAINMENT_SQL,
         "docs_quality": D.DOCS_QUALITY_SQL,
+        "docs_quality_percentile": D.DOCS_QUALITY_PERCENTILE_SQL,
         "docs_text_passthrough": D.DOCS_TEXT_PASSTHROUGH_SQL,
         "docs_html_extract": D.DOCS_HTML_EXTRACT_SQL,
         "docs_normalize_text": D.DOCS_NORMALIZE_SQL,

@@ -4311,3 +4311,129 @@ SELECT doc_id, CAST(version AS BIGINT) AS version, lang, text
 FROM latest WHERE rn = 1 AND is_delete = 0
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-language percentile normalization of a quality score — the
+# "keep the top X% per language" curation primitive (rank-normalized
+# scores are how heterogeneous per-lang score scales become
+# comparable).  PERCENT_RANK / CUME_DIST re-expressed distribution-
+# style: the (lang, score) histogram is BOUNDED (langs x 101 integer
+# scores), so one driver-merged grouped count + a broadcast cumulative
+# table replace the window sort entirely — no per-doc shuffle at any
+# corpus size.
+# ---------------------------------------------------------------------------
+
+
+def docs_quality_percentile(sf_dir: str):
+    """Per-doc quality score (distinct-token pct, as docs_quality) with
+    its per-language PERCENT_RANK and CUME_DIST in integer basis
+    points: pr_bp = (rank-1)*10000 // (n-1), cume_bp = cd*10000 // n.
+    The rank comes from the broadcast (lang, score) cumulative
+    histogram, not a window sort — integer-exact vs the RANK()-window
+    SQL twin."""
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def score_stage(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_tok = T.token_counts(texts)
+        n_dis = T.distinct_token_counts(texts)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(n_tok > 0, n_dis / np.maximum(n_tok, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "distinct_pct": pa.array(np.floor(ratio * 100.0).astype(np.int64)),
+            }
+        )
+
+    def hist_stage(t: pa.Table) -> pa.Table:
+        s = score_stage(t)
+        return pa.table(
+            {
+                "lang": s["lang"],
+                "distinct_pct": s["distinct_pct"],
+                "one": pa.array(np.ones(s.num_rows, dtype=np.int64)),
+            }
+        )
+
+    hist = grouped_sum(
+        ds.map_batches(hist_stage, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "distinct_pct"],
+        {"n": ("one", "sum")},
+        merge="driver",  # bounded: langs x 101 integer scores
+    )
+    ht = pa.concat_tables(
+        [b for b in hist.iter_batches(batch_size=None, batch_format="pyarrow")]
+    )
+    langs = sorted(set(ht["lang"].to_pylist()))
+    lidx = {v: i for i, v in enumerate(langs)}
+    S = 101  # score domain 0..100
+    lower = np.zeros(len(langs) * S, dtype=np.int64)  # #{score' < s} per lang
+    ties = np.zeros(len(langs) * S, dtype=np.int64)
+    n_lang = np.zeros(len(langs), dtype=np.int64)
+    li = np.array([lidx[v] for v in ht["lang"].to_pylist()], dtype=np.int64)
+    sc = ht["distinct_pct"].to_numpy()
+    cn = ht["n"].to_numpy()
+    ties[li * S + sc] = cn
+    np.add.at(n_lang, li, cn)
+    for i in range(len(langs)):  # bounded loop: one iteration per language
+        seg = ties[i * S : (i + 1) * S]
+        lower[i * S : (i + 1) * S] = np.cumsum(seg) - seg
+    ref = ray.put((pa.array(langs, pa.string()), lower, ties, n_lang))
+
+    def finish(state, t: pa.Table) -> pa.Table:
+        lang_arr, lower, ties, n_lang = state
+        s = score_stage(t)
+        li = pc.index_in(s["lang"], value_set=lang_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        sc = s["distinct_pct"].to_numpy()
+        key = li * 101 + sc
+        n = n_lang[li]
+        pr_bp = np.where(n > 1, lower[key] * 10000 // np.maximum(n - 1, 1), 0)
+        cume_bp = (lower[key] + ties[key]) * 10000 // n
+        return pa.table(
+            {
+                "doc_id": s["doc_id"],
+                "lang": s["lang"],
+                "distinct_pct": s["distinct_pct"],
+                "pr_bp": pa.array(pr_bp.astype(np.int64)),
+                "cume_bp": pa.array(cume_bp.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(
+        with_broadcast(ref, finish, "quality_percentile_hist"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort("doc_id")
+
+
+DOCS_QUALITY_PERCENTILE_SQL = f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         CAST(floor(CASE WHEN len({_TOKENS_SQL}) > 0
+                    THEN len(list_distinct({_TOKENS_SQL}))
+                         / greatest(len({_TOKENS_SQL}), 1) * 100.0
+                    ELSE 0.0 END) AS BIGINT) AS distinct_pct
+  FROM documents
+), w AS (
+  SELECT doc_id, lang, distinct_pct,
+         RANK() OVER (PARTITION BY lang ORDER BY distinct_pct) AS rnk,
+         RANK() OVER (PARTITION BY lang ORDER BY distinct_pct DESC) AS rnk_d,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM q
+)
+SELECT doc_id, lang, distinct_pct,
+       CAST(CASE WHEN cnt > 1 THEN (rnk - 1) * 10000 // (cnt - 1)
+                 ELSE 0 END AS BIGINT) AS pr_bp,
+       CAST((cnt - rnk_d + 1) * 10000 // cnt AS BIGINT) AS cume_bp
+FROM w
+ORDER BY doc_id
+"""
