@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_sorted": E.events_asof_signup_sorted,
         "events_top_users": E.events_top_users,
         "events_sliding": E.events_sliding,
+        "events_trailing_24h": E.events_trailing_24h,
         "events_running_total": E.events_running_total,
         "events_streaming_windows": E.events_streaming_windows,
         "events_lead_lag": E.events_lead_lag,
@@ -245,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_sorted": E.EVENTS_ASOF_SQL,
         "events_top_users": E.EVENTS_TOP_USERS_SQL,
         "events_sliding": E.EVENTS_SLIDING_SQL,
+        "events_trailing_24h": E.EVENTS_TRAILING_24H_SQL,
         "events_running_total": E.EVENTS_RUNNING_TOTAL_SQL,
         "events_streaming_windows": E.EVENTS_STREAMING_WINDOWS_SQL,
         "events_lead_lag": E.EVENTS_LEAD_LAG_SQL,

@@ -2617,3 +2617,117 @@ WITH h AS (
 SELECT window_end, count(DISTINCT user_id) AS n_users
 FROM w GROUP BY window_end ORDER BY window_end
 """
+
+
+# ---------------------------------------------------------------------------
+# Trailing RANGE-interval window: per-event sum/count of the SAME
+# user's purchases in the preceding 24 hours (inclusive, tied
+# timestamps are peers) — the RANGE BETWEEN INTERVAL ... PRECEDING
+# window shape, distinct from the tumbling/sliding fixed windows
+# above (every row carries its OWN window).
+#
+# Scale design: users hash-partition into B buckets (a user's rows
+# never split, so no cross-block history problem), ONE lexsort per
+# bucket, then the per-row window bounds come from a SINGLE
+# searchsorted over band-offset keys: key = seg_id * 2^46 + (ts - t0).
+# Bands are wide enough that target = key - 24h never escapes its
+# user's band (24h << 2^46 us ~ 814 days), so one global searchsorted
+# respects segment boundaries with zero per-user Python.  Both band
+# preconditions are asserted per bucket (span, segment count); at
+# larger corpora raise n_buckets.
+# ---------------------------------------------------------------------------
+
+_DAY_US = 24 * 3600 * 1_000_000
+
+
+def events_trailing_24h(sf_dir: str, n_buckets: int = 64):
+    from ..functions.hashing import splitmix64
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(uid.astype(np.uint64)) % np.uint64(n_buckets)).astype(
+                        np.int64
+                    )
+                ),
+                "event_id": t["event_id"],
+                "ts_us": pa.array(
+                    t["ts"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .astype(np.int64)
+                ),
+                "user_id": pa.array(uid),
+                "value_c": pc.cast(
+                    pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
+                ),
+            }
+        )
+
+    _OUT = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("trail_sum", pa.float64()),
+            ("n_24h", pa.int64()),
+        ]
+    )
+
+    _BAND = np.int64(1) << 46  # us; ~814 days > corpus span + 24h
+
+    def bucket_window(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return _OUT.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vc = g["value_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, vc = uid[order], ts[order], eid[order], vc[order]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        seg_id = np.cumsum(new_user) - 1
+        ts_rel = ts - ts.min()
+        assert ts_rel.max() + _DAY_US < _BAND, "corpus span exceeds band width"
+        assert (seg_id[-1] + 1) < (np.iinfo(np.int64).max // _BAND), "too many users/bucket"
+        key = seg_id * _BAND + ts_rel
+        lo = np.searchsorted(key, key - _DAY_US, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        cumv = np.concatenate(([0], np.cumsum(vc)))
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(uid),
+                "trail_sum": pa.array((cumv[hi] - cumv[lo]) / 100.0),
+                "n_24h": pa.array((hi - lo).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_window, batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
+EVENTS_TRAILING_24H_SQL = """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) OVER w AS BIGINT) / 100.0
+         AS trail_sum,
+       CAST(count(*) OVER w AS BIGINT) AS n_24h
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
