@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_pyramid": S.tile_pyramid,
         "geo_bbox_join": S.bbox_overlap_join,
         "geo_cluster_points": S.cluster_points,
+        "geo_convex_hull": S.convex_hull_by_nation,
         "geo_hotspot_clusters": S.geo_hotspot_clusters,
         "geo_radius_join": S.radius_join,
         # events (window / session / as-of)
@@ -237,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_tile_pyramid": S.tile_pyramid_sql(),
         "geo_bbox_join": S.bbox_overlap_join_sql(),
         "geo_cluster_points": S.cluster_points_sql(),
+        "geo_convex_hull": S.convex_hull_by_nation_sql(),
         "geo_hotspot_clusters": S.GEO_HOTSPOT_CLUSTERS_SQL,
         "geo_radius_join": S.radius_join_sql(),
         "events_hourly": E.EVENTS_HOURLY_SQL,

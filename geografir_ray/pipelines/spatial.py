@@ -1426,3 +1426,178 @@ FROM comp JOIN cells ON cells.cell = comp.cell
 GROUP BY comp.cluster_id
 ORDER BY comp.cluster_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-nation convex hull: the spatial-aggregate (ST_ConvexHull_Agg)
+# surface.  Hulls are MERGEABLE (hull(A ∪ B) ⊆ hull-vertices(A) ∪
+# hull-vertices(B)), so each batch reduces its nation's points to the
+# batch-hull vertex set — vectorized Akl-Toussaint quad discard first,
+# tiny monotone chain on the shell survivors — and the driver finishes
+# an exact strict chain per nation over the bounded partials (≤25
+# nations × O(hull size) points; random-point hulls are O(log n)).
+# All geometry runs in integer microdegrees so cross products are
+# exact int64 on both engines.
+# ---------------------------------------------------------------------------
+
+HULL_CUST_LIMIT = 2000  # deterministic window caps the O(k^3) SQL twin
+
+
+def _hull_indices(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain, STRICT turns (collinear mid-points
+    excluded; endpoints of collinear runs are strict vertices and stay).
+    Returns indices of hull vertices of the (distinct) input points."""
+    n = len(x)
+    if n <= 2:
+        return np.arange(n)
+    order = np.lexsort((y, x))
+
+    def chain(idx):
+        out = []
+        for i in idx:
+            while len(out) >= 2:
+                ax, ay = x[out[-2]], y[out[-2]]
+                bx, by = x[out[-1]], y[out[-1]]
+                if (bx - ax) * (y[i] - ay) - (by - ay) * (x[i] - ax) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = chain(order)
+    upper = chain(order[::-1])
+    return np.unique(np.array(lower[:-1] + upper[:-1], dtype=np.int64))
+
+
+def _quad_survivors(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized Akl-Toussaint: drop points STRICTLY inside the
+    quadrilateral of the 4 axis-extreme points (they cannot be hull
+    vertices).  Degenerate quads discard nothing — safe fallback."""
+    n = len(x)
+    if n <= 4:
+        return np.ones(n, dtype=bool)
+    quad = [int(np.argmin(x)), int(np.argmax(y)), int(np.argmax(x)), int(np.argmin(y))]
+    inside = np.ones(n, dtype=bool)
+    for i in range(4):  # W -> N -> E -> S is CCW
+        ax, ay = x[quad[i]], y[quad[i]]
+        bx, by = x[quad[(i + 1) % 4]], y[quad[(i + 1) % 4]]
+        inside &= (bx - ax) * (y - ay) - (by - ay) * (x - ax) > 0
+    return ~inside
+
+
+def convex_hull_by_nation(sf_dir: str):
+    """Hull VERTEX SET per nation over the deterministic customer
+    window (c_custkey < HULL_CUST_LIMIT), in integer microdegrees,
+    sorted (c_nationkey, x_us, y_us).  Exact SQL twin: p is a hull
+    vertex iff some directed edge (p -> q) has every other point
+    strictly on its left — collinear points allowed only on the ray
+    beyond q — which is precisely strict-chain vertex membership."""
+    pts = _points_ds(sf_dir, "customer", "c_custkey", extra_cols=("c_nationkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["point_id"], HULL_CUST_LIMIT))
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.floor(t["lon"].to_numpy(zero_copy_only=False) * 1e6).astype(np.int64)
+        y = np.floor(t["lat"].to_numpy(zero_copy_only=False) * 1e6).astype(np.int64)
+        keep_n, keep_x, keep_y = [], [], []
+        for key in np.unique(nk):  # bounded: <=25 nations per batch
+            m = nk == key
+            xs, ys = x[m], y[m]
+            # distinct points only (duplicates break the vertex test)
+            packed = (xs.astype(np.uint64) << np.uint64(32)) ^ (
+                ys.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+            )
+            _, uidx = np.unique(packed, return_index=True)
+            xs, ys = xs[uidx], ys[uidx]
+            shell = _quad_survivors(xs, ys)
+            hx, hy = xs[shell], ys[shell]
+            hidx = _hull_indices(hx, hy)
+            keep_n.append(np.full(len(hidx), key, dtype=np.int64))
+            keep_x.append(hx[hidx])
+            keep_y.append(hy[hidx])
+        if not keep_n:
+            return pa.table(
+                {
+                    "c_nationkey": pa.array([], pa.int64()),
+                    "x_us": pa.array([], pa.int64()),
+                    "y_us": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "c_nationkey": pa.array(np.concatenate(keep_n)),
+                "x_us": pa.array(np.concatenate(keep_x)),
+                "y_us": pa.array(np.concatenate(keep_y)),
+            }
+        )
+
+    parts = [
+        b
+        for b in pts.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "c_nationkey": pa.array([], pa.int64()),
+                "x_us": pa.array([], pa.int64()),
+                "y_us": pa.array([], pa.int64()),
+            }
+        )
+    whole = pa.concat_tables(parts)
+    nk = whole["c_nationkey"].to_numpy()
+    x = whole["x_us"].to_numpy()
+    y = whole["y_us"].to_numpy()
+    out_n, out_x, out_y = [], [], []
+    for key in np.unique(nk):  # bounded: <=25 nations
+        m = nk == key
+        xs, ys = x[m], y[m]
+        packed = (xs.astype(np.uint64) << np.uint64(32)) ^ (
+            ys.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        )
+        _, uidx = np.unique(packed, return_index=True)
+        xs, ys = xs[uidx], ys[uidx]
+        hidx = _hull_indices(xs, ys)
+        order = np.lexsort((ys[hidx], xs[hidx]))
+        out_n.append(np.full(len(hidx), key, dtype=np.int64))
+        out_x.append(xs[hidx][order])
+        out_y.append(ys[hidx][order])
+    return pa.table(
+        {
+            "c_nationkey": pa.array(np.concatenate(out_n)),
+            "x_us": pa.array(np.concatenate(out_x)),
+            "y_us": pa.array(np.concatenate(out_y)),
+        }
+    )
+
+
+def convex_hull_by_nation_sql() -> str:
+    x = f"CAST(floor(({synth_lon_sql('c_custkey')}) * 1000000) AS BIGINT)"
+    y = f"CAST(floor(({synth_lat_sql('c_custkey')}) * 1000000) AS BIGINT)"
+    return f"""
+WITH pts AS (
+  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nk, {x} AS x, {y} AS y
+  FROM customer WHERE c_custkey < {HULL_CUST_LIMIT}
+), singles AS (
+  SELECT nk FROM pts GROUP BY nk HAVING count(*) = 1
+)
+SELECT p.nk AS c_nationkey, p.x AS x_us, p.y AS y_us
+FROM pts p
+WHERE EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.nk = p.nk AND (q.x <> p.x OR q.y <> p.y)
+    AND NOT EXISTS (
+      SELECT 1 FROM pts r
+      WHERE r.nk = p.nk
+        AND (r.x <> p.x OR r.y <> p.y) AND (r.x <> q.x OR r.y <> q.y)
+        AND ( (q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x) < 0
+              OR ( (q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x) = 0
+                   AND (q.x - p.x) * (r.x - p.x)
+                       + (q.y - p.y) * (r.y - p.y) <= 0 ) )
+    )
+)
+   OR p.nk IN (SELECT nk FROM singles)
+ORDER BY c_nationkey, x_us, y_us
+"""

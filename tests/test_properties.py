@@ -189,3 +189,82 @@ def test_block_topk_with_ties_partial_safety():
             for pid in spk[m][rnk.ravel() <= k]:
                 got.add(int(pid))
         assert got == want, f"trial {trial}: finish set mismatch"
+
+
+def test_convex_hull_strict_chain_vs_brute_and_partial_merge():
+    """_hull_indices (strict monotone chain) matches the O(n^3) brute
+    hull-vertex characterization (the SQL twin's EXISTS/NOT-EXISTS
+    form) on random clouds with forced collinear runs and duplicates;
+    the batch-partial (quad discard + chain) -> merge -> final chain
+    pipeline is split-invariant."""
+    import numpy as np
+
+    from geografir_ray.pipelines.spatial import _hull_indices, _quad_survivors
+
+    def brute_vertices(x, y):
+        pts = list({(int(a), int(b)) for a, b in zip(x, y)})
+        if len(pts) == 1:
+            return set(pts)
+        out = set()
+        for p in pts:
+            for q in pts:
+                if q == p:
+                    continue
+                ok = True
+                for r in pts:
+                    if r == p or r == q:
+                        continue
+                    cr = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+                    dt = (q[0] - p[0]) * (r[0] - p[0]) + (q[1] - p[1]) * (r[1] - p[1])
+                    if cr < 0 or (cr == 0 and dt <= 0):
+                        ok = False
+                        break
+                if ok:
+                    out.add(p)
+                    break
+        return out
+
+    rng = np.random.default_rng(11)
+    for trial in range(25):
+        n = int(rng.integers(1, 60))
+        x = rng.integers(-50, 50, n).astype(np.int64)
+        y = rng.integers(-50, 50, n).astype(np.int64)
+        if trial % 3 == 0 and n >= 6:
+            # forced collinear run on the far east edge (+ a duplicate)
+            x[:4] = 60
+            y[:4] = np.array([-30, -10, 10, 30])
+            x[4], y[4] = x[0], y[0]
+        if trial % 5 == 0:
+            y[:] = 7  # fully degenerate: all collinear
+        want = brute_vertices(x, y)
+
+        # distinct points, full chain
+        pk = {(int(a), int(b)) for a, b in zip(x, y)}
+        ux = np.array([p[0] for p in sorted(pk)], dtype=np.int64)
+        uy = np.array([p[1] for p in sorted(pk)], dtype=np.int64)
+        hidx = _hull_indices(ux, uy)
+        got = {(int(ux[i]), int(uy[i])) for i in hidx}
+        assert got == want, f"trial {trial}: chain != brute"
+
+        # partial -> merge -> final is split-invariant
+        n_blocks = int(rng.integers(1, max(2, n)))
+        assign = rng.integers(0, n_blocks, n)
+        merged_x, merged_y = [], []
+        for b in range(n_blocks):
+            bx, by = x[assign == b], y[assign == b]
+            if len(bx) == 0:
+                continue
+            bpk = sorted({(int(a), int(c)) for a, c in zip(bx, by)})
+            bx = np.array([p[0] for p in bpk], dtype=np.int64)
+            by = np.array([p[1] for p in bpk], dtype=np.int64)
+            shell = _quad_survivors(bx, by)
+            sx, sy = bx[shell], by[shell]
+            hb = _hull_indices(sx, sy)
+            merged_x.extend(sx[hb].tolist())
+            merged_y.extend(sy[hb].tolist())
+        mpk = sorted(set(zip(merged_x, merged_y)))
+        mx = np.array([p[0] for p in mpk], dtype=np.int64)
+        my = np.array([p[1] for p in mpk], dtype=np.int64)
+        fidx = _hull_indices(mx, my)
+        got2 = {(int(mx[i]), int(my[i])) for i in fidx}
+        assert got2 == want, f"trial {trial}: partial-merge != brute"
