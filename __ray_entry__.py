@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": E.events_funnel,
         "events_retention": E.events_retention,
         "events_travel_distance": E.events_travel_distance,
+        "events_type_transitions": E.events_type_transitions,
+        "events_value_variance": E.events_value_variance,
+        "events_user_mode": E.events_user_mode,
         # documents (text analysis + dedup family)
         "docs_stats": D.docs_stats,
         "docs_term_topk": D.docs_term_topk,
@@ -258,6 +261,9 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": E.EVENTS_FUNNEL_SQL,
         "events_retention": E.EVENTS_RETENTION_SQL,
         "events_travel_distance": E.events_travel_distance_sql(),
+        "events_type_transitions": E.EVENTS_TYPE_TRANSITIONS_SQL,
+        "events_value_variance": E.EVENTS_VALUE_VARIANCE_SQL,
+        "events_user_mode": E.EVENTS_USER_MODE_SQL,
         "docs_stats": D.DOCS_STATS_SQL,
         "docs_term_topk": D.DOCS_TERM_TOPK_SQL,
         "docs_exact_dedup": D.DOCS_EXACT_DEDUP_SQL,

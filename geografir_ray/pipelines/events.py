@@ -2731,3 +2731,300 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event types: per-user time-ordered
+# adjacent pairs, aggregated to the (from, to) transition counts —
+# the sequence-mining shape (clickstream Markov models).  Same sorted-
+# segment + O(blocks) edge-record machinery as events_od_matrix, over
+# the BOUNDED event-type vocabulary (the final aggregate driver-merges
+# per rule 2); a transition depends only on ONE adjacent pair, so
+# per-block partials + boundary repair are exact under any split.
+# ---------------------------------------------------------------------------
+
+
+def events_type_transitions(sf_dir: str):
+    import ray
+    import ray.data
+
+    from .common import grouped_sum
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts_us": pa.array(ts_us),
+                "event_type": t["event_type"],
+            }
+        )
+
+    rows = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["user_id", "ts_us", "event_id"]
+    )
+
+    _SCHEMA = pa.schema(
+        [
+            ("kind", pa.int8()),  # 0 = transition partial, 1 = block edge
+            ("type_from", pa.string()),
+            ("type_to", pa.string()),
+            ("n", pa.int64()),
+            ("first_uid", pa.int64()),
+            ("first_ts", pa.int64()),
+            ("first_eid", pa.int64()),
+            ("last_uid", pa.int64()),
+        ]
+    )
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _SCHEMA.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        same = uid[1:] == uid[:-1]
+        tf, tt = ty[:-1][same], ty[1:][same]
+        # batch-local factorize: vocabulary is bounded, partial rows too
+        vocab, code_f = np.unique(tf, return_inverse=True)
+        _, code_t = np.unique(tt, return_inverse=True)
+        vocab_t = np.unique(tt)
+        key = code_f.astype(np.int64) * np.int64(len(vocab_t) + 1) + code_t
+        uk, cnt = np.unique(key, return_counts=True)
+        m = len(uk)
+        neg1 = pa.array(np.full(m, -1, dtype=np.int64))
+        partials = pa.table(
+            {
+                "kind": pa.array(np.zeros(m, dtype=np.int8)),
+                "type_from": pa.array(
+                    vocab[(uk // (len(vocab_t) + 1))].astype(object), pa.string()
+                ),
+                "type_to": pa.array(
+                    vocab_t[(uk % (len(vocab_t) + 1))].astype(object), pa.string()
+                ),
+                "n": pa.array(cnt.astype(np.int64)),
+                "first_uid": neg1,
+                "first_ts": neg1,
+                "first_eid": neg1,
+                "last_uid": neg1,
+            },
+            schema=_SCHEMA,
+        )
+        edge = pa.table(
+            {
+                "kind": pa.array(np.array([1], dtype=np.int8)),
+                "type_from": pa.array([str(ty[-1])], pa.string()),  # block tail type
+                "type_to": pa.array([str(ty[0])], pa.string()),  # block head type
+                "n": pa.array([0], type=pa.int64()),
+                "first_uid": pa.array([int(uid[0])], type=pa.int64()),
+                "first_ts": pa.array([int(t["ts_us"][0].as_py())], type=pa.int64()),
+                "first_eid": pa.array([int(t["event_id"][0].as_py())], type=pa.int64()),
+                "last_uid": pa.array([int(uid[-1])], type=pa.int64()),
+            },
+            schema=_SCHEMA,
+        )
+        return pa.concat_tables([partials, edge])
+
+    tagged = rows.map_batches(
+        per_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()  # O(types^2 x blocks + blocks) rows
+
+    partials = tagged.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 1)).select(
+            ["type_from", "type_to", "first_uid", "first_ts", "first_eid", "last_uid"]
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    partials.sort(key=lambda e: (e["first_uid"], e["first_ts"], e["first_eid"]))
+    bnd: dict[tuple[str, str], int] = {}
+    for i in range(1, len(partials)):
+        if partials[i]["first_uid"] == partials[i - 1]["last_uid"]:
+            k = (partials[i - 1]["type_from"], partials[i]["type_to"])
+            bnd[k] = bnd.get(k, 0) + 1
+
+    trans = tagged.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(
+            ["type_from", "type_to", "n"]
+        ),
+        batch_format="pyarrow",
+    )
+    if bnd:
+        ks = sorted(bnd)
+        extra = pa.table(
+            {
+                "type_from": pa.array([k[0] for k in ks], pa.string()),
+                "type_to": pa.array([k[1] for k in ks], pa.string()),
+                "n": pa.array([bnd[k] for k in ks], pa.int64()),
+            }
+        )
+        trans = trans.union(ray.data.from_arrow(extra))
+
+    out = grouped_sum(
+        trans, ["type_from", "type_to"], {"n": ("n", "sum")}, merge="driver"
+    )
+    return out.sort(["type_from", "type_to"])
+
+
+EVENTS_TYPE_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS type_to,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS type_from
+  FROM events
+)
+SELECT type_from, type_to, count(*)::BIGINT AS n
+FROM seq WHERE type_from IS NOT NULL
+GROUP BY 1, 2
+ORDER BY type_from, type_to
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact per-type variance: the numerically-hazardous aggregate done in
+# EXACT integer arithmetic — per-type (n, sum_c, sumsq_c) stream as
+# int64 partials (driver-merged, bounded types), then the sample
+# variance numerator n*sumsq - sum^2 evaluates in PYTHON INTS on the
+# driver (arbitrary precision) exactly where the SQL twin evaluates in
+# HUGEINT; only the final floor-divided result (fits int64) crosses.
+# ---------------------------------------------------------------------------
+
+
+def events_value_variance(sf_dir: str):
+    import ray.data
+
+    from .common import grouped_sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        vc = pc.cast(pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64())
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "v": vc,
+                "v2": pc.multiply(vc, vc),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    agg = grouped_sum(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        {"n": ("one", "sum"), "sum_c": ("v", "sum"), "sumsq_c": ("v2", "sum")},
+        merge="driver",
+    )
+    t = pa.concat_tables(
+        [b for b in agg.iter_batches(batch_size=None, batch_format="pyarrow")]
+    )
+    ns = t["n"].to_pylist()
+    sums = t["sum_c"].to_pylist()
+    sqs = t["sumsq_c"].to_pylist()
+    mean_c = [s // n for s, n in zip(sums, ns)]
+    var_c2 = [
+        ((n * q - s * s) // (n * (n - 1))) if n > 1 else 0
+        for n, s, q in zip(ns, sums, sqs)
+    ]
+    out = pa.table(
+        {
+            "event_type": t["event_type"],
+            "n": pa.array(ns, pa.int64()),
+            "mean_c": pa.array(mean_c, pa.int64()),
+            "var_c2": pa.array(var_c2, pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out).sort("event_type")
+
+
+EVENTS_VALUE_VARIANCE_SQL = """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) // count(*) AS BIGINT)
+         AS mean_c,
+       CAST(CASE WHEN count(*) > 1 THEN
+         (count(*) * sum(CAST(floor(value * 100.0) AS BIGINT)
+                         * CAST(floor(value * 100.0) AS BIGINT))
+          - sum(CAST(floor(value * 100.0) AS BIGINT))
+            * sum(CAST(floor(value * 100.0) AS BIGINT)))
+         // (count(*) * (count(*) - 1))
+       ELSE 0 END AS BIGINT) AS var_c2
+FROM events
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user MODE (most frequent event type, ties -> lexicographically
+# smallest): grouped argmax over an UNBOUNDED user key — counts and
+# maxes are two bucketed exchanges, the argmax recovery is one bucketed
+# hash_join + equality filter, tie-break is a string-min grouped_sum.
+# No driver state at any user cardinality.
+# ---------------------------------------------------------------------------
+
+
+def events_user_mode(sf_dir: str):
+    from ..stages.join import hash_join
+    from .common import grouped_sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "event_type": t["event_type"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    counts = grouped_sum(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "event_type"],
+        {"cnt": ("one", "sum")},
+    ).materialize()  # feeds both the max exchange and the join
+
+    maxes = grouped_sum(counts, ["user_id"], {"mx": ("cnt", "max")})
+    j = hash_join(
+        counts,
+        maxes,
+        on="user_id",
+        left_cols=["user_id", "event_type", "cnt"],
+        right_cols=["user_id", "mx"],
+    )
+
+    def keep_max(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["cnt"], t["mx"]))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "mx": t["mx"],
+            }
+        )
+
+    out = grouped_sum(
+        j.map_batches(keep_max, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        {"mode_type": ("event_type", "min"), "n_events": ("mx", "min")},
+    )
+    return out.sort("user_id")
+
+
+EVENTS_USER_MODE_SQL = """
+WITH c AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT user_id, max(cnt) AS mx FROM c GROUP BY 1
+)
+SELECT c.user_id, min(event_type) AS mode_type, CAST(mx AS BIGINT) AS n_events
+FROM c JOIN m ON c.user_id = m.user_id AND c.cnt = m.mx
+GROUP BY c.user_id, mx
+ORDER BY c.user_id
+"""

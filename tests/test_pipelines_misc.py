@@ -1573,3 +1573,23 @@ def test_merge_upsert_semantics_and_block_invariance(ray_session, sf_small):
     finally:
         ctx.target_max_block_size = old
     assert tiny.values.tolist() == df.values.tolist()
+
+
+def test_type_transitions_block_invariance(ray_session, sf_small):
+    """The O(blocks) boundary repair in events_type_transitions is
+    exact under forced tiny blocks (many single-row blocks splitting
+    users mid-sequence)."""
+    from ray.data import DataContext
+
+    from geografir_ray.pipelines.events import events_type_transitions
+
+    base = events_type_transitions(sf_small).to_pandas()
+    assert base["n"].sum() > 0
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 4 * 1024
+        tiny = events_type_transitions(sf_small).to_pandas()
+    finally:
+        ctx.target_max_block_size = old
+    assert tiny.values.tolist() == base.values.tolist()
