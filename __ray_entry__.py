@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped argmax with payload carry + tombstone drop
         "docs_merge_upsert": D.docs_merge_upsert,
         "docs_jsonl_ingest": D.docs_jsonl_ingest,
+        "docs_partitioned_export": D.docs_partitioned_export,
         "docs_jaccard_pairs": D.docs_jaccard_pairs,
         "docs_containment_pairs": D.docs_containment_pairs,
         "docs_quality": D.docs_quality,
@@ -270,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_normalized_dedup": D.DOCS_NORMALIZED_DEDUP_SQL,
         "docs_merge_upsert": D.DOCS_MERGE_UPSERT_SQL,
         "docs_jsonl_ingest": D.DOCS_JSONL_INGEST_SQL,
+        "docs_partitioned_export": D.DOCS_PARTITIONED_EXPORT_SQL,
         "docs_jaccard_pairs": D.DOCS_JACCARD_SQL,
         "docs_containment_pairs": D.DOCS_CONTAINMENT_SQL,
         "docs_quality": D.DOCS_QUALITY_SQL,

@@ -4437,3 +4437,76 @@ SELECT doc_id, lang, distinct_pct,
 FROM w
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Partitioned-parquet export + partition-PRUNED read-back: the
+# resumable-output convention (one directory per partition value;
+# failed runs skip finished partitions) proven end to end — the
+# read-back opens ONLY the requested partition's directory, so pruning
+# is path-level (absent partitions are never even listed).
+# ---------------------------------------------------------------------------
+
+_EXPORT_LANG = "en"
+
+
+def docs_partitioned_export(sf_dir: str):
+    """Write the documents table partitioned by lang (the resumable
+    layout from sources/text.write_partitioned), then compute per-source
+    stats from a read of ONLY the lang='en' partition directory.  The
+    oracle runs WHERE lang = 'en' over the ORIGINAL parquet, so any row
+    loss / duplication / text corruption through the partitioned
+    round trip breaks the value hash."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from ..sources.text import write_partitioned
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_part_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    write_partitioned(ds, out_dir, ["lang"])
+
+    # path-level partition pruning: only lang=en is ever opened
+    part = ray.data.read_parquet(
+        os.path.join(out_dir, f"lang={_EXPORT_LANG}"),
+        columns=["doc_id", "text", "source"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t["source"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+                "min_doc": pc.cast(t["doc_id"], pa.int64()),
+            }
+        )
+
+    agg = grouped_sum(
+        part.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        {
+            "n_docs": ("one", "sum"),
+            "total_chars": ("chars", "sum"),
+            "min_doc": ("min_doc", "min"),
+        },
+        merge="driver",  # source count provably bounded
+    )
+    return agg.sort("source")
+
+
+DOCS_PARTITIONED_EXPORT_SQL = f"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM documents
+WHERE lang = '{_EXPORT_LANG}'
+GROUP BY source
+ORDER BY source
+"""
