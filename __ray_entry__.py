@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ivfpq_knn": M.emb_ivfpq_knn,  # rows-only: IVF-pruned PQ scores
         "emb_dim_stats": M.emb_dim_stats,
         "emb_kmeans": M.emb_kmeans,  # rows-only: iterative Lloyd refinement
+        "emb_pca_power": M.emb_pca_power,  # rows-only: float eigenvector, invariance-gated
         "emb_semantic_dedup": M.emb_semantic_dedup,  # rows-only: kmeans buckets
         # raster (tile tables / masked stats / burn / conform)
         "raster_tile_stats": RQ.raster_tile_stats,

@@ -1806,3 +1806,108 @@ def semantic_dedup(
         .map_groups(dedup_group, batch_format="pyarrow")
         .sort("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (top principal component) by power iteration — the
+# iterative-linear-algebra surface beyond k-means: each iteration is
+# ONE streaming pass computing w = X^T (X v) from per-batch partials.
+# Partials accumulate in FIXED-POINT int64 per ROW (scale 2^32, the
+# k-means determinism device): integer addition is associative, so the
+# fitted component is bit-identical under ANY partitioning or block
+# order.  Only a dim-length vector leaves each block; the driver
+# normalizes (and fixes the sign to the largest-|coord| positive) —
+# rows-only entry (float eigenvector; gated by invariance + agreement
+# tests vs a local eigensolve).  The synth embeddings are nearly
+# isotropic (top eigen-gap ~1.07), so convergence needs ~64 passes —
+# each pass streams once and ships only dim-length partials, so
+# iteration count, not data volume, is the cost.
+# ---------------------------------------------------------------------------
+
+_PCA_SCALE = float(1 << 32)
+
+
+def pca_power_fit(ds, n_iters: int = 64, dim: int = EMB_DIM, seed: int = 0):
+    """Top principal direction (uncentered second moment — add a
+    centering pass upstream if means matter) of the ``embedding``
+    column.  Returns (v (dim,) float64 unit, lam float64) where
+    lam = v.(X^T X v)/n along the way."""
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    v = synth_vectors(np.arange(1, dtype=np.int64) + seed + 9_000_000, dim)[0]
+    v = v / np.linalg.norm(v)
+
+    _PART = pa.schema([("sums", pa.list_(pa.int64())), ("n", pa.int64())])
+
+    def partials(state, t: pa.Table) -> pa.Table:
+        vv = state
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        m = _emb_matrix(t).astype(np.float64)
+        d = m @ vv
+        fixed = np.round(m * d[:, None] * _PCA_SCALE).astype(np.int64)
+        s = fixed.sum(axis=0)
+        return pa.table(
+            {
+                "sums": pa.ListArray.from_arrays(
+                    pa.array([0, dim], type=pa.int32()), pa.array(s)
+                ),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    lam = 0.0
+    n_total = 0
+    for _ in range(n_iters):
+        ref = ray.put(v)
+        part = ds.map_batches(
+            with_broadcast(ref, partials, "pca_power"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        tot = np.zeros(dim, dtype=np.int64)
+        n_total = 0
+        for b in part.iter_batches(batch_size=None, batch_format="pyarrow"):
+            if b.num_rows == 0:
+                continue
+            sm = (
+                b["sums"].combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+                .reshape(b.num_rows, dim)
+            )
+            tot += sm.sum(axis=0)
+            n_total += int(b["n"].to_numpy().sum())
+        w = tot / _PCA_SCALE
+        lam = float(v @ w) / max(n_total, 1)
+        nrm = np.linalg.norm(w)
+        if nrm == 0.0:
+            break
+        v = w / nrm
+    # deterministic sign: largest-|coordinate| positive
+    j = int(np.argmax(np.abs(v)))
+    if v[j] < 0:
+        v = -v
+    return v, lam
+
+
+def emb_pca_power(sf_dir: str, n_iters: int = 64):
+    """rows-only: per-dim top principal component in fixed-point 1e9
+    plus the Rayleigh-quotient eigenvalue estimate — floats are not
+    SQL-hashable; gated by bit-identical partition invariance and
+    >=0.99 agreement with a driver-local eigensolve in tests."""
+    import ray.data
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    v, lam = pca_power_fit(ds, n_iters=n_iters)
+    out = pa.table(
+        {
+            "dim": pa.array(np.arange(len(v), dtype=np.int64)),
+            "comp_fp": pa.array(np.round(v * 1e9).astype(np.int64)),
+            "lam_fp": pa.array(
+                np.full(len(v), round(lam * 1e9), dtype=np.int64)
+            ),
+        }
+    )
+    return ray.data.from_arrow(out)

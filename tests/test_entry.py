@@ -37,6 +37,7 @@ def test_queries_have_oracles_or_are_documented(ray_session):
         "emb_pq_refine_knn",
         "emb_ivfpq_knn",
         "emb_kmeans",
+        "emb_pca_power",
         "emb_semantic_dedup",
         "mm_features",
         "mm_image_features",

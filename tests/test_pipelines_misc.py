@@ -1593,3 +1593,39 @@ def test_type_transitions_block_invariance(ray_session, sf_small):
     finally:
         ctx.target_max_block_size = old
     assert tiny.values.tolist() == base.values.tolist()
+
+
+def test_pca_power_invariance_and_agreement(ray_session, sf_small):
+    """The fixed-point power iteration is bit-identical under forced
+    tiny blocks, and the fitted direction agrees with a driver-local
+    eigensolve of the uncentered second-moment matrix (|cos| >= 0.99)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from ray.data import DataContext
+
+    from geografir_ray.pipelines.embeddings import _emb_matrix, emb_pca_power
+
+    base = emb_pca_power(sf_small).to_pandas()
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 8 * 1024
+        tiny = emb_pca_power(sf_small).to_pandas()
+    finally:
+        ctx.target_max_block_size = old
+    assert tiny.values.tolist() == base.values.tolist()
+
+    t = pq.read_table(f"{sf_small}/embeddings.parquet", columns=["embedding"])
+    import pyarrow as pa
+
+    m = _emb_matrix(pa.table({"embedding": t["embedding"].combine_chunks()})).astype(
+        np.float64
+    )
+    g = m.T @ m
+    w, vecs = np.linalg.eigh(g)
+    top = vecs[:, -1]
+    got = base["comp_fp"].to_numpy() / 1e9
+    cos = abs(float(top @ got)) / (np.linalg.norm(top) * np.linalg.norm(got))
+    assert cos >= 0.99, cos
+    lam = base["lam_fp"].iloc[0] / 1e9
+    assert lam > 0
