@@ -493,6 +493,144 @@ ORDER BY tile_id
 FOCAL_BUCKETS = 64
 
 
+
+# ---------------------------------------------------------------------------
+# Shared focal-kernel machinery: halo exchange + padded-mosaic assembly
+# (used by raster_focal_sum and raster_slope — any 3x3-neighborhood
+# kernel is one more tail over the same (tiles, 18, 18) pads).
+# ---------------------------------------------------------------------------
+
+def _focal_halo(t: pa.Table, n_buckets: int = FOCAL_BUCKETS) -> pa.Table:
+    data = t["data"]
+    if isinstance(data, pa.ChunkedArray):
+        data = data.combine_chunks()
+    n = len(data)
+    vals = data.flatten().to_numpy(zero_copy_only=False).reshape(
+        n, TILE_PX, TILE_PX
+    )
+    tid = t["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # WRAPPED world-grid coordinates (tiles_dataset's georeference):
+    # tiles whose ids exceed 360*180 overlay earlier world cells, and
+    # the SQL twin joins on the wrapped (gx, gy) — so every exchange
+    # key here is the wrapped world CELL, with the emitting tile_id
+    # carried alongside so output stays per source tile.
+    tx = tid % 360
+    ty = (tid // 360) % 180
+    wcell = ty * 360 + tx
+    out_dest, out_kind, out_src, out_vals = [], [], [], []
+    # kind 0: the tile body itself (256 px)
+    out_dest.append(wcell)
+    out_kind.append(np.zeros(n, dtype=np.int8))
+    out_src.append(tid)
+    out_vals.append(vals.reshape(n, -1))
+    # kinds 1..8: strips to each neighbor  (dx, dy, slice)
+    strips = [
+        (1, -1, 0, np.s_[:, :, :1]),    # W neighbor gets our left col
+        (2, 1, 0, np.s_[:, :, -1:]),    # E neighbor gets our right col
+        (3, 0, -1, np.s_[:, :1, :]),    # S (lower ty) gets our bottom row
+        (4, 0, 1, np.s_[:, -1:, :]),    # N gets our top row
+        (5, -1, -1, np.s_[:, :1, :1]),  # SW corner
+        (6, 1, -1, np.s_[:, :1, -1:]),  # SE corner
+        (7, -1, 1, np.s_[:, -1:, :1]),  # NW corner
+        (8, 1, 1, np.s_[:, -1:, -1:]),  # NE corner
+    ]
+    for kind, dx, dy, sl in strips:
+        ntx, nty = tx + dx, ty + dy
+        ok = (ntx >= 0) & (ntx < 360) & (nty >= 0) & (nty < 180)
+        dest = nty * 360 + ntx
+        strip = vals[sl].reshape(n, -1)
+        out_dest.append(dest[ok])
+        out_kind.append(np.full(int(ok.sum()), kind, dtype=np.int8))
+        out_src.append(np.full(int(ok.sum()), -1, dtype=np.int64))
+        out_vals.append(strip[ok])
+    dest = np.concatenate(out_dest)
+    kind = np.concatenate(out_kind)
+    src = np.concatenate(out_src)
+    flat_parts = [v.ravel() for v in out_vals]
+    lens = np.concatenate(
+        [np.full(v.shape[0], v.shape[1], dtype=np.int64) for v in out_vals]
+    )
+    offs = np.r_[0, np.cumsum(lens)]
+    return pa.table(
+        {
+            "dest": pa.array(dest),
+            "bucket": pa.array(
+                ((dest * np.int64(2654435761)) % np.int64(n_buckets) + n_buckets)
+                % n_buckets
+            ),
+            "kind": pa.array(kind),
+            "src": pa.array(src),
+            "vals": pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int64()), pa.array(np.concatenate(flat_parts))
+            ),
+        }
+    )
+
+
+_PLACE = {
+    0: (np.s_[1:17, 1:17], (TILE_PX, TILE_PX)),
+    1: (np.s_[1:17, 17:18], (TILE_PX, 1)),   # from E emitter's view: W nbr
+    2: (np.s_[1:17, 0:1], (TILE_PX, 1)),
+    3: (np.s_[17:18, 1:17], (1, TILE_PX)),
+    4: (np.s_[0:1, 1:17], (1, TILE_PX)),
+    5: (np.s_[17:18, 17:18], (1, 1)),
+    6: (np.s_[17:18, 0:1], (1, 1)),
+    7: (np.s_[0:1, 17:18], (1, 1)),
+    8: (np.s_[0:1, 0:1], (1, 1)),
+}
+
+
+def _accumulate_pads(t: pa.Table):
+    if t.num_rows == 0:
+        return None
+    dest = t["dest"].to_numpy(zero_copy_only=False).astype(np.int64)
+    kind = t["kind"].to_numpy(zero_copy_only=False)
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vcol = t["vals"]
+    if isinstance(vcol, pa.ChunkedArray):
+        vcol = vcol.combine_chunks()
+    flat = vcol.flatten().to_numpy(zero_copy_only=False)
+    offs = vcol.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # world cells that actually exist = have >= 1 kind-0 body row
+    body_rows = np.flatnonzero(kind == 0)
+    uniq = np.unique(dest[body_rows])
+    m = len(uniq)
+    if m == 0:  # bucket holds only strips to absent world cells
+        return None
+    # accumulate per-SOURCE-valid contributions: each contributing
+    # pixel counts iff its own value v % NODATA_MOD != 0, and
+    # overlaying tiles (wrapped ids) ADD — exactly the SQL twin's
+    # LEFT JOIN against the valid-pixel mosaic.
+    vsum = np.zeros((m, TILE_PX + 2, TILE_PX + 2), dtype=np.int64)
+    vcnt = np.zeros((m, TILE_PX + 2, TILE_PX + 2), dtype=np.int64)
+    for k, (sl, shape) in _PLACE.items():
+        rows = np.flatnonzero(kind == k)
+        if rows.size == 0:
+            continue
+        # drop strips destined to absent world cells (no body)
+        p = np.searchsorted(uniq, dest[rows])
+        p_ok = (p < m) & (uniq[np.minimum(p, m - 1)] == dest[rows])
+        rows = rows[p_ok]
+        if rows.size == 0:
+            continue
+        idx = p[p_ok]
+        L = shape[0] * shape[1]
+        gather = offs[rows][:, None] + np.arange(L, dtype=np.int64)[None, :]
+        chunk = flat[gather].reshape(len(rows), *shape)
+        ok = chunk % NODATA_MOD != 0
+        masked = np.where(ok, chunk, 0)
+        cnt = ok.astype(np.int64)
+        if len(np.unique(idx)) == len(idx):
+            # no overlay at this (cell, kind): fast fancy-index add
+            vsum[(idx, *sl)] += masked
+            vcnt[(idx, *sl)] += cnt
+        else:
+            np.add.at(vsum, (idx, *sl), masked)
+            np.add.at(vcnt, (idx, *sl), cnt)
+    return uniq, vsum, vcnt, dest, src, body_rows
+
+
+
 def raster_focal_sum(sf_dir: str, n_buckets: int = FOCAL_BUCKETS):
     """3x3 focal sum/count of VALID (non-nodata) pixels over the global
     mosaic, per pixel.  Missing neighbor tiles contribute nothing (the
@@ -510,88 +648,6 @@ def raster_focal_sum(sf_dir: str, n_buckets: int = FOCAL_BUCKETS):
     9-way equi-join on global pixel coordinates."""
     tiles = tiles_dataset(sf_dir)
 
-    # (direction -> (dx, dy, source-pixel slice in the 16x16 tile))
-    # dx/dy are the NEIGHBOR's offset from the emitting tile; the strip
-    # lands on the opposite edge of the destination's 18x18 pad.
-    def halo(t: pa.Table) -> pa.Table:
-        data = t["data"]
-        if isinstance(data, pa.ChunkedArray):
-            data = data.combine_chunks()
-        n = len(data)
-        vals = data.flatten().to_numpy(zero_copy_only=False).reshape(
-            n, TILE_PX, TILE_PX
-        )
-        tid = t["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # WRAPPED world-grid coordinates (tiles_dataset's georeference):
-        # tiles whose ids exceed 360*180 overlay earlier world cells, and
-        # the SQL twin joins on the wrapped (gx, gy) — so every exchange
-        # key here is the wrapped world CELL, with the emitting tile_id
-        # carried alongside so output stays per source tile.
-        tx = tid % 360
-        ty = (tid // 360) % 180
-        wcell = ty * 360 + tx
-        out_dest, out_kind, out_src, out_vals = [], [], [], []
-        # kind 0: the tile body itself (256 px)
-        out_dest.append(wcell)
-        out_kind.append(np.zeros(n, dtype=np.int8))
-        out_src.append(tid)
-        out_vals.append(vals.reshape(n, -1))
-        # kinds 1..8: strips to each neighbor  (dx, dy, slice)
-        strips = [
-            (1, -1, 0, np.s_[:, :, :1]),    # W neighbor gets our left col
-            (2, 1, 0, np.s_[:, :, -1:]),    # E neighbor gets our right col
-            (3, 0, -1, np.s_[:, :1, :]),    # S (lower ty) gets our bottom row
-            (4, 0, 1, np.s_[:, -1:, :]),    # N gets our top row
-            (5, -1, -1, np.s_[:, :1, :1]),  # SW corner
-            (6, 1, -1, np.s_[:, :1, -1:]),  # SE corner
-            (7, -1, 1, np.s_[:, -1:, :1]),  # NW corner
-            (8, 1, 1, np.s_[:, -1:, -1:]),  # NE corner
-        ]
-        for kind, dx, dy, sl in strips:
-            ntx, nty = tx + dx, ty + dy
-            ok = (ntx >= 0) & (ntx < 360) & (nty >= 0) & (nty < 180)
-            dest = nty * 360 + ntx
-            strip = vals[sl].reshape(n, -1)
-            out_dest.append(dest[ok])
-            out_kind.append(np.full(int(ok.sum()), kind, dtype=np.int8))
-            out_src.append(np.full(int(ok.sum()), -1, dtype=np.int64))
-            out_vals.append(strip[ok])
-        dest = np.concatenate(out_dest)
-        kind = np.concatenate(out_kind)
-        src = np.concatenate(out_src)
-        flat_parts = [v.ravel() for v in out_vals]
-        lens = np.concatenate(
-            [np.full(v.shape[0], v.shape[1], dtype=np.int64) for v in out_vals]
-        )
-        offs = np.r_[0, np.cumsum(lens)]
-        return pa.table(
-            {
-                "dest": pa.array(dest),
-                "bucket": pa.array(
-                    ((dest * np.int64(2654435761)) % np.int64(n_buckets) + n_buckets)
-                    % n_buckets
-                ),
-                "kind": pa.array(kind),
-                "src": pa.array(src),
-                "vals": pa.ListArray.from_arrays(
-                    pa.array(offs, type=pa.int64()), pa.array(np.concatenate(flat_parts))
-                ),
-            }
-        )
-
-    # where each kind lands in the destination's 18x18 pad
-    _PLACE = {
-        0: (np.s_[1:17, 1:17], (TILE_PX, TILE_PX)),
-        1: (np.s_[1:17, 17:18], (TILE_PX, 1)),   # from E emitter's view: W nbr
-        2: (np.s_[1:17, 0:1], (TILE_PX, 1)),
-        3: (np.s_[17:18, 1:17], (1, TILE_PX)),
-        4: (np.s_[0:1, 1:17], (1, TILE_PX)),
-        5: (np.s_[17:18, 17:18], (1, 1)),
-        6: (np.s_[17:18, 0:1], (1, 1)),
-        7: (np.s_[0:1, 17:18], (1, 1)),
-        8: (np.s_[0:1, 0:1], (1, 1)),
-    }
-
     _OUT = pa.schema(
         [
             ("tile_id", pa.int64()),
@@ -601,53 +657,15 @@ def raster_focal_sum(sf_dir: str, n_buckets: int = FOCAL_BUCKETS):
         ]
     )
 
+    def halo(t: pa.Table) -> pa.Table:
+        return _focal_halo(t, n_buckets)
+
     def assemble(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
+        acc = _accumulate_pads(t)
+        if acc is None:
             return _OUT.empty_table()
-        dest = t["dest"].to_numpy(zero_copy_only=False).astype(np.int64)
-        kind = t["kind"].to_numpy(zero_copy_only=False)
-        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        vcol = t["vals"]
-        if isinstance(vcol, pa.ChunkedArray):
-            vcol = vcol.combine_chunks()
-        flat = vcol.flatten().to_numpy(zero_copy_only=False)
-        offs = vcol.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        # world cells that actually exist = have >= 1 kind-0 body row
-        body_rows = np.flatnonzero(kind == 0)
-        uniq = np.unique(dest[body_rows])
+        uniq, vsum, vcnt, dest, src, body_rows = acc
         m = len(uniq)
-        if m == 0:  # bucket holds only strips to absent world cells
-            return _OUT.empty_table()
-        # accumulate per-SOURCE-valid contributions: each contributing
-        # pixel counts iff its own value v % NODATA_MOD != 0, and
-        # overlaying tiles (wrapped ids) ADD — exactly the SQL twin's
-        # LEFT JOIN against the valid-pixel mosaic.
-        vsum = np.zeros((m, TILE_PX + 2, TILE_PX + 2), dtype=np.int64)
-        vcnt = np.zeros((m, TILE_PX + 2, TILE_PX + 2), dtype=np.int64)
-        for k, (sl, shape) in _PLACE.items():
-            rows = np.flatnonzero(kind == k)
-            if rows.size == 0:
-                continue
-            # drop strips destined to absent world cells (no body)
-            p = np.searchsorted(uniq, dest[rows])
-            p_ok = (p < m) & (uniq[np.minimum(p, m - 1)] == dest[rows])
-            rows = rows[p_ok]
-            if rows.size == 0:
-                continue
-            idx = p[p_ok]
-            L = shape[0] * shape[1]
-            gather = offs[rows][:, None] + np.arange(L, dtype=np.int64)[None, :]
-            chunk = flat[gather].reshape(len(rows), *shape)
-            ok = chunk % NODATA_MOD != 0
-            masked = np.where(ok, chunk, 0)
-            cnt = ok.astype(np.int64)
-            if len(np.unique(idx)) == len(idx):
-                # no overlay at this (cell, kind): fast fancy-index add
-                vsum[(idx, *sl)] += masked
-                vcnt[(idx, *sl)] += cnt
-            else:
-                np.add.at(vsum, (idx, *sl), masked)
-                np.add.at(vcnt, (idx, *sl), cnt)
         fs = np.zeros((m, TILE_PX, TILE_PX), dtype=np.int64)
         nv = np.zeros((m, TILE_PX, TILE_PX), dtype=np.int64)
         for dy in (0, 1, 2):
@@ -695,5 +713,92 @@ FROM px a
 CROSS JOIN offs o
 LEFT JOIN valid b ON b.gx = a.gx + o.dx AND b.gy = a.gy + o.dy
 GROUP BY a.tile_id, a.i
+ORDER BY tile_id, pix
+"""
+
+
+# ---------------------------------------------------------------------------
+# raster_slope: central-difference gradient over the valid mosaic —
+# a second 3x3 kernel on the SAME halo-exchange machinery
+# (_focal_halo + _accumulate_pads), proving the pads generalize past
+# sum/count.  dx = E - W, dy = N - S over the SUMMED valid mosaic
+# (invalid/absent neighbors contribute 0, exactly the SQL twin's
+# COALESCE(LEFT JOIN, 0)); mag2 = dx^2 + dy^2 stays int64-exact at
+# every tested scale (|v| <= partkey*65536 + 256 -> dx^2 < 2^62).
+# ---------------------------------------------------------------------------
+
+
+def raster_slope(sf_dir: str, n_buckets: int = FOCAL_BUCKETS):
+    tiles = tiles_dataset(sf_dir)
+
+    _OUT = pa.schema(
+        [
+            ("tile_id", pa.int64()),
+            ("pix", pa.int64()),
+            ("dx", pa.int64()),
+            ("dy", pa.int64()),
+            ("mag2", pa.int64()),
+        ]
+    )
+
+    def halo(t: pa.Table) -> pa.Table:
+        return _focal_halo(t, n_buckets)
+
+    def assemble(t: pa.Table) -> pa.Table:
+        acc = _accumulate_pads(t)
+        if acc is None:
+            return _OUT.empty_table()
+        uniq, vsum, _vcnt, dest, src, body_rows = acc
+        # pad layout: row index grows with gy, col with gx (see _PLACE)
+        dx = vsum[:, 1:17, 2:18] - vsum[:, 1:17, 0:16]
+        dy = vsum[:, 2:18, 1:17] - vsum[:, 0:16, 1:17]
+        assert int(np.abs(dx).max(initial=0)) < (1 << 31) and int(
+            np.abs(dy).max(initial=0)
+        ) < (1 << 31), "gradient exceeds int64-exact square range"
+        mag2 = dx * dx + dy * dy
+        out_tiles = src[body_rows]
+        cell_idx = np.searchsorted(uniq, dest[body_rows])
+        nt = len(out_tiles)
+        pix = np.tile(np.arange(TILE_PX * TILE_PX, dtype=np.int64), nt)
+        return pa.table(
+            {
+                "tile_id": pa.array(np.repeat(out_tiles, TILE_PX * TILE_PX)),
+                "pix": pa.array(pix),
+                "dx": pa.array(dx[cell_idx].reshape(-1)),
+                "dy": pa.array(dy[cell_idx].reshape(-1)),
+                "mag2": pa.array(mag2[cell_idx].reshape(-1)),
+            }
+        )
+
+    out = (
+        tiles.map_batches(halo, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(assemble, batch_format="pyarrow")
+    )
+    return out.repartition(8).sort(["tile_id", "pix"])
+
+
+RASTER_SLOPE_SQL = f"""
+WITH px AS (
+  SELECT p_partkey AS tile_id, i,
+         (p_partkey % 360) * {TILE_PX} + (i % {TILE_PX}) AS gx,
+         ((p_partkey // 360) % 180) * {TILE_PX} + (i // {TILE_PX}) AS gy,
+         p_partkey * {TILE_PX * TILE_PX} + i AS v
+  FROM part, generate_series(0, {TILE_PX * TILE_PX - 1}) AS t(i)
+),
+vsum AS (
+  SELECT gx, gy, sum(v) AS v FROM px WHERE v % {NODATA_MOD} <> 0 GROUP BY 1, 2
+)
+SELECT a.tile_id, CAST(a.i AS BIGINT) AS pix,
+       CAST(COALESCE(e.v, 0) - COALESCE(w.v, 0) AS BIGINT) AS dx,
+       CAST(COALESCE(n.v, 0) - COALESCE(s.v, 0) AS BIGINT) AS dy,
+       CAST((COALESCE(e.v, 0) - COALESCE(w.v, 0)) * (COALESCE(e.v, 0) - COALESCE(w.v, 0))
+          + (COALESCE(n.v, 0) - COALESCE(s.v, 0)) * (COALESCE(n.v, 0) - COALESCE(s.v, 0))
+         AS BIGINT) AS mag2
+FROM px a
+LEFT JOIN vsum e ON e.gx = a.gx + 1 AND e.gy = a.gy
+LEFT JOIN vsum w ON w.gx = a.gx - 1 AND w.gy = a.gy
+LEFT JOIN vsum n ON n.gx = a.gx AND n.gy = a.gy + 1
+LEFT JOIN vsum s ON s.gx = a.gx AND s.gy = a.gy - 1
 ORDER BY tile_id, pix
 """
