@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_price_per_segment": R.median_price_per_segment,
         "p95_price_per_segment": R.p95_price_per_segment,
         "revenue_rollup": R.revenue_rollup,
+        "revenue_cube": R.revenue_cube,
         "cust_orders_left": R.cust_orders_left,
         "cust_no_recent_orders": R.cust_no_recent_orders,
         "approx_distinct_parts": R.approx_distinct_parts,  # rows-only: HLL sketch
@@ -333,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
         "median_price_per_segment": R.MEDIAN_PRICE_SQL,
         "p95_price_per_segment": R.P95_PRICE_SQL,
         "revenue_rollup": R.REVENUE_ROLLUP_SQL,
+        "revenue_cube": R.REVENUE_CUBE_SQL,
         "cust_orders_left": R.CUST_ORDERS_LEFT_SQL,
         "cust_no_recent_orders": R.CUST_NO_RECENT_ORDERS_SQL,
         "join_orders_native": R.JOIN_ORDERS_SQL,

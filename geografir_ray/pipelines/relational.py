@@ -2573,3 +2573,84 @@ FROM ranked JOIN nation ON ranked.n_nationkey = nation.n_nationkey
 WHERE rnk <= 3
 ORDER BY n_name, rnk, p_partkey
 """
+
+# ---------------------------------------------------------------------------
+# revenue_cube: GROUP BY CUBE — all four grouping sets over
+# (returnflag, linestatus), completing the grouping-sets surface next
+# to revenue_rollup.  Same scale design: ONE shuffle computes the
+# finest (bounded) level; the other three sets re-aggregate from those
+# few rows on the driver (integer-cents sums are associative).
+# ---------------------------------------------------------------------------
+
+
+def revenue_cube(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "rev_c": floor_scale(rev),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    fine = grouped_sum(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        {"revenue_c": ("rev_c", "sum"), "n_items": ("one", "sum")},
+        merge="driver",  # bounded: |flags| x |statuses|
+    ).to_pandas()
+
+    by_flag = (
+        fine.groupby("l_returnflag", as_index=False)[["revenue_c", "n_items"]]
+        .sum()
+        .assign(l_linestatus="ALL")
+    )
+    by_status = (
+        fine.groupby("l_linestatus", as_index=False)[["revenue_c", "n_items"]]
+        .sum()
+        .assign(l_returnflag="ALL")
+    )
+    top = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "revenue_c": [fine["revenue_c"].sum()],
+            "n_items": [fine["n_items"].sum()],
+        }
+    )
+    cols = ["l_returnflag", "l_linestatus", "revenue_c", "n_items"]
+    out = pd.concat(
+        [fine[cols], by_flag[cols], by_status[cols], top[cols]], ignore_index=True
+    ).sort_values(["l_returnflag", "l_linestatus"], kind="mergesort")
+    out["revenue"] = out["revenue_c"].astype(np.int64) / 100.0
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return ray.data.from_pandas(
+        out[["l_returnflag", "l_linestatus", "revenue", "n_items"]].reset_index(
+            drop=True
+        )
+    )
+
+
+REVENUE_CUBE_SQL = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum({floor_scale_sql('l_extendedprice * (1 - l_discount)')}) AS BIGINT)
+         / 100.0 AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
