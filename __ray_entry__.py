@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ivf_knn": M.emb_ivf_knn,  # rows-only: approximate by design
         "emb_ivf_join": M.emb_ivf_join,  # rows-only: approximate by design
         "emb_pq_knn": M.emb_pq_knn,  # rows-only: PQ-quantized scores
+        "emb_sq_knn": M.emb_sq_knn,  # rows-only: SQ8-quantized scores, recall-gated
         "emb_pq_refine_knn": M.emb_pq_refine_knn,  # rows-only: PQ shortlist, exact re-rank
         "emb_ivfpq_knn": M.emb_ivfpq_knn,  # rows-only: IVF-pruned PQ scores
         "emb_dim_stats": M.emb_dim_stats,

@@ -1911,3 +1911,130 @@ def emb_pca_power(sf_dir: str, n_iters: int = 64):
         }
     )
     return ray.data.from_arrow(out)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8, FAISS IndexScalarQuantizer shape): per-dim
+# min/max train pass -> uint8 codes (4x memory reduction vs f32, 8x vs
+# f64) -> decode-at-score.  Completes the compression family next to
+# PQ/IVF-PQ: SQ trades less compression for near-lossless recall and
+# needs no codebook training.  The decode stage streams the codes
+# table back into the EXACT generic top-k operator, so all the
+# bounded-exchange/merge machinery is reused as-is.
+# ---------------------------------------------------------------------------
+
+
+def sq_fit(ds, dim: int = EMB_DIM):
+    """Per-dimension (min, max) over the embedding column — one
+    streaming pass of per-batch partial extrema, driver-combined
+    (dim-length arrays; order-free, so partition-invariant)."""
+    _PART = pa.schema([("mins", pa.list_(pa.float64())), ("maxs", pa.list_(pa.float64()))])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        m = _emb_matrix(t).astype(np.float64)
+        offs = pa.array([0, m.shape[1]], type=pa.int32())
+        return pa.table(
+            {
+                "mins": pa.ListArray.from_arrays(offs, pa.array(m.min(axis=0))),
+                "maxs": pa.ListArray.from_arrays(offs, pa.array(m.max(axis=0))),
+            }
+        )
+
+    vmin = np.full(dim, np.inf)
+    vmax = np.full(dim, -np.inf)
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        mn = b["mins"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mx = b["maxs"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        vmin = np.minimum(vmin, mn.reshape(b.num_rows, dim).min(axis=0))
+        vmax = np.maximum(vmax, mx.reshape(b.num_rows, dim).max(axis=0))
+    return vmin, vmax
+
+
+def sq_encode_dataset(ds, vmin: np.ndarray, vmax: np.ndarray):
+    """(vec_id, code list<uint8>) — round((x-min)/(max-min)*255),
+    degenerate dims (max == min) encode to 0."""
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    span = np.where(vmax > vmin, vmax - vmin, 1.0)
+    ref = ray.put((vmin, span))
+
+    def encode(state, t: pa.Table) -> pa.Table:
+        vmin, span = state
+        if t.num_rows == 0:
+            return pa.schema(
+                [("vec_id", pa.int64()), ("code", pa.list_(pa.uint8()))]
+            ).empty_table()
+        m = _emb_matrix(t).astype(np.float64)
+        q = np.clip(np.round((m - vmin) / span * 255.0), 0, 255).astype(np.uint8)
+        offs = pa.array(
+            np.arange(0, (t.num_rows + 1) * m.shape[1], m.shape[1], dtype=np.int32)
+        )
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(vid),
+                "code": pa.ListArray.from_arrays(offs, pa.array(q.ravel())),
+            }
+        )
+
+    return ds.map_batches(
+        with_broadcast(ref, encode, "sq_encode"), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def sq_decoded_view(codes_ds, vmin: np.ndarray, vmax: np.ndarray, dim: int = EMB_DIM):
+    """Streaming decode of an SQ8 codes table back to (vec_id,
+    embedding) — feeds the exact generic operators unchanged."""
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    span = np.where(vmax > vmin, vmax - vmin, 1.0)
+    ref = ray.put((vmin, span))
+
+    def decode(state, t: pa.Table) -> pa.Table:
+        vmin, span = state
+        if t.num_rows == 0:
+            return pa.schema(
+                [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+            ).empty_table()
+        col = t["code"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        q = col.flatten().to_numpy(zero_copy_only=False).reshape(t.num_rows, dim)
+        x = (q.astype(np.float64) / 255.0 * span + vmin).astype(np.float32)
+        offs = pa.array(
+            np.arange(0, (t.num_rows + 1) * dim, dim, dtype=np.int32)
+        )
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "embedding": pa.ListArray.from_arrays(offs, pa.array(x.ravel())),
+            }
+        )
+
+    return codes_ds.map_batches(
+        with_broadcast(ref, decode, "sq_decode"), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def emb_sq_knn(sf_dir: str):
+    """SQ8 approximate top-5 (rows-only: quantized scores; recall vs
+    brute is gated in tests): train extrema -> encode to uint8 codes ->
+    streaming decode -> the EXACT generic top-k operator."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    vmin, vmax = sq_fit(ds)
+    codes = sq_encode_dataset(ds, vmin, vmax)
+    decoded = sq_decoded_view(codes, vmin, vmax)
+    qids, qn = _queries_payload(sf_dir)
+    return ann_brute_topk(decoded, qids, qn, k=TOP_K, exclude_self=True)

@@ -34,6 +34,7 @@ def test_queries_have_oracles_or_are_documented(ray_session):
         "emb_ivf_knn",
         "emb_ivf_join",
         "emb_pq_knn",
+        "emb_sq_knn",
         "emb_pq_refine_knn",
         "emb_ivfpq_knn",
         "emb_kmeans",

@@ -1629,3 +1629,41 @@ def test_pca_power_invariance_and_agreement(ray_session, sf_small):
     assert cos >= 0.99, cos
     lam = base["lam_fp"].iloc[0] / 1e9
     assert lam > 0
+
+
+def test_sq_knn_recall_and_roundtrip(ray_session, sf_small):
+    """SQ8 codes round-trip within half a quantization step per dim,
+    and the SQ8 top-5 recalls >= 0.95 of the exact brute top-5."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geografir_ray.pipelines.embeddings import (
+        _emb_matrix,
+        _queries_payload,
+        ann_brute_topk,
+        emb_sq_knn,
+        sq_decoded_view,
+        sq_encode_dataset,
+        sq_fit,
+    )
+    from geografir_ray.sources.tables import read_table
+
+    ds = read_table(sf_small, "embeddings", columns=["vec_id", "embedding"])
+    vmin, vmax = sq_fit(ds)
+    codes = sq_encode_dataset(ds, vmin, vmax)
+    decoded = sq_decoded_view(codes, vmin, vmax).to_pandas().sort_values("vec_id")
+    raw = ds.to_pandas().sort_values("vec_id")
+    m_raw = np.stack([np.asarray(v, np.float64) for v in raw["embedding"]])
+    m_dec = np.stack([np.asarray(v, np.float64) for v in decoded["embedding"]])
+    span = np.where(vmax > vmin, vmax - vmin, 1.0)
+    assert (np.abs(m_raw - m_dec) <= span / 255.0 * 0.5 + 1e-9).all()
+
+    got = emb_sq_knn(sf_small).to_pandas()
+    qids, qn = _queries_payload(sf_small)
+    want = ann_brute_topk(ds, qids, qn, k=5, exclude_self=True).to_pandas()
+    inter = 0
+    for q in qids:
+        a = set(got[got["query_id"] == q]["neighbor_id"])
+        b = set(want[want["query_id"] == q]["neighbor_id"])
+        inter += len(a & b) / max(len(b), 1)
+    assert inter / len(qids) >= 0.95, inter / len(qids)
