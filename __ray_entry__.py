@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_transitions": E.events_type_transitions,
         "events_value_variance": E.events_value_variance,
         "events_user_mode": E.events_user_mode,
+        "events_ewma16": E.events_ewma16,
         # documents (text analysis + dedup family)
         "docs_stats": D.docs_stats,
         "docs_term_topk": D.docs_term_topk,
@@ -89,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC snapshot merge (Delta/Hudi MERGE shape): distributed
         # grouped argmax with payload carry + tombstone drop
         "docs_merge_upsert": D.docs_merge_upsert,
+        # SCD Type-2 validity intervals from the same changelog shape
+        "docs_scd2_intervals": D.docs_scd2_intervals,
         "docs_jsonl_ingest": D.docs_jsonl_ingest,
         "docs_partitioned_export": D.docs_partitioned_export,
         "docs_jaccard_pairs": D.docs_jaccard_pairs,
@@ -269,11 +272,13 @@ def oracle_sql() -> dict[str, str]:
         "events_type_transitions": E.EVENTS_TYPE_TRANSITIONS_SQL,
         "events_value_variance": E.EVENTS_VALUE_VARIANCE_SQL,
         "events_user_mode": E.EVENTS_USER_MODE_SQL,
+        "events_ewma16": E.EVENTS_EWMA16_SQL,
         "docs_stats": D.DOCS_STATS_SQL,
         "docs_term_topk": D.DOCS_TERM_TOPK_SQL,
         "docs_exact_dedup": D.DOCS_EXACT_DEDUP_SQL,
         "docs_normalized_dedup": D.DOCS_NORMALIZED_DEDUP_SQL,
         "docs_merge_upsert": D.DOCS_MERGE_UPSERT_SQL,
+        "docs_scd2_intervals": D.DOCS_SCD2_SQL,
         "docs_jsonl_ingest": D.DOCS_JSONL_INGEST_SQL,
         "docs_partitioned_export": D.DOCS_PARTITIONED_EXPORT_SQL,
         "docs_jaccard_pairs": D.DOCS_JACCARD_SQL,

@@ -4510,3 +4510,121 @@ WHERE lang = '{_EXPORT_LANG}'
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 interval construction: the temporal-table builder that
+# complements docs_merge_upsert's keep-latest.  From the same
+# deterministic changelog (base v1, updates v2, delete tombstones v3)
+# it emits EVERY version row with its validity window
+# [version, valid_to) — valid_to = the key's next version (NULL while
+# current) — and an is_current flag (latest AND not a tombstone).
+# Engine shape: one hash-partition exchange on doc_id, then one
+# lexsort + shifted segment compare per bucket (LEAD is an
+# adjacent-row gather once a key's rows are co-located and sorted —
+# no per-key Python, rule 1).  The exchange ships 3 int64s/row at any
+# corpus size.
+# ---------------------------------------------------------------------------
+
+
+def docs_scd2_intervals(sf_dir: str, n_buckets: int = 64):
+    from ..functions.hashing import splitmix64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def changelog(t: pa.Table) -> pa.Table:
+        doc = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        d_upd = doc[doc % 7 == 3]
+        d_del = doc[doc % 13 == 5]
+        docs = np.concatenate([doc, d_upd, d_del])
+        ver = np.concatenate(
+            [
+                np.ones(len(doc), dtype=np.int64),
+                np.full(len(d_upd), 2, dtype=np.int64),
+                np.full(len(d_del), 3, dtype=np.int64),
+            ]
+        )
+        is_del = np.concatenate(
+            [
+                np.zeros(len(doc) + len(d_upd), dtype=np.int64),
+                np.ones(len(d_del), dtype=np.int64),
+            ]
+        )
+        bkt = (splitmix64(docs.astype(np.uint64)) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "__bkt": pa.array(bkt),
+                "doc_id": pa.array(docs),
+                "version": pa.array(ver),
+                "is_delete": pa.array(is_del),
+            }
+        )
+
+    _OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("version", pa.int64()),
+            ("is_delete", pa.int64()),
+            ("valid_to", pa.int64()),
+            ("is_current", pa.int64()),
+        ]
+    )
+
+    def intervals(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return _OUT.empty_table()
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        ver = g["version"].to_numpy(zero_copy_only=False)
+        isd = g["is_delete"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ver, doc))
+        doc, ver, isd = doc[order], ver[order], isd[order]
+        same_next = np.zeros(n, dtype=bool)
+        same_next[:-1] = doc[1:] == doc[:-1]
+        lead = np.zeros(n, dtype=np.int64)
+        lead[:-1] = ver[1:]
+        valid_to = pc.if_else(
+            pa.array(same_next), pa.array(lead), pa.scalar(None, pa.int64())
+        )
+        is_cur = ((~same_next) & (isd == 0)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "version": pa.array(ver),
+                "is_delete": pa.array(isd),
+                "valid_to": valid_to,
+                "is_current": pa.array(is_cur),
+            }
+        )
+
+    return (
+        ds.map_batches(changelog, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bkt")
+        .map_groups(intervals, batch_format="pyarrow")
+        .sort(["doc_id", "version"])
+    )
+
+
+DOCS_SCD2_SQL = """
+WITH changelog AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, 1 AS version, 0 AS is_delete
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), 2, 0 FROM documents WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), 3, 1 FROM documents WHERE doc_id % 13 = 5
+), iv AS (
+  SELECT doc_id, version, is_delete,
+         LEAD(version) OVER (PARTITION BY doc_id ORDER BY version) AS valid_to
+  FROM changelog
+)
+SELECT doc_id, CAST(version AS BIGINT) AS version,
+       CAST(is_delete AS BIGINT) AS is_delete,
+       CAST(valid_to AS BIGINT) AS valid_to,
+       CAST(CASE WHEN valid_to IS NULL AND is_delete = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS is_current
+FROM iv
+ORDER BY doc_id, version
+"""

@@ -3028,3 +3028,117 @@ FROM c JOIN m ON c.user_id = m.user_id AND c.cnt = m.mx
 GROUP BY c.user_id, mx
 ORDER BY c.user_id
 """
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted trailing window (EWMA over the last 16 rows,
+# alpha = 1/2): the position-WEIGHTED ROWS-frame window, complementing
+# events_trailing_24h's unweighted RANGE frame.  Dyadic weights
+# 2^15..2^0 keep the whole computation in exact int64 on both engines
+# (no float recurrence drift): ewma = ewma_num / ewma_den with
+# ewma_num = sum_{j=0..min(r,15)} value_c[i-j] * 2^(15-j) and
+# ewma_den the matching weight sum.  Same one-exchange shape as
+# events_trailing_24h: users hash into buckets, ONE lexsort per
+# bucket, then 16 shifted vectorized adds (a ROWS frame is a fixed
+# number of adjacent-row gathers — no per-user Python, rule 1).
+# ---------------------------------------------------------------------------
+
+
+def events_ewma16(sf_dir: str, n_buckets: int = 64):
+    from ..functions.hashing import splitmix64
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(uid.astype(np.uint64)) % np.uint64(n_buckets)).astype(
+                        np.int64
+                    )
+                ),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "ts_us": pa.array(
+                    t["ts"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .astype(np.int64)
+                ),
+                "user_id": pa.array(uid),
+                "value_c": pc.cast(
+                    pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
+                ),
+            }
+        )
+
+    _OUT = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ewma_num", pa.int64()),
+            ("ewma_den", pa.int64()),
+        ]
+    )
+
+    K = 16
+
+    def bucket_ewma(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return _OUT.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vc = g["value_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, vc = uid[order], eid[order], vc[order]
+        num = np.zeros(n, dtype=np.int64)
+        den = np.zeros(n, dtype=np.int64)
+        for j in range(K):
+            w = np.int64(1) << (K - 1 - j)
+            if j == 0:
+                num += vc * w
+                den += w
+                continue
+            # row i-j contributes iff it exists and is the same user
+            valid = np.zeros(n, dtype=bool)
+            valid[j:] = uid[j:] == uid[:-j]
+            num[j:] += np.where(valid[j:], vc[:-j], 0) * w
+            den[j:] += np.where(valid[j:], w, 0)
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(uid),
+                "ewma_num": pa.array(num),
+                "ewma_den": pa.array(den),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_ewma, batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
+EVENTS_EWMA16_SQL = """
+WITH p AS (
+  SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+         CAST(floor(value * 100.0) AS BIGINT) AS vc,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.event_id, a.user_id,
+       CAST(sum(b.vc * (1::BIGINT << CAST(15 - (a.rn - b.rn) AS INTEGER))) AS BIGINT)
+         AS ewma_num,
+       CAST(sum(1::BIGINT << CAST(15 - (a.rn - b.rn) AS INTEGER)) AS BIGINT)
+         AS ewma_den
+FROM p a JOIN p b
+  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 15 AND a.rn
+GROUP BY a.event_id, a.user_id
+ORDER BY a.event_id
+"""
