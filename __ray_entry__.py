@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_hits": G.graph_hits,
         "graph_triangles": G.graph_triangles,
         "graph_kcore": G.graph_kcore,
+        "graph_bfs_hops": G.graph_bfs_hops,
         "events_staypoints": E.events_staypoints,
         "events_zone_visits": E.events_zone_visits,
         "events_od_matrix": E.events_od_matrix,
@@ -303,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits": G.graph_hits_sql(),
         "graph_triangles": G.graph_triangles_sql(),
         "graph_kcore": G.graph_kcore_sql(),
+        "graph_bfs_hops": G.graph_bfs_hops_sql(),
         "events_staypoints": E.events_staypoints_sql(),
         "events_zone_visits": E.events_zone_visits_sql(),
         "events_od_matrix": E.events_od_matrix_sql(),

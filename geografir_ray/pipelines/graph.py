@@ -1110,3 +1110,173 @@ SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
 ) GROUP BY node
 ORDER BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance — the graph-TRAVERSAL class next to the
+# fixpoint (components), sum-propagate (pagerank/hits) and peel (kcore)
+# families.  Same shard-once BSP shape: the static graph is pre-encoded
+# into B object-store shards and each synchronous round is B min-plus
+# contribution tasks (dist lookup by searchsorted, one np.minimum.at
+# per shard) feeding B merge tasks; only the int64 distance arrays and
+# the sub-INF contribution pieces move per round.  dist_{i+1}(u) =
+# min(dist_i(u), 1 + min over in-neighbours) — after R rounds this is
+# exactly "min hops from any seed, capped at R", matching the unrolled
+# SQL twin round for round.
+# ---------------------------------------------------------------------------
+
+BFS_INF = np.int64(1) << 60
+BFS_ROUNDS = 3
+BFS_SEED_MOD = 97
+
+
+def bfs_bsp(edges, seed_pred, rounds: int = BFS_ROUNDS, n_buckets: int = 64):
+    """BFS hop distances over ``edges`` (src, dst int64) from the seed
+    set ``{node : seed_pred(node)}`` (vectorized numpy predicate over
+    node-id arrays — evaluated bucket-locally, no seed exchange).
+    Returns a Dataset (node, hops) holding every node reached within
+    ``rounds`` hops."""
+    import ray
+    import ray.data
+
+    B = n_buckets
+    mat = edges.materialize()  # pin blocks through the shard build
+    shard_refs, dstp_refs = _shard_graph(mat.to_arrow_refs(), B)
+    nodes_refs, dist_refs = _init_buckets(shard_refs, dstp_refs, B, int(BFS_INF))
+    ray.wait(list(shard_refs), num_returns=B, fetch_local=False)
+    del mat
+
+    def _seed(nodes, d):
+        d = d.copy()
+        d[seed_pred(nodes)] = 0
+        return d
+
+    seed = ray.remote(_seed)
+    dist_refs = [seed.remote(nodes_refs[b], dist_refs[b]) for b in range(B)]
+
+    def _contrib(shard, nodes, d):
+        if len(shard["usrc"]) == 0:
+            e = np.array([], dtype=np.int64)
+            return [(e, e)] * B if B > 1 else (e, e)
+        du = d[np.searchsorted(nodes, shard["usrc"])]
+        per_edge = (du + 1)[shard["src_code"]]
+        c = np.full(len(shard["udst"]), BFS_INF + 1, dtype=np.int64)
+        np.minimum.at(c, shard["dst_code"], per_edge)
+        ub = shard["udst_bkt"]
+        out = []
+        for b in range(B):
+            m = (ub == b) & (c <= BFS_INF)  # ship only reachable dsts
+            out.append((shard["udst"][m], c[m]))
+        return out if B > 1 else out[0]
+
+    def _merge(nodes, d, *pieces):
+        nd = d.copy()
+        for n_, c in pieces:
+            if len(n_):
+                np.minimum.at(nd, np.searchsorted(nodes, n_), c)
+        return nd
+
+    contrib = ray.remote(num_returns=B)(_contrib)
+    merge = ray.remote(_merge)
+
+    for _ in range(rounds):
+        piece = [contrib.remote(shard_refs[b], nodes_refs[b], dist_refs[b])
+                 for b in range(B)]
+        if B == 1:
+            piece = [[p] for p in piece]
+        dist_refs = [
+            merge.remote(nodes_refs[b], dist_refs[b],
+                         *[piece[s][b] for s in range(B)])
+            for b in range(B)
+        ]
+
+    def _emit(nodes, d):
+        m = d < BFS_INF
+        return pa.table({"node": pa.array(nodes[m]), "hops": pa.array(d[m])})
+
+    emit = ray.remote(_emit)
+    out_refs = [emit.remote(nodes_refs[b], dist_refs[b]) for b in range(B)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def graph_bfs_hops(sf_dir: str, rounds: int = BFS_ROUNDS):
+    """Hop distance from the seed customers (custkey % BFS_SEED_MOD == 0)
+    over the UNDIRECTED customer–supplier order graph (one edge per
+    lineitem, both directions).  Exact unrolled-round DuckDB oracle
+    (:func:`graph_bfs_hops_sql`)."""
+    from ..stages.join import hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"okey": pc.cast(t["o_orderkey"], pa.int64()),
+             "cust": pc.cast(t["o_custkey"], pa.int64())}
+        )
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": pc.cast(t["l_orderkey"], pa.int64()),
+                "supp": pc.add(
+                    pc.cast(t["l_suppkey"], pa.int64()),
+                    pa.scalar(SUPP_NODE_OFFSET, pa.int64()),
+                ),
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(l_prep, batch_format="pyarrow"),
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        on="okey",
+        left_cols=["okey", "supp"],
+        right_cols=["okey", "cust"],
+    )
+
+    def both_ways(t: pa.Table) -> pa.Table:
+        c = t["cust"].to_numpy(zero_copy_only=False)
+        s = t["supp"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([c, s])),
+                "dst": pa.array(np.concatenate([s, c])),
+            }
+        )
+
+    edges = joined.map_batches(both_ways, batch_format="pyarrow")
+
+    def seeds(nodes: np.ndarray) -> np.ndarray:
+        return (nodes < SUPP_NODE_OFFSET) & (nodes % BFS_SEED_MOD == 0)
+
+    return bfs_bsp(edges, seeds, rounds=rounds).sort("node")
+
+
+def graph_bfs_hops_sql(rounds: int = BFS_ROUNDS) -> str:
+    head = f"""
+WITH e AS MATERIALIZED (
+  SELECT CAST(o_custkey AS BIGINT) AS src,
+         CAST(l_suppkey AS BIGINT) + {SUPP_NODE_OFFSET} AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT CAST(l_suppkey AS BIGINT) + {SUPP_NODE_OFFSET},
+         CAST(o_custkey AS BIGINT)
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, 0 AS hops FROM e
+  WHERE src < {SUPP_NODE_OFFSET} AND src % {BFS_SEED_MOD} = 0
+)"""
+    step = """,
+d{i} AS MATERIALIZED (
+  SELECT node, MIN(hops) AS hops FROM (
+    SELECT node, hops FROM d{p}
+    UNION ALL
+    SELECT e.dst AS node, d{p}.hops + 1 AS hops
+    FROM e JOIN d{p} ON e.src = d{p}.node
+  ) GROUP BY node
+)"""
+    steps = [step.format(i=i, p=i - 1) for i in range(1, rounds + 1)]
+    return head + "".join(steps) + f"""
+SELECT node, CAST(hops AS BIGINT) AS hops FROM d{rounds} ORDER BY node
+"""

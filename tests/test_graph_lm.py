@@ -414,3 +414,39 @@ def test_kcore_bsp_matches_numpy_peel(ray_session):
             out = kcore_bsp(edges, k=k, n_buckets=nb, max_rounds=40).to_pandas()
             got = dict(zip(out["node"].tolist(), out["deg"].tolist()))
             assert got == exp, (k, nb)
+
+
+def test_bfs_tiny_graph_exact_and_bucket_invariant(ray_session):
+    """bfs_bsp vs a brute frontier BFS on a random sparse digraph, at
+    n_buckets 1 and 8 (bucketing must not change distances)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geografir_ray.pipelines.graph import bfs_bsp
+
+    rng = np.random.default_rng(11)
+    N, M = 60, 150
+    src = rng.integers(0, N, M).astype(np.int64)
+    dst = rng.integers(0, N, M).astype(np.int64)
+
+    def seeds(nodes):
+        return nodes % 7 == 0
+
+    # brute rounds
+    nodes = np.unique(np.concatenate([src, dst]))
+    INF = 1 << 60
+    dist = {int(n): (0 if n % 7 == 0 else INF) for n in nodes}
+    for _ in range(3):
+        nxt = dict(dist)
+        for s, d in zip(src, dst):
+            if dist[int(s)] + 1 < nxt[int(d)]:
+                nxt[int(d)] = dist[int(s)] + 1
+        dist = nxt
+    exp = {n: h for n, h in dist.items() if h < INF}
+
+    for nb in (1, 8):
+        edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+        out = bfs_bsp(edges, seeds, rounds=3, n_buckets=nb).to_pandas()
+        got = dict(zip(out["node"].tolist(), out["hops"].tolist()))
+        assert got == exp, nb
