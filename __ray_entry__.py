@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_convex_hull": S.convex_hull_by_nation,
         "geo_hotspot_clusters": S.geo_hotspot_clusters,
         "geo_radius_join": S.radius_join,
+        "geo_idw_grid": S.geo_idw_grid,
         # events (window / session / as-of)
         "events_hourly": E.events_hourly,
         "events_sessions": E.events_sessions,
@@ -253,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_convex_hull": S.convex_hull_by_nation_sql(),
         "geo_hotspot_clusters": S.GEO_HOTSPOT_CLUSTERS_SQL,
         "geo_radius_join": S.radius_join_sql(),
+        "geo_idw_grid": S.GEO_IDW_GRID_SQL,
         "events_hourly": E.EVENTS_HOURLY_SQL,
         "events_sessions": E.EVENTS_SESSIONS_SQL,
         "events_sessions_sorted": E.EVENTS_SESSIONS_SQL,

@@ -1601,3 +1601,175 @@ WHERE EXISTS (
    OR p.nk IN (SELECT nk FROM singles)
 ORDER BY c_nationkey, x_us, y_us
 """
+
+
+# ---------------------------------------------------------------------------
+# IDW spatial interpolation: estimate a surface value at grid nodes
+# from scattered points — the kriging-lite geostatistics primitive.
+# Grid nodes are the DISTINCT integer-degree corners that contain data
+# (bounded by the world grid at any corpus size); each node averages
+# the points within 3 degrees weighted by 1/d².  Per-pair weights are
+# floor-scaled to int64 BEFORE summation (floor(1e6·v/d²) /
+# floor(1e6/d²)) so both engines sum identical integers in any order —
+# the float-IDW made hash-comparable (rule 5 generalized to weights).
+#
+# Scale shape: node set rides ONE driver-merged bounded aggregate and
+# broadcasts back as a sorted packed-key array (≤64800 keys); each
+# point then probes its 7×7 neighbor corners vectorized (49 shifted
+# membership tests per batch, no join, no exchange of the point side);
+# the final (node → sums) aggregate is bounded and driver-merges.
+# ---------------------------------------------------------------------------
+
+IDW_RADIUS_DEG = 3.0
+IDW_MIN_D2 = 0.0001  # exclude pathological near-node points (both engines)
+
+
+def geo_idw_grid(sf_dir: str):
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "lat": pa.array(synthgeo.synth_lat(k)),
+                "lon": pa.array(synthgeo.synth_lon(k)),
+                "bal": pc.cast(t["c_acctbal"], pa.float64()),
+            }
+        )
+
+    pts = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+    # pass 1: bounded node set (distinct occupied integer corners)
+    def corners(t: pa.Table) -> pa.Table:
+        nlat = np.floor(t["lat"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        nlon = np.floor(t["lon"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        key = np.unique((nlat + 90) * 512 + (nlon + 200))
+        return pa.table({"nkey": pa.array(key),
+                         "one": pa.array(np.ones(len(key), dtype=np.int64))})
+
+    nodes_tbl = grouped_sum(
+        pts.map_batches(corners, batch_format="pyarrow", zero_copy_batch=True),
+        ["nkey"],
+        {"one": ("one", "min")},
+        merge="driver",
+    ).to_pandas()
+    node_keys = np.sort(nodes_tbl["nkey"].values.astype(np.int64))
+    ref = ray.put(node_keys)
+
+    _OFFS = [(di, dj) for di in range(-3, 4) for dj in range(-3, 4)]
+
+    def contrib(keys: np.ndarray, t: pa.Table) -> pa.Table:
+        if len(keys) == 0:
+            return pa.table(
+                {
+                    "nkey": pa.array([], pa.int64()),
+                    "one": pa.array([], pa.int64()),
+                    "num": pa.array([], pa.int64()),
+                    "den": pa.array([], pa.int64()),
+                }
+            )
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        bal = t["bal"].to_numpy(zero_copy_only=False)
+        flat = np.floor(lat).astype(np.int64)
+        flon = np.floor(lon).astype(np.int64)
+        out_k, out_num, out_den = [], [], []
+        for di, dj in _OFFS:
+            nlat = flat + di
+            nlon = flon + dj
+            dlat = lat - nlat
+            dlon = lon - nlon
+            d2 = dlat * dlat + dlon * dlon
+            # 512 stride / +200 offset: probe corners up to 3 deg
+            # OUTSIDE the world lon range must not collide with a
+            # real node's key ((nlat+90)*360 wrapped them; measured
+            # as an sf0.1 hash mismatch)
+            key = (nlat + 90) * 512 + (nlon + 200)
+            pos = np.searchsorted(keys, key)
+            pos_c = np.minimum(pos, len(keys) - 1)
+            m = (
+                (d2 <= IDW_RADIUS_DEG * IDW_RADIUS_DEG)
+                & (d2 >= IDW_MIN_D2)
+                & (keys[pos_c] == key)
+            )
+            if not m.any():
+                continue
+            out_k.append(key[m])
+            out_num.append(np.floor(1000000.0 * bal[m] / d2[m]).astype(np.int64))
+            out_den.append(np.floor(1000000.0 / d2[m]).astype(np.int64))
+        if not out_k:
+            return pa.table(
+                {
+                    "nkey": pa.array([], pa.int64()),
+                    "one": pa.array([], pa.int64()),
+                    "num": pa.array([], pa.int64()),
+                    "den": pa.array([], pa.int64()),
+                }
+            )
+        k = np.concatenate(out_k)
+        return pa.table(
+            {
+                "nkey": pa.array(k),
+                "one": pa.array(np.ones(len(k), dtype=np.int64)),
+                "num": pa.array(np.concatenate(out_num)),
+                "den": pa.array(np.concatenate(out_den)),
+            }
+        )
+
+    agg = grouped_sum(
+        pts.map_batches(
+            with_broadcast(ref, contrib), batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["nkey"],
+        {"n": ("one", "sum"), "num": ("num", "sum"), "den": ("den", "sum")},
+        merge="driver",
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["nkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "nlat": pa.array(k // 512 - 90),
+                "nlon": pa.array(k % 512 - 200),
+                "n": t["n"],
+                "num": t["num"],
+                "den": t["den"],
+            }
+        )
+
+    return agg.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["nlat", "nlon"]
+    )
+
+
+GEO_IDW_GRID_SQL = f"""
+WITH p AS (
+  SELECT c_acctbal AS bal,
+         {synth_lat_sql('CAST(c_custkey AS BIGINT)')} AS lat,
+         {synth_lon_sql('CAST(c_custkey AS BIGINT)')} AS lon
+  FROM customer
+), g AS (
+  SELECT DISTINCT CAST(floor(lat) AS BIGINT) AS nlat,
+                  CAST(floor(lon) AS BIGINT) AS nlon
+  FROM p
+), j AS (
+  SELECT g.nlat, g.nlon, p.bal,
+         (p.lat - CAST(g.nlat AS DOUBLE)) * (p.lat - CAST(g.nlat AS DOUBLE))
+         + (p.lon - CAST(g.nlon AS DOUBLE)) * (p.lon - CAST(g.nlon AS DOUBLE))
+           AS d2
+  FROM g JOIN p
+    ON p.lat BETWEEN g.nlat - 3 AND g.nlat + 3
+   AND p.lon BETWEEN g.nlon - 3 AND g.nlon + 3
+)
+SELECT nlat, nlon, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(1000000.0 * bal / d2) AS BIGINT)) AS BIGINT) AS num,
+       CAST(sum(CAST(floor(1000000.0 / d2) AS BIGINT)) AS BIGINT) AS den
+FROM j
+WHERE d2 <= {IDW_RADIUS_DEG * IDW_RADIUS_DEG} AND d2 >= {IDW_MIN_D2}
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
