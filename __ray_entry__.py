@@ -219,6 +219,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_distinct": E.events_sliding_distinct,
         # FULL OUTER join surface (hash_join how="full")
         "part_activity_full": R.part_activity_full,
+        # approximate-string similarity join (FastSS deletion
+        # neighborhoods; exact LEVENSHTEIN oracle)
+        "cust_name_editdist": R.cust_name_editdist,
     }
 
 
@@ -369,6 +372,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_stats": E.EVENTS_PROPS_STATS_SQL,
         "events_sliding_distinct": E.EVENTS_SLIDING_DISTINCT_SQL,
         "part_activity_full": R.PART_ACTIVITY_FULL_SQL,
+        "cust_name_editdist": R.CUST_NAME_EDITDIST_SQL,
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_crosscorpus_neardup,
         # docs_simhash, docs_langid_quality, docs_fingerprints,

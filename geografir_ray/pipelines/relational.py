@@ -2654,3 +2654,185 @@ FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+# ---------------------------------------------------------------------------
+# Approximate-string similarity join (edit distance <= 1) — the
+# entity-resolution / spell-correction fuzzy join, FastSS-shaped
+# (Bocek et al. 2007; the SymSpell deletion-neighborhood trick): two
+# strings are within Levenshtein 1 only if they share a member of
+# their 1-deletion neighborhoods, so candidates come from ONE
+# hash-partition exchange on the deletion-variant hash (never an
+# all-pairs scan), a second bounded exchange dedupes candidate pairs,
+# and a vectorized LCP+LCS check verifies exactly.  Hash collisions
+# between different variants only ADD candidates (the verify kills
+# them); missed pairs are impossible (equal variants hash equal).
+# Verify rule: lev(a,b) <= 1  iff  |la-lb| <= 1  and
+# lcp(a,b) + lcs(a,b) >= min(la,lb) - (1 if la==lb else 0)
+# (one substitution splits the string into agreeing prefix+suffix; one
+# indel aligns all of the shorter string into prefix+suffix) —
+# property-tested against a brute DP in tests/test_pipelines_misc.py.
+# ---------------------------------------------------------------------------
+
+EDITDIST_MAXLEN = 24  # fixed-width encode bound; mirrored in the SQL twin
+
+
+def _editdist_le1(a_names: np.ndarray, b_names: np.ndarray) -> np.ndarray:
+    """Vectorized lev(a,b) <= 1 over two equal-length string arrays
+    (each string <= EDITDIST_MAXLEN bytes)."""
+    W = EDITDIST_MAXLEN
+    a = np.frombuffer(
+        np.asarray(a_names, dtype=f"S{W}").tobytes(), dtype=np.uint8
+    ).reshape(-1, W)
+    b = np.frombuffer(
+        np.asarray(b_names, dtype=f"S{W}").tobytes(), dtype=np.uint8
+    ).reshape(-1, W)
+    la = (a != 0).sum(axis=1).astype(np.int64)
+    lb = (b != 0).sum(axis=1).astype(np.int64)
+    lmin = np.minimum(la, lb)
+    cols = np.arange(W, dtype=np.int64)
+    # lcp: leading equal run, capped at lmin
+    eq = (a == b) & (cols[None, :] < lmin[:, None])
+    lcp = np.cumprod(eq, axis=1).sum(axis=1)
+    # lcs: trailing equal run on right-aligned strings, capped at lmin
+    ar = np.zeros_like(a)
+    br = np.zeros_like(b)
+    rows = np.arange(len(a))[:, None]
+    ar[rows, (cols[None, :] - la[:, None]) % W] = a
+    br[rows, (cols[None, :] - lb[:, None]) % W] = b
+    eqr = (ar == br) & (cols[None, :] >= (W - lmin)[:, None])
+    lcs = np.cumprod(eqr[:, ::-1], axis=1).sum(axis=1)
+    return (np.abs(la - lb) <= 1) & (lcp + lcs >= lmin - (la == lb))
+
+
+def cust_name_editdist(sf_dir: str, n_buckets: int = 64):
+    """All pairs of (deterministic 1/3-subset) customer names within
+    Levenshtein distance 1 — the dedupe-entities fuzzy join.  The
+    subset (c_custkey % 3 = 0, the jaccard-limit precedent) bounds the
+    O(n^2) LEVENSHTEIN oracle; the engine path is subquadratic and
+    fully distributed at any cardinality."""
+    from ..functions.hashing import splitmix64
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    W = EDITDIST_MAXLEN
+
+    def variants(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["c_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = key % 3 == 0
+        names = np.asarray(t["c_name"].to_numpy(zero_copy_only=False))[keep]
+        if len(names) == 0:
+            return pa.table(
+                {"vhash": pa.array([], pa.int64()), "name": pa.array([], pa.string())}
+            )
+        enc = np.frombuffer(
+            np.asarray(names, dtype=f"S{W + 1}").tobytes(), dtype=np.uint8
+        ).reshape(-1, W + 1)
+        ln = (enc != 0).sum(axis=1).astype(np.int64)
+        ok = (ln >= 2) & (ln <= W)
+        names, enc, ln = names[ok], enc[ok], ln[ok]
+        n = len(names)
+
+        def row_hash(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+            h = np.zeros(len(mat), dtype=np.uint64)
+            u = np.ascontiguousarray(mat[:, :W]).view(np.uint64)  # (n, W//8)
+            for c in range(u.shape[1]):
+                h = splitmix64(h ^ u[:, c])
+            return splitmix64(h ^ lens.astype(np.uint64)).astype(np.int64)
+
+        idx_parts, hash_parts = [], []
+        # identity variant
+        idx_parts.append(np.arange(n, dtype=np.int64))
+        hash_parts.append(row_hash(enc, ln))
+        # one-deletion variants (only where the deleted position exists)
+        for i in range(W):
+            m = ln > i
+            if not m.any():
+                break
+            sub = np.delete(enc[m], i, axis=1)  # (k, W)
+            hash_parts.append(row_hash(sub, ln[m] - 1))
+            idx_parts.append(np.flatnonzero(m).astype(np.int64))
+        idx = np.concatenate(idx_parts)
+        vh = np.concatenate(hash_parts)
+        # a name's repeated-char deletions can coincide: drop dup
+        # (name, vhash) rows before the exchange
+        pair_key = np.stack([idx, vh])
+        uniq = np.unique(pair_key, axis=1)
+        return pa.table(
+            {
+                "vhash": pa.array(uniq[1]),
+                "name": pa.array(names[uniq[0]], pa.string()),
+            }
+        )
+
+    posts = ds.map_batches(variants, batch_format="pyarrow", zero_copy_batch=True)
+
+    def tag(t: pa.Table) -> pa.Table:
+        vh = t["vhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(vh) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bkt", pa.array(b))
+
+    _PAIRS = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+    def expand(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PAIRS.empty_table()
+        vh = g["vhash"].to_numpy(zero_copy_only=False)
+        nm = np.asarray(g["name"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((nm, vh))
+        vh, nm = vh[order], nm[order]
+        first = np.ones(len(vh), dtype=bool)
+        first[1:] = vh[1:] != vh[:-1]
+        starts = np.flatnonzero(first)
+        seg_id = np.cumsum(first) - 1
+        pos = np.arange(len(vh), dtype=np.int64) - starts[seg_id]
+        total = int(pos.sum())
+        if total == 0:
+            return _PAIRS.empty_table()
+        b_idx = np.repeat(np.arange(len(vh), dtype=np.int64), pos)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(pos) - pos, pos)
+        a_idx = np.repeat(starts[seg_id], pos) + offs
+        # names are sorted within a segment, so a < b by construction
+        # (duplicate names impossible: keys are distinct)
+        return pa.table({"a": pa.array(nm[a_idx]), "b": pa.array(nm[b_idx])})
+
+    pairs = (
+        posts.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bkt")
+        .map_groups(expand, batch_format="pyarrow")
+    )
+
+    def one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+        )
+
+    dedup = grouped_sum(
+        pairs.map_batches(one, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"],
+        {"one": ("one", "min")},
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIRS.empty_table()
+        a = np.asarray(t["a"].to_numpy(zero_copy_only=False))
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False))
+        m = _editdist_le1(a, b)
+        return pa.table({"a": pa.array(a[m], pa.string()), "b": pa.array(b[m], pa.string())})
+
+    return dedup.map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["a", "b"])
+
+
+CUST_NAME_EDITDIST_SQL = f"""
+WITH v AS (
+  SELECT c_name AS name FROM customer
+  WHERE c_custkey % 3 = 0 AND length(c_name) BETWEEN 2 AND {EDITDIST_MAXLEN}
+)
+SELECT a.name AS a, b.name AS b
+FROM v a JOIN v b
+  ON a.name < b.name AND abs(length(a.name) - length(b.name)) <= 1
+WHERE levenshtein(a.name, b.name) <= 1
+ORDER BY a, b
+"""

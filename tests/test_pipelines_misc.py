@@ -1667,3 +1667,36 @@ def test_sq_knn_recall_and_roundtrip(ray_session, sf_small):
         b = set(want[want["query_id"] == q]["neighbor_id"])
         inter += len(a & b) / max(len(b), 1)
     assert inter / len(qids) >= 0.95, inter / len(qids)
+
+
+def test_editdist_le1_rule_vs_brute_dp():
+    """The LCP+LCS lev<=1 characterization (relational._editdist_le1)
+    vs a brute Levenshtein DP over adversarial short strings (repeats,
+    shared prefixes/suffixes, length gaps)."""
+    import numpy as np
+
+    from geografir_ray.pipelines.relational import _editdist_le1
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(7)
+    alpha = "aab"  # tiny alphabet => many near-collisions
+    pool = [
+        "".join(rng.choice(list(alpha), size=rng.integers(1, 9)))
+        for _ in range(120)
+    ] + ["aaaa", "aaab", "abab", "baba", "aa", "a" * 8, "a" * 7 + "b"]
+    import itertools
+
+    pairs = [(a, b) for a, b in itertools.combinations(sorted(set(pool)), 2)]
+    A = np.array([p[0] for p in pairs])
+    B = np.array([p[1] for p in pairs])
+    got = _editdist_le1(A, B)
+    exp = np.array([lev(a, b) <= 1 for a, b in pairs])
+    assert (got == exp).all()
