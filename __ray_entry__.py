@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_geotiff_stats": RQ.raster_geotiff_stats,  # real binary GeoTIFF round trip inside the map
         "raster_focal_sum": RQ.raster_focal_sum,
         "raster_slope": RQ.raster_slope,
+        # raster -> vector polygonize (halo adjacency + distributed CC)
+        "raster_regions": RQ.raster_regions,
         # large-large partitioned kNN + multimodal plumbing
         "geo_knn_partitioned": S.knn_partitioned_query,
         "mm_features": D.docs_media_features,  # rows-only: fake codec
@@ -331,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_geotiff_stats": RQ.RASTER_GEOTIFF_STATS_SQL,
         "raster_focal_sum": RQ.RASTER_FOCAL_SUM_SQL,
         "raster_slope": RQ.RASTER_SLOPE_SQL,
+        "raster_regions": RQ.RASTER_REGIONS_SQL,
         "geo_knn_partitioned": S.knn_partitioned_sql(),
         "docs_locations": D.docs_locations_sql(),
         "docs_extract_zonal": D.docs_extract_zonal_sql(),

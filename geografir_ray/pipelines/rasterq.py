@@ -802,3 +802,177 @@ LEFT JOIN vsum n ON n.gx = a.gx AND n.gy = a.gy + 1
 LEFT JOIN vsum s ON s.gx = a.gx AND s.gy = a.gy - 1
 ORDER BY tile_id, pix
 """
+
+
+# ---------------------------------------------------------------------------
+# raster_regions: raster -> vector POLYGONIZE — connected regions of
+# "lit" mosaic pixels (valid-sum msum % 11 < 4, ~36% density: below
+# the 4-adjacency percolation threshold, so regions stay small) with
+# per-region pixel count and value sum, region id = min global pixel
+# key.  Composes the two existing distributed engines: the focal
+# halo exchange (_focal_halo/_accumulate_pads gives every world cell
+# its 1-px neighbor rim, so CROSS-TILE adjacency needs no second
+# exchange) feeding min-label connected components
+# (stages/components.py).  Each undirected E/S edge is emitted exactly
+# once by the cell owning its west/south pixel; the SQL twin is the
+# same mosaic -> lit -> adjacency -> recursive-CTE min label.
+# ---------------------------------------------------------------------------
+
+REGION_MOD = 11
+REGION_LIT = 4
+_WORLD_W = 360 * TILE_PX  # global pixel key stride (gy * W + gx)
+
+
+def raster_regions(sf_dir: str, n_buckets: int = FOCAL_BUCKETS):
+    from ..stages.components import min_label_components
+    from ..stages.join import hash_join
+    from .common import grouped_sum
+
+    tiles = tiles_dataset(sf_dir)
+
+    _PART = pa.schema(
+        [("kind", pa.int8()), ("a", pa.int64()), ("b", pa.int64()), ("val", pa.int64())]
+    )
+
+    def halo(t: pa.Table) -> pa.Table:
+        return _focal_halo(t, n_buckets)
+
+    def assemble(t: pa.Table) -> pa.Table:
+        acc = _accumulate_pads(t)
+        if acc is None:
+            return _PART.empty_table()
+        uniq, vsum, vcnt, dest, src, body_rows = acc
+        center = vsum[:, 1:17, 1:17]
+        lit = (vcnt[:, 1:17, 1:17] > 0) & (center % REGION_MOD < REGION_LIT)
+        ty, tx = uniq // 360, uniq % 360
+        gx = (tx * TILE_PX)[:, None, None] + np.arange(TILE_PX, dtype=np.int64)[
+            None, None, :
+        ]
+        gy = (ty * TILE_PX)[:, None, None] + np.arange(TILE_PX, dtype=np.int64)[
+            None, :, None
+        ]
+        key = gy * _WORLD_W + gx
+        east_lit = (vcnt[:, 1:17, 2:18] > 0) & (
+            vsum[:, 1:17, 2:18] % REGION_MOD < REGION_LIT
+        )
+        north_lit = (vcnt[:, 2:18, 1:17] > 0) & (
+            vsum[:, 2:18, 1:17] % REGION_MOD < REGION_LIT
+        )
+        e_edge = lit & east_lit
+        n_edge = lit & north_lit
+        ka, kb, vv = [], [], []
+        # kind 0: lit nodes with their mosaic value
+        ka.append(key[lit])
+        kb.append(np.full(int(lit.sum()), -1, dtype=np.int64))
+        vv.append(center[lit])
+        kinds = [np.zeros(int(lit.sum()), dtype=np.int8)]
+        # kind 1: adjacency, both directions for the propagate engine
+        for m, nbr in ((e_edge, key + 1), (n_edge, key + _WORLD_W)):
+            cnt = int(m.sum())
+            ka.append(key[m])
+            kb.append(nbr[m])
+            ka.append(nbr[m])
+            kb.append(key[m])
+            vv.append(np.zeros(2 * cnt, dtype=np.int64))
+            kinds.append(np.ones(2 * cnt, dtype=np.int8))
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate(kinds)),
+                "a": pa.array(np.concatenate(ka)),
+                "b": pa.array(np.concatenate(kb)),
+                "val": pa.array(np.concatenate(vv)),
+            }
+        )
+
+    parts = (
+        tiles.map_batches(halo, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(assemble, batch_format="pyarrow")
+        .materialize()
+    )
+    nodes = parts.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.filter(pc.equal(t["kind"], 0))["a"],
+                "val": t.filter(pc.equal(t["kind"], 0))["val"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    labels0 = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+        batch_format="pyarrow",
+    )
+    edges = parts.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.filter(pc.equal(t["kind"], 1))["a"],
+                "dst": t.filter(pc.equal(t["kind"], 1))["b"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    labels = min_label_components(edges, labels0, op_name="raster_regions")
+    lv = hash_join(
+        labels,
+        nodes,
+        on="node",
+        left_cols=["node", "label"],
+        right_cols=["node", "val"],
+    )
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "region": t["label"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "val": t["val"],
+            }
+        )
+
+    agg = grouped_sum(
+        lv.map_batches(one, batch_format="pyarrow", zero_copy_batch=True),
+        ["region"],
+        {"n_px": ("one", "sum"), "sum_val": ("val", "sum")},
+    )
+    return agg.repartition(8).sort("region")
+
+
+RASTER_REGIONS_SQL = f"""
+WITH RECURSIVE px AS (
+  SELECT (p_partkey % 360) * {TILE_PX} + (i % {TILE_PX}) AS gx,
+         ((p_partkey // 360) % 180) * {TILE_PX} + (i // {TILE_PX}) AS gy,
+         p_partkey * {TILE_PX * TILE_PX} + i AS v
+  FROM part, generate_series(0, {TILE_PX * TILE_PX - 1}) AS t(i)
+),
+mosaic AS (
+  SELECT gx, gy, sum(v) AS msum FROM px WHERE v % {NODATA_MOD} <> 0
+  GROUP BY gx, gy
+),
+lit AS (
+  SELECT gx, gy, gy * {_WORLD_W} + gx AS key, msum
+  FROM mosaic WHERE msum % {REGION_MOD} < {REGION_LIT}
+),
+pairs AS (
+  SELECT a.key AS a, b.key AS b FROM lit a
+  JOIN lit b ON b.gx = a.gx + 1 AND b.gy = a.gy
+  UNION ALL
+  SELECT a.key, b.key FROM lit a
+  JOIN lit b ON b.gx = a.gx AND b.gy = a.gy + 1
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b, a FROM pairs
+),
+reach(node, label) AS (
+  SELECT key, key FROM lit
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+lab AS (SELECT node, MIN(label) AS region FROM reach GROUP BY node)
+SELECT CAST(lab.region AS BIGINT) AS region,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(l.msum) AS BIGINT) AS sum_val
+FROM lab JOIN lit l ON l.key = lab.node
+GROUP BY 1 ORDER BY 1
+"""
