@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heavy_hitters": D.docs_heavy_hitters,
         "docs_lm_score": D.docs_lm_score,
         "docs_pmi_collocations": D.docs_pmi_collocations,
+        # TextRank keywords: pagerank over the token-adjacency graph
+        "docs_textrank": D.docs_textrank,
         "graph_pagerank": G.graph_pagerank,
         "graph_hits": G.graph_hits,
         "graph_triangles": G.graph_triangles,
@@ -224,6 +226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate-string similarity join (FastSS deletion
         # neighborhoods; exact LEVENSHTEIN oracle)
         "cust_name_editdist": R.cust_name_editdist,
+        # Q19 shape: disjunctive multi-predicate join, zero-exchange
+        "disjunctive_revenue": R.disjunctive_revenue,
     }
 
 
@@ -307,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_heavy_hitters": D.docs_heavy_hitters_sql(),
         "docs_lm_score": D.DOCS_LM_SCORE_SQL,
         "docs_pmi_collocations": D.DOCS_PMI_COLLOCATIONS_SQL,
+        "docs_textrank": D.docs_textrank_sql(),
         "graph_pagerank": G.graph_pagerank_sql(),
         "graph_hits": G.graph_hits_sql(),
         "graph_triangles": G.graph_triangles_sql(),
@@ -376,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_distinct": E.EVENTS_SLIDING_DISTINCT_SQL,
         "part_activity_full": R.PART_ACTIVITY_FULL_SQL,
         "cust_name_editdist": R.CUST_NAME_EDITDIST_SQL,
+        "disjunctive_revenue": R.DISJUNCTIVE_REVENUE_SQL,
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_crosscorpus_neardup,
         # docs_simhash, docs_langid_quality, docs_fingerprints,

@@ -136,6 +136,7 @@ def grouped_sum(
     aggs: dict[str, tuple[str, str]],
     merge: str = "bucket",
     n_buckets: int = 64,
+    empty_schema: pa.Schema | None = None,
 ):
     """Two-phase exact aggregation: per-batch partials → global merge.
 
@@ -193,13 +194,18 @@ def grouped_sum(
     if merge == "driver":
         import ray.data
 
-        tables = [
-            b
-            for b in partial.iter_batches(batch_size=None, batch_format="pyarrow")
-            if b.num_rows
-        ]
+        batches = list(partial.iter_batches(batch_size=None, batch_format="pyarrow"))
+        # keep one zero-row batch when everything is empty: the final
+        # group_by over it yields an EMPTY table with the full output
+        # schema (rule 8 — an empty Dataset otherwise drops its columns
+        # and downstream sorts/compares break).  Ray's iter_batches can
+        # drop empty blocks ENTIRELY, so callers whose result can be
+        # fully empty pass ``empty_schema`` explicitly.
+        tables = [b for b in batches if b.num_rows] or batches[:1]
         if not tables:
-            return partial  # empty; schema preserved
+            if empty_schema is not None:
+                return ray.data.from_arrow(empty_schema.empty_table())
+            return partial  # no batches at all; schema unknown
         whole = pa.concat_tables(tables, promote_options="permissive")
         spec = []
         renames = {}

@@ -4628,3 +4628,125 @@ SELECT doc_id, CAST(version AS BIGINT) AS version,
 FROM iv
 ORDER BY doc_id, version
 """
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword scores (Mihalcea & Tarau 2004): integer PageRank
+# over the token ADJACENCY graph (undirected: each in-document adjacent
+# token pair contributes an edge in both directions, multiplicity
+# kept).  Composes the corpus tokenizer (functions/text.flat_tokens —
+# one Arrow split per batch, zero per-row Python) with the shard-once
+# BSP pagerank engine (pipelines/graph.pagerank); node ids come from
+# the driver-merged BOUNDED vocabulary (rule 2), so the SQL twin can
+# run the identical unrolled integer recurrence on the token strings
+# themselves.  Exact at every scale.
+# ---------------------------------------------------------------------------
+
+TEXTRANK_ITERS = 4
+
+
+def docs_textrank(sf_dir: str, iters: int = TEXTRANK_ITERS):
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+    from .graph import pagerank
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # pass 1: bounded vocabulary -> sorted id table (driver merge)
+    def tok_partial(t: pa.Table) -> pa.Table:
+        flat, _, _ = T.flat_tokens(t["text"])
+        u = pc.unique(flat)
+        return pa.table(
+            {"token": u, "one": pa.array(np.ones(len(u), dtype=np.int64))}
+        )
+
+    vocab_pd = (
+        grouped_sum(
+            ds.map_batches(tok_partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["token"],
+            {"one": ("one", "min")},
+            merge="driver",
+        )
+        .to_pandas()
+        .sort_values("token")
+    )
+    vocab = np.asarray(vocab_pd["token"].values, dtype=object)
+    ref = ray.put(vocab)
+
+    def edge_stage(voc: np.ndarray, t: pa.Table) -> pa.Table:
+        flat, docidx, _ = T.flat_tokens(t["text"])
+        if len(flat) == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        ids = np.searchsorted(voc, np.asarray(flat.to_numpy(zero_copy_only=False)))
+        adj = docidx[1:] == docidx[:-1]
+        a = ids[:-1][adj]
+        b = ids[1:][adj]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = ds.map_batches(
+        with_broadcast(ref, edge_stage), batch_format="pyarrow", zero_copy_batch=True
+    )
+    ranks = pagerank(edges, iters=iters)
+
+    def back(voc: np.ndarray, t: pa.Table) -> pa.Table:
+        ids = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"token": pa.array(voc[ids], pa.string()), "r": t["r"]}
+        )
+
+    return ranks.map_batches(
+        with_broadcast(ref, back), batch_format="pyarrow", zero_copy_batch=True
+    ).sort("token")
+
+
+def docs_textrank_sql(iters: int = TEXTRANK_ITERS) -> str:
+    from .graph import PR_BASE, PR_SCALE
+
+    head = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, i, tok FROM (
+    SELECT doc_id,
+           unnest({_TOKENS_SQL}) AS tok,
+           generate_subscripts({_TOKENS_SQL}, 1) AS i
+    FROM documents
+  )
+),
+edges AS MATERIALIZED (
+  SELECT a.tok AS src, b.tok AS dst
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  UNION ALL
+  SELECT b.tok, a.tok
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst AS node FROM edges
+),
+outd AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+r{i} AS (
+  SELECT n.node,
+         CAST({PR_BASE} + (85 * COALESCE(c.c, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(rr.r // o.d) AS BIGINT) AS c
+    FROM edges e
+    JOIN r{i - 1} rr ON rr.node = e.src
+    JOIN outd o ON o.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)""")
+    return head + "".join(steps) + f"""
+SELECT node AS token, r FROM r{iters} ORDER BY token
+"""

@@ -2836,3 +2836,113 @@ FROM v a JOIN v b
 WHERE levenshtein(a.name, b.name) <= 1
 ORDER BY a, b
 """
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive multi-predicate join (TPC-H Q19 shape): lineitem x part
+# revenue under an OR of (brand, size-band, quantity-band)
+# conjunctions.  Engine shape: the part attributes broadcast ONCE
+# (dimension table, rule 3/4) and each lineitem batch evaluates the
+# whole disjunction as three vectorized boolean conjunctions — the
+# predicate never becomes a join condition, so there is no exchange at
+# all; the bounded per-branch aggregate driver-merges.
+# ---------------------------------------------------------------------------
+
+_Q19_BRANCHES = (
+    ("Brand#12", 1, 5, 1.0, 11.0),
+    ("Brand#23", 1, 10, 10.0, 20.0),
+    ("Brand#34", 1, 15, 20.0, 30.0),
+)
+
+
+def disjunctive_revenue(sf_dir: str):
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    part = read_table_local(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    part = part.sort_values("p_partkey")
+    pk = part["p_partkey"].values.astype(np.int64)
+    pb = part["p_brand"].values
+    psz = part["p_size"].values.astype(np.int64)
+    ref = ray.put((pk, pb, psz))
+
+    def probe(state, t: pa.Table) -> pa.Table:
+        pk, pb, psz = state
+        lpk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(pk, lpk), 0, len(pk) - 1)
+        hit = pk[pos] == lpk
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        rev_c = floor_scale(
+            pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+        ).to_numpy(zero_copy_only=False)
+        brands, revs, ones = [], [], []
+        for brand, s_lo, s_hi, q_lo, q_hi in _Q19_BRANCHES:
+            m = (
+                hit
+                & (pb[pos] == brand)
+                & (psz[pos] >= s_lo)
+                & (psz[pos] <= s_hi)
+                & (qty >= q_lo)
+                & (qty <= q_hi)
+            )
+            k = int(m.sum())
+            brands.append(np.full(k, brand, dtype=object))
+            revs.append(rev_c[m])
+            ones.append(np.ones(k, dtype=np.int64))
+        return pa.table(
+            {
+                "p_brand": pa.array(np.concatenate(brands), pa.string()),
+                "rev_c": pa.array(np.concatenate(revs)),
+                "one": pa.array(np.concatenate(ones)),
+            }
+        )
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        with_broadcast(ref, probe, "q19_probe"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = grouped_sum(
+        li,
+        ["p_brand"],
+        {"revenue_c": ("rev_c", "sum"), "n_items": ("one", "sum")},
+        merge="driver",
+        empty_schema=pa.schema(
+            [("p_brand", pa.string()), ("revenue_c", pa.int64()), ("n_items", pa.int64())]
+        ),
+    )
+    # bounded (<= 3 branches): return the arrow table itself, sorted on
+    # the driver — Ray 2.49 drops empty blocks in iter_batches AND
+    # to_pandas, so a fully-EMPTY Dataset cannot carry its schema to
+    # the oracle compare (rule 8); the driver contract accepts tables.
+    tbls = [
+        b for b in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    whole = pa.concat_tables(tbls) if tbls else pa.schema(
+        [("p_brand", pa.string()), ("revenue_c", pa.int64()), ("n_items", pa.int64())]
+    ).empty_table()
+    return whole.sort_by([("p_brand", "ascending")])
+
+
+DISJUNCTIVE_REVENUE_SQL = f"""
+SELECT p_brand,
+       CAST(sum({floor_scale_sql('l_extendedprice * (1.0 - l_discount)')}) AS BIGINT)
+         AS revenue_c,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1.0 AND 11.0)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10.0 AND 20.0)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20.0 AND 30.0)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
