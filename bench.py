@@ -966,6 +966,41 @@ def bench_suite() -> dict:
         )
         return out
 
+    def editdist_1m(_sf_dir: str):
+        # FastSS edit-distance-<=1 fuzzy self-join over 1M synthetic
+        # entity names ("User#" + 9 digits on a sparse id lattice):
+        # 15M deletion-variant rows through one hash exchange, pair
+        # dedup, vectorized LCP+LSC verify (relational.editdist_pairs)
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from geografir_ray.pipelines.relational import editdist_pairs
+
+        def build(t):
+            ids = t["id"].to_numpy().astype(np.int64)
+            v = (ids * 1009) % 1_000_000_000
+            # plant ~2% near-duplicate twins (last digit +1: one
+            # substitution, provably distinct from every lattice name)
+            # so the verify stage emits real pairs, not zero rows
+            tw = v[(ids % 50 == 0) & (v % 10 != 9)] + 1
+            v = np.concatenate([v, tw])
+            n = len(v)
+            mat = np.empty((n, 14), dtype=np.uint8)
+            mat[:, 0:5] = np.frombuffer(b"User#", dtype=np.uint8)
+            for j in range(9):
+                mat[:, 5 + j] = 48 + (v // 10 ** (8 - j)) % 10
+            offsets = np.arange(0, (n + 1) * 14, 14, dtype=np.int32)
+            names = pa.StringArray.from_buffers(
+                n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(mat.tobytes())
+            )
+            return pa.table({"name": names})
+
+        ds = rd.range(1_000_000, override_num_blocks=64).map_batches(
+            build, batch_format="pyarrow", batch_size=None
+        )
+        return editdist_pairs(ds, n_buckets=96)
+
     suite = {
         "flagship_pip_zonal": flagship,
         "pages_e2e_1m": pages_e2e,
@@ -999,6 +1034,7 @@ def bench_suite() -> dict:
         "triangles_copurchase_1m": triangles_copurchase_1m,
         "lm_score_1m": lm_score_1m,
         "streaming_5m": streaming_5m,
+        "editdist_1m": editdist_1m,
         "q1_pricing_summary": R.q1_pricing_summary,
         "q5_nation_revenue": R.q5_nation_revenue,
         "geo_tile_assign": S.tile_assign,

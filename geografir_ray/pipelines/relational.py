@@ -2705,21 +2705,19 @@ def _editdist_le1(a_names: np.ndarray, b_names: np.ndarray) -> np.ndarray:
     return (np.abs(la - lb) <= 1) & (lcp + lcs >= lmin - (la == lb))
 
 
-def cust_name_editdist(sf_dir: str, n_buckets: int = 64):
-    """All pairs of (deterministic 1/3-subset) customer names within
-    Levenshtein distance 1 — the dedupe-entities fuzzy join.  The
-    subset (c_custkey % 3 = 0, the jaccard-limit precedent) bounds the
-    O(n^2) LEVENSHTEIN oracle; the engine path is subquadratic and
-    fully distributed at any cardinality."""
+def editdist_pairs(names_ds, n_buckets: int = 64):
+    """FastSS edit-distance-<=1 self-join over a ``name`` string column
+    (see module comment above): deletion-variant hash exchange →
+    in-bucket pair expansion → bounded pair-dedup exchange → vectorized
+    LCP+LCS verify.  ``names_ds`` rows must be DISTINCT names.
+    Subquadratic and fully distributed at any cardinality."""
     from ..functions.hashing import splitmix64
 
-    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    ds = names_ds
     W = EDITDIST_MAXLEN
 
     def variants(t: pa.Table) -> pa.Table:
-        key = pc.cast(t["c_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
-        keep = key % 3 == 0
-        names = np.asarray(t["c_name"].to_numpy(zero_copy_only=False))[keep]
+        names = np.asarray(t["name"].to_numpy(zero_copy_only=False))
         if len(names) == 0:
             return pa.table(
                 {"vhash": pa.array([], pa.int64()), "name": pa.array([], pa.string())}
@@ -2778,7 +2776,11 @@ def cust_name_editdist(sf_dir: str, n_buckets: int = 64):
             return _PAIRS.empty_table()
         vh = g["vhash"].to_numpy(zero_copy_only=False)
         nm = np.asarray(g["name"].to_numpy(zero_copy_only=False))
-        order = np.lexsort((nm, vh))
+        # integer argsort on the hash only — an object-string lexsort
+        # here pays one Python compare per element (rules 13/17/19);
+        # pairs are canonicalized a<b AFTER expansion instead, paying
+        # O(pairs) compares (pairs << rows)
+        order = np.argsort(vh, kind="stable")
         vh, nm = vh[order], nm[order]
         first = np.ones(len(vh), dtype=bool)
         first[1:] = vh[1:] != vh[:-1]
@@ -2791,9 +2793,11 @@ def cust_name_editdist(sf_dir: str, n_buckets: int = 64):
         b_idx = np.repeat(np.arange(len(vh), dtype=np.int64), pos)
         offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(pos) - pos, pos)
         a_idx = np.repeat(starts[seg_id], pos) + offs
-        # names are sorted within a segment, so a < b by construction
-        # (duplicate names impossible: keys are distinct)
-        return pa.table({"a": pa.array(nm[a_idx]), "b": pa.array(nm[b_idx])})
+        x, y = nm[a_idx], nm[b_idx]
+        # duplicate names impossible (keys distinct), so x != y always
+        return pa.table(
+            {"a": pa.array(np.minimum(x, y)), "b": pa.array(np.maximum(x, y))}
+        )
 
     pairs = (
         posts.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
@@ -2946,3 +2950,21 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
 GROUP BY p_brand
 ORDER BY p_brand
 """
+
+
+def cust_name_editdist(sf_dir: str, n_buckets: int = 64):
+    """All pairs of (deterministic 1/3-subset) customer names within
+    Levenshtein distance 1 — the dedupe-entities fuzzy join over
+    :func:`editdist_pairs`.  The subset (c_custkey % 3 = 0, the
+    jaccard-limit precedent) bounds the O(n^2) LEVENSHTEIN oracle."""
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["c_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = pa.array(key % 3 == 0)
+        return pa.table({"name": t.filter(keep)["c_name"]})
+
+    return editdist_pairs(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        n_buckets=n_buckets,
+    )
