@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trailing_24h": E.events_trailing_24h,
         "events_running_total": E.events_running_total,
         "events_streaming_windows": E.events_streaming_windows,
+        # stream-stream interval join (buffered-left actor state)
+        "events_stream_join": E.events_stream_join,
         "events_lead_lag": E.events_lead_lag,
         "events_rank": E.events_rank,
         "events_user_median": E.events_user_median,
@@ -274,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "events_trailing_24h": E.EVENTS_TRAILING_24H_SQL,
         "events_running_total": E.EVENTS_RUNNING_TOTAL_SQL,
         "events_streaming_windows": E.EVENTS_STREAMING_WINDOWS_SQL,
+        "events_stream_join": E.EVENTS_STREAM_JOIN_SQL,
         "events_lead_lag": E.EVENTS_LEAD_LAG_SQL,
         "events_rank": E.EVENTS_RANK_SQL,
         "events_user_median": E.EVENTS_USER_MEDIAN_SQL,

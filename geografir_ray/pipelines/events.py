@@ -3142,3 +3142,34 @@ FROM p a JOIN p b
 GROUP BY a.event_id, a.user_id
 ORDER BY a.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (stages/streaming.StreamJoinShardLogic):
+# buffered-left-rows state — the streaming-op class the windowed
+# aggregate shards don't cover.  Ordered replay makes the result equal
+# the batch interval join exactly, so it carries a full SQL oracle;
+# chunk-boundary invariance is unit-tested (the strict l.ts < r.ts
+# bound is what makes equal-ts splits safe).
+# ---------------------------------------------------------------------------
+
+
+def events_stream_join(sf_dir: str):
+    from ..stages.streaming import streaming_interval_join
+
+    return streaming_interval_join(sf_dir, window_min=60)
+
+
+EVENTS_STREAM_JOIN_SQL = """
+SELECT r.event_id,
+       CAST(count(l.event_id) AS BIGINT) AS n_clicks,
+       CAST(COALESCE(sum(CAST(floor(l.value * 100.0) AS BIGINT)), 0) AS BIGINT)
+         AS click_value_c
+FROM events r
+LEFT JOIN events l
+  ON l.user_id = r.user_id AND l.event_type = 'click'
+ AND l.ts >= r.ts - INTERVAL 1 HOUR AND l.ts < r.ts
+WHERE r.event_type = 'purchase'
+GROUP BY r.event_id
+ORDER BY r.event_id
+"""

@@ -238,3 +238,146 @@ def streaming_replay_bench(
         }
     )
     return out, late_total
+
+
+class StreamJoinShardLogic:
+    """Stream-stream interval-join shard: LEFT rows (clicks) buffer in
+    bounded per-shard state; each arriving RIGHT row (purchase) joins
+    the buffered lefts of its key with ``l.ts in [r.ts - window, r.ts)``
+    (strict upper bound: an equal-ts left may land in a LATER replay
+    chunk, so including it would make results depend on chunk
+    boundaries — the batch twin uses the same strict bound).  The
+    buffer holds only the trailing ``window_us`` of lefts (evicted on
+    watermark advance) — the genuinely-streaming state the windowed
+    aggregate shards don't have.
+
+    Exactness: the replayer feeds rows in global (ts, event_id) order,
+    so every left with ts < r.ts has arrived by the time r's chunk is
+    processed; per-chunk matching is one lexsort + two searchsorteds
+    over (key code, ts) band offsets — no per-row Python.
+    """
+
+    def __init__(self, window_us: int):
+        self.window_us = window_us
+        z = np.empty(0, dtype=np.int64)
+        self.buf_k, self.buf_ts, self.buf_v = z, z, z.copy()
+        self.out_id: list[np.ndarray] = []
+        self.out_n: list[np.ndarray] = []
+        self.out_s: list[np.ndarray] = []
+        self.max_ts = -(1 << 62)
+
+    def ingest(
+        self,
+        keys: np.ndarray,
+        ts_us: np.ndarray,
+        vals: np.ndarray,
+        is_left: np.ndarray,
+        rids: np.ndarray,
+    ) -> None:
+        lk = np.concatenate([self.buf_k, keys[is_left]])
+        lts = np.concatenate([self.buf_ts, ts_us[is_left]])
+        lv = np.concatenate([self.buf_v, vals[is_left]])
+        right = ~is_left
+        rk, rts, rid = keys[right], ts_us[right], rids[right]
+        if len(rk):
+            if len(lk):
+                uk = np.unique(np.concatenate([lk, rk]))
+                lcode = np.searchsorted(uk, lk)
+                rcode = np.searchsorted(uk, rk)
+                ts0 = int(min(lts.min(), rts.min()))
+                span = int(max(lts.max(), rts.max())) - ts0 + 2
+                packed = lcode * span + (lts - ts0)
+                order = np.argsort(packed, kind="stable")
+                packed = packed[order]
+                cs = np.concatenate(([0], np.cumsum(lv[order])))
+                lo_off = np.maximum(rts - self.window_us - ts0, 0)
+                lo = np.searchsorted(packed, rcode * span + lo_off, side="left")
+                hi_off = np.clip(rts - ts0, 0, span - 1)
+                hi = np.searchsorted(packed, rcode * span + hi_off, side="left")
+                n = (hi - lo).astype(np.int64)
+                s = cs[hi] - cs[lo]
+            else:
+                n = np.zeros(len(rk), dtype=np.int64)
+                s = np.zeros(len(rk), dtype=np.int64)
+            self.out_id.append(rid)
+            self.out_n.append(n)
+            self.out_s.append(s)
+        if len(ts_us):
+            self.max_ts = max(self.max_ts, int(ts_us.max()))
+        keep = lts >= self.max_ts - self.window_us
+        self.buf_k, self.buf_ts, self.buf_v = lk[keep], lts[keep], lv[keep]
+
+    def buffered(self) -> int:
+        return len(self.buf_k)
+
+    def flush_arrays(self):
+        if not self.out_id:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        return (
+            np.concatenate(self.out_id),
+            np.concatenate(self.out_n),
+            np.concatenate(self.out_s),
+        )
+
+
+def streaming_interval_join(
+    sf_dir: str,
+    window_min: int = 60,
+    n_shards: int = 4,
+    chunk_rows: int = 2000,
+):
+    """Replay the events table in (ts, event_id) order through
+    StreamJoinShard actors: per purchase, the count and cent-sum of
+    the same user's clicks in the strictly-preceding hour.  Returns a
+    pandas frame sorted by event_id — identical to the batch interval
+    join when replayed in order (the oracle twin)."""
+    import pandas as pd
+    import ray
+
+    from ..sources.tables import read_table_local
+
+    Shard = ray.remote(StreamJoinShardLogic)
+
+    ev = read_table_local(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    ev = ev[ev["event_type"].isin(["click", "purchase"])]
+    ev = ev.sort_values(["ts", "event_id"], kind="mergesort")
+    keys = ev["user_id"].values.astype(np.int64)
+    ts_us = ev["ts"].values.astype("datetime64[us]").astype(np.int64)
+    vals = np.floor(ev["value"].values * 100.0).astype(np.int64)
+    is_left = (ev["event_type"] == "click").values
+    rids = ev["event_id"].values.astype(np.int64)
+
+    window_us = window_min * 60 * 1_000_000
+    shards = [Shard.remote(window_us) for _ in range(n_shards)]
+    shard_of = keys % n_shards
+
+    pending = []
+    for start in range(0, len(ev), chunk_rows):
+        sel = slice(start, min(start + chunk_rows, len(ev)))
+        for s in range(n_shards):
+            m = shard_of[sel] == s
+            if m.any():
+                pending.append(
+                    shards[s].ingest.remote(
+                        keys[sel][m], ts_us[sel][m], vals[sel][m],
+                        is_left[sel][m], rids[sel][m],
+                    )
+                )
+    ray.get(pending)
+    ids, ns, ss = [], [], []
+    for s in range(n_shards):
+        i, n, v = ray.get(shards[s].flush_arrays.remote())
+        ids.append(i)
+        ns.append(n)
+        ss.append(v)
+    out = pd.DataFrame(
+        {
+            "event_id": np.concatenate(ids),
+            "n_clicks": np.concatenate(ns),
+            "click_value_c": np.concatenate(ss),
+        }
+    ).sort_values("event_id", kind="mergesort").reset_index(drop=True)
+    return out

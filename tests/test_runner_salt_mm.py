@@ -365,3 +365,39 @@ def test_salted_distinct_count_exact(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_stream_join_chunk_invariance(ray_session, sf_small):
+    """StreamJoin results must not depend on replay chunk boundaries —
+    including splits between equal-timestamp rows (the strict
+    l.ts < r.ts bound is what guarantees it)."""
+    from geografir_ray.stages.streaming import streaming_interval_join
+
+    a = streaming_interval_join(sf_small, window_min=60, chunk_rows=1)
+    b = streaming_interval_join(sf_small, window_min=60, chunk_rows=2000)
+    c = streaming_interval_join(sf_small, window_min=60, chunk_rows=7)
+    assert a.equals(b)
+    assert a.equals(c)
+
+
+def test_stream_join_buffer_bounded(ray_session, sf_small):
+    """The left buffer must hold only the trailing window, not the
+    whole stream (the streaming-state guarantee)."""
+    import numpy as np
+    import ray
+
+    from geografir_ray.stages.streaming import StreamJoinShardLogic
+
+    Shard = ray.remote(StreamJoinShardLogic)
+    s = Shard.remote(60 * 60 * 1_000_000)
+    n = 50_000
+    ts = np.arange(n, dtype=np.int64) * 10_000_000  # 10s apart -> 500s span/chunk
+    keys = np.zeros(n, dtype=np.int64)
+    vals = np.ones(n, dtype=np.int64)
+    is_left = np.ones(n, dtype=bool)
+    rid = np.arange(n, dtype=np.int64)
+    for st in range(0, n, 5000):
+        sel = slice(st, st + 5000)
+        ray.get(s.ingest.remote(keys[sel], ts[sel], vals[sel], is_left[sel], rid[sel]))
+    buffered = ray.get(s.buffered.remote())
+    assert buffered <= 60 * 60 // 10 + 5000  # trailing hour + one chunk slack
