@@ -3173,3 +3173,91 @@ WHERE r.event_type = 'purchase'
 GROUP BY r.event_id
 ORDER BY r.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-user z-score anomaly detection: the aggregate -> join-back ->
+# per-row predicate class (events_value_variance computed the moments;
+# this one applies them back to every row).  The z² > K² test is
+# cross-multiplied into pure int64 — 4·(n·v − Σ)² > 25·(n·Σv² − Σ²)
+# is exactly |z| > 5/2 under the population variance — so both engines
+# evaluate identical integers (no sqrt, no division; the
+# small_qty_revenue trick applied to second moments).  One bucketed
+# stats exchange + one bucketed join-back; magnitudes bounded by
+# n ≤ 10^3 rows/user · v_c ≤ 10^5 cents → every product < 2.5·10^17.
+# ---------------------------------------------------------------------------
+
+
+def events_anomaly(sf_dir: str, min_n: int = 8):
+    from ..stages.join import hash_join
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        vc = pc.cast(pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64())
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "vc": vc,
+                "vc2": pc.multiply(vc, vc),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    p = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    stats = grouped_sum(
+        p,
+        ["user_id"],
+        {"n": ("one", "sum"), "sm": ("vc", "sum"), "sq": ("vc2", "sum")},
+    )
+    j = hash_join(
+        p,
+        stats,
+        on="user_id",
+        left_cols=["user_id", "event_id", "vc"],
+        right_cols=["user_id", "n", "sm", "sq"],
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        sm = t["sm"].to_numpy(zero_copy_only=False)
+        sq = t["sq"].to_numpy(zero_copy_only=False)
+        vc = t["vc"].to_numpy(zero_copy_only=False)
+        dev = n * vc - sm
+        keep = (n >= min_n) & (4 * dev * dev > 25 * (n * sq - sm * sm))
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "value_c": t["vc"],
+                "n": t["n"],
+            }
+        )
+
+    return j.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "event_id"
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH p AS (
+  SELECT event_id, CAST(user_id AS BIGINT) AS u,
+         CAST(floor(value * 100.0) AS BIGINT) AS vc
+  FROM events WHERE event_type = 'purchase'
+), s AS (
+  SELECT u, count(*)::BIGINT AS n, CAST(sum(vc) AS BIGINT) AS sm,
+         CAST(sum(vc * vc) AS BIGINT) AS sq
+  FROM p GROUP BY u
+)
+SELECT p.event_id, p.u AS user_id, p.vc AS value_c, s.n
+FROM p JOIN s ON p.u = s.u
+WHERE s.n >= 8
+  AND 4 * (s.n * p.vc - s.sm) * (s.n * p.vc - s.sm)
+      > 25 * (s.n * s.sq - s.sm * s.sm)
+ORDER BY p.event_id
+"""
