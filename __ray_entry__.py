@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_mode": E.events_user_mode,
         "events_ewma16": E.events_ewma16,
         "events_anomaly": E.events_anomaly,
+        "events_user_path": E.events_user_path,
         # documents (text analysis + dedup family)
         "docs_stats": D.docs_stats,
         "docs_term_topk": D.docs_term_topk,
@@ -290,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_mode": E.EVENTS_USER_MODE_SQL,
         "events_ewma16": E.EVENTS_EWMA16_SQL,
         "events_anomaly": E.EVENTS_ANOMALY_SQL,
+        "events_user_path": E.EVENTS_USER_PATH_SQL,
         "docs_stats": D.DOCS_STATS_SQL,
         "docs_term_topk": D.DOCS_TERM_TOPK_SQL,
         "docs_exact_dedup": D.DOCS_EXACT_DEDUP_SQL,
