@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_merge_upsert": D.docs_merge_upsert,
         # SCD Type-2 validity intervals from the same changelog shape
         "docs_scd2_intervals": D.docs_scd2_intervals,
+        # incremental matview maintenance (delta agg == full recompute)
+        "docs_incremental_matview": D.docs_incremental_matview,
         "docs_jsonl_ingest": D.docs_jsonl_ingest,
         "docs_partitioned_export": D.docs_partitioned_export,
         "docs_jaccard_pairs": D.docs_jaccard_pairs,
@@ -298,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_normalized_dedup": D.DOCS_NORMALIZED_DEDUP_SQL,
         "docs_merge_upsert": D.DOCS_MERGE_UPSERT_SQL,
         "docs_scd2_intervals": D.DOCS_SCD2_SQL,
+        "docs_incremental_matview": D.DOCS_INCREMENTAL_MATVIEW_SQL,
         "docs_jsonl_ingest": D.DOCS_JSONL_INGEST_SQL,
         "docs_partitioned_export": D.DOCS_PARTITIONED_EXPORT_SQL,
         "docs_jaccard_pairs": D.DOCS_JACCARD_SQL,

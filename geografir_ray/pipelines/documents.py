@@ -4750,3 +4750,69 @@ r{i} AS (
     return head + "".join(steps) + f"""
 SELECT node AS token, r FROM r{iters} ORDER BY token
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance: the per-lang corpus stats
+# view updated from the CDC changelog WITHOUT rescanning the merged
+# corpus — the delta-aggregation class (streaming matview / dbt
+# incremental shape).  For the deterministic changelog (update rule
+# doc%7==3 prepends the 12-char "UPDATED v2: "; delete rule doc%13==5
+# tombstones the doc's LATEST version), the per-doc delta against the
+# base view is closed-form: delete → (-1 doc, -len(v1) chars, the
+# update's +12 cancelled if both fire), update-only → (+0, +12).
+# ONE fused scan emits base partials WITH deltas folded in; the
+# bounded per-lang aggregate driver-merges.  The oracle is the FULL
+# RECOMPUTE over the merged live state — the query passing means
+# incremental maintenance provably equals recomputation.
+# ---------------------------------------------------------------------------
+
+
+def docs_incremental_matview(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    _UPD_PREFIX_CHARS = len("UPDATED v2: ")
+
+    def fused(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        chars = pc.utf8_length(pc.fill_null(t["text"], "")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        is_del = d % 13 == 5
+        is_upd = (d % 7 == 3) & ~is_del
+        n = np.where(is_del, 0, 1).astype(np.int64)
+        ch = np.where(
+            is_del, 0, chars + np.where(is_upd, _UPD_PREFIX_CHARS, 0)
+        ).astype(np.int64)
+        return pa.table({"lang": t["lang"], "n": pa.array(n), "ch": pa.array(ch)})
+
+    agg = grouped_sum(
+        ds.map_batches(fused, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang"],
+        {"n_docs": ("n", "sum"), "total_chars": ("ch", "sum")},
+        merge="driver",
+    )
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater(t["n_docs"], 0)), batch_format="pyarrow"
+    ).sort("lang")
+
+
+DOCS_INCREMENTAL_MATVIEW_SQL = """
+WITH changelog AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, 1 AS version, 0 AS is_delete,
+         text, lang FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), 2, 0, 'UPDATED v2: ' || text, lang
+  FROM documents WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), 3, 1, NULL, lang
+  FROM documents WHERE doc_id % 13 = 5
+), latest AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+  FROM changelog
+), live AS (
+  SELECT lang, text FROM latest WHERE rn = 1 AND is_delete = 0
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM live GROUP BY lang ORDER BY lang
+"""
