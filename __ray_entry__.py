@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_locations": D.docs_locations,
         "docs_extract_zonal": D.docs_extract_zonal,
         "docs_sample": D.docs_sample,
+        "docs_bottomk_sample": D.docs_bottomk_sample,
         "docs_stratified_sample": D.docs_stratified_sample,
         "docs_distinctive_term": D.docs_distinctive_term,
         "docs_dedup_components": D.docs_dedup_components,
@@ -353,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_locations": D.docs_locations_sql(),
         "docs_extract_zonal": D.docs_extract_zonal_sql(),
         "docs_sample": D.docs_sample_sql(),
+        "docs_bottomk_sample": D.docs_bottomk_sample_sql(),
         "docs_stratified_sample": D.docs_stratified_sample_sql(),
         "docs_distinctive_term": D.DOCS_DISTINCTIVE_TERM_SQL,
         "docs_dedup_components": D.DOCS_DEDUP_COMPONENTS_SQL,

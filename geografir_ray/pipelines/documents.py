@@ -4816,3 +4816,57 @@ SELECT lang, count(*)::BIGINT AS n_docs,
        CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM live GROUP BY lang ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-k uniform sample (bottom-k by hash): unlike docs_sample's
+# hash-threshold (whose output size is binomial), bottom-k returns
+# EXACTLY k rows at any corpus size — the distributed reservoir
+# replacement: each block reduces to its own k smallest (doc-id-mixed)
+# hashes, the driver finishes over the bounded k x blocks partials,
+# and the pick is reproducible (no RNG state).  Ties break by doc_id
+# on both engines.
+# ---------------------------------------------------------------------------
+
+
+def docs_bottomk_sample(sf_dir: str, k: int = 100):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        h = (key * 2654435761 + 1013904223) % 4294967296
+        if len(key) > k:
+            idx = np.lexsort((key, h))[:k]
+            t = t.take(pa.array(np.sort(idx)))
+            h = h[np.sort(idx)]
+        return pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "lang": t["lang"],
+             "h": pa.array(h)}
+        )
+
+    parts = [
+        b
+        for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    whole = pa.concat_tables(parts)
+    order = np.lexsort(
+        (
+            whole["doc_id"].to_numpy(zero_copy_only=False),
+            whole["h"].to_numpy(zero_copy_only=False),
+        )
+    )[:k]
+    out = whole.take(pa.array(order)).select(["doc_id", "lang"])
+    return out.sort_by([("doc_id", "ascending")])
+
+
+def docs_bottomk_sample_sql(k: int = 100) -> str:
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         (doc_id * 2654435761 + 1013904223) % 4294967296 AS h
+  FROM documents
+  ORDER BY h, doc_id LIMIT {k}
+) ORDER BY doc_id
+"""
