@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_no_recent_orders": R.cust_no_recent_orders,
         "approx_distinct_parts": R.approx_distinct_parts,  # rows-only: HLL sketch
         "approx_quantiles_price": R.approx_quantiles_price,  # rows-only: log-histogram sketch, tolerance-gated in tests
+        # EXACT distributed order statistics (histogram refinement)
+        "exact_price_quantiles": R.exact_price_quantiles,
         # large-large joins (native + explicit bucketed) and range join
         "join_orders_native": R.join_orders_native,
         "join_orders_bucketed": R.join_orders_bucketed,
@@ -392,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_stats": E.EVENTS_PROPS_STATS_SQL,
         "events_sliding_distinct": E.EVENTS_SLIDING_DISTINCT_SQL,
         "part_activity_full": R.PART_ACTIVITY_FULL_SQL,
+        "exact_price_quantiles": R.EXACT_PRICE_QUANTILES_SQL,
         "cust_name_editdist": R.CUST_NAME_EDITDIST_SQL,
         "disjunctive_revenue": R.DISJUNCTIVE_REVENUE_SQL,
         # rows-only (documented): geo_cells, docs_minhash_lsh,

@@ -2968,3 +2968,123 @@ def cust_name_editdist(sf_dir: str, n_buckets: int = 64):
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         n_buckets=n_buckets,
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT distributed order statistics (p25/p50/p75/p95 of the lineitem
+# price in cents) by histogram refinement — the distributed-SELECTION
+# algorithm class, complementing the mergeable-sketch approx path
+# (approx_quantiles_price): pass 1 computes (n, min, max) + a bounded
+# 65536-bucket histogram (per-batch bincount partials, driver merge —
+# never a sort); the driver locates each k-th's bucket by cumsum;
+# pass 2 collects ONLY the few target buckets' values (expected
+# n/65536 rows each) and selects the in-bucket rank exactly.  Two
+# streaming passes, zero shuffles, exact at any scale — ties are
+# harmless because the VALUE at global rank k is unique regardless of
+# tie order.  k_p = ceil(p*n/100) on both engines.
+# ---------------------------------------------------------------------------
+
+QUANTILE_PS = (25, 50, 75, 95)
+_QHIST_BUCKETS = 65536
+
+
+def exact_price_quantiles(sf_dir: str):
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    def vc_of(t: pa.Table) -> np.ndarray:
+        return (
+            pc.cast(
+                pc.floor(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+        )
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    # pass 1: n/min/max + bounded histogram in ONE fused scan
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vc = vc_of(t)
+        if len(vc) == 0:
+            return pa.table(
+                {"bkt": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64()),
+                 "mn": pa.array([], pa.int64()), "mx": pa.array([], pa.int64())}
+            )
+        # provisional global domain: prices are bounded by the data
+        # model; min/max ride the same partial rows (bkt = -1 sentinel)
+        u, c = np.unique(vc >> 8, return_counts=True)  # 256-cent buckets
+        return pa.table(
+            {
+                "bkt": pa.array(np.concatenate([u, [-1]])),
+                "cnt": pa.array(np.concatenate([c.astype(np.int64), [len(vc)]])),
+                "mn": pa.array(
+                    np.concatenate([np.zeros(len(u), np.int64), [vc.min()]])
+                ),
+                "mx": pa.array(
+                    np.concatenate([np.zeros(len(u), np.int64), [vc.max()]])
+                ),
+            }
+        )
+
+    hist = grouped_sum(
+        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["bkt"],
+        {"cnt": ("cnt", "sum"), "mn": ("mn", "min"), "mx": ("mx", "max")},
+        merge="driver",
+    ).to_pandas().sort_values("bkt")
+    meta = hist[hist["bkt"] == -1]
+    n = int(meta["cnt"].iloc[0])
+    h = hist[hist["bkt"] >= 0]
+    bkts = h["bkt"].values.astype(np.int64)
+    cnts = h["cnt"].values.astype(np.int64)
+    cum = np.cumsum(cnts)
+    targets = {}
+    for p in QUANTILE_PS:
+        k = (p * n + 99) // 100  # ceil(p*n/100), 1-based rank
+        i = int(np.searchsorted(cum, k))
+        before = int(cum[i - 1]) if i > 0 else 0
+        targets.setdefault(int(bkts[i]), []).append((p, k - before))
+    ref = ray.put(np.array(sorted(targets), dtype=np.int64))
+
+    # pass 2: collect only the target buckets' values
+    def collect(sel: np.ndarray, t: pa.Table) -> pa.Table:
+        vc = vc_of(t)
+        b = vc >> 8
+        pos = np.clip(np.searchsorted(sel, b), 0, len(sel) - 1)
+        m = sel[pos] == b
+        return pa.table({"bkt": pa.array(b[m]), "vc": pa.array(vc[m])})
+
+    got = (
+        ds.map_batches(
+            with_broadcast(ref, collect), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .to_pandas()
+    )
+    rows = []
+    for b, wants in sorted(targets.items()):
+        vals = np.sort(got[got["bkt"] == b]["vc"].values.astype(np.int64))
+        for p, r in wants:
+            rows.append((p, int(vals[r - 1])))
+    rows.sort()
+    return pa.table(
+        {
+            "p": pa.array([r[0] for r in rows], pa.int64()),
+            "value_c": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+EXACT_PRICE_QUANTILES_SQL = """
+WITH v AS (
+  SELECT CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS vc FROM lineitem
+), r AS (
+  SELECT vc, row_number() OVER (ORDER BY vc) AS rn, count(*) OVER () AS n
+  FROM v
+)
+SELECT CAST(p.p AS BIGINT) AS p, r.vc AS value_c
+FROM r CROSS JOIN (VALUES (25), (50), (75), (95)) AS p(p)
+WHERE r.rn = (p.p * r.n + 99) // 100
+ORDER BY p
+"""
