@@ -1700,3 +1700,30 @@ def test_editdist_le1_rule_vs_brute_dp():
     got = _editdist_le1(A, B)
     exp = np.array([lev(a, b) <= 1 for a, b in pairs])
     assert (got == exp).all()
+
+
+def test_exact_quantiles_histogram_refinement_ties(ray_session, tmp_path):
+    """Histogram-refinement order statistics vs numpy sort on a
+    tie-heavy value distribution (many duplicates sharing 256-cent
+    buckets — the case where in-bucket rank selection must be exact)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.relational import (
+        QUANTILE_PS,
+        exact_price_quantiles,
+    )
+
+    rng = np.random.default_rng(3)
+    # heavy ties: only 37 distinct prices over 20k rows
+    vals = rng.choice(np.linspace(901.0, 1099.0, 37), size=20_000)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({"l_extendedprice": vals}), d / "lineitem.parquet")
+    out = exact_price_quantiles(str(d)).to_pandas()
+    vc = np.sort(np.floor(vals * 100.0).astype(np.int64))
+    n = len(vc)
+    for p, got in zip(out["p"], out["value_c"]):
+        k = (int(p) * n + 99) // 100
+        assert int(got) == int(vc[k - 1]), p
