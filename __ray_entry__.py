@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_features": D.docs_image_features,  # rows-only: real PNG codec, golden-pinned
         "mm_audio_features": D.docs_audio_features,  # rows-only: real WAV codec, golden-pinned
         "mm_phash_dedup": D.mm_phash_dedup,  # rows-only: pHash near-dup, replay-gated
+        "mm_image_patches": D.mm_image_patches,  # rows-only: real PNG codec, golden-pinned
+        "mm_audio_spectrogram": D.mm_audio_spectrogram,  # rows-only: real WAV codec + FFT, golden-pinned
         # location extraction (gazetteer scan -> geocode) + sampling
         "docs_locations": D.docs_locations,
         "docs_extract_zonal": D.docs_extract_zonal,

@@ -4870,3 +4870,65 @@ SELECT doc_id, lang FROM (
   ORDER BY h, doc_id LIMIT {k}
 ) ORDER BY doc_id
 """
+
+
+def mm_image_patches(sf_dir: str):
+    """ViT-style patch extraction over the REAL PNG codec path: same
+    deterministic payloads as docs_image_features, decoded in an actor
+    pool, split into 4x4 grayscale tiles with exact-integer mean/var.
+    Rows-only (SQL cannot decode PNG); golden-pinned."""
+    from ..functions.png import encode_png
+    from ..stages.multimodal import ImagePatches
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = [encode_png(_synth_image(int(i))) for i in ids]
+        return pa.table(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    ds = ds.map_batches(to_payload, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        ImagePatches,
+        fn_constructor_args=("doc_id",),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=64,
+    ).sort(["doc_id", "patch_row", "patch_col"])
+
+
+def mm_audio_spectrogram(sf_dir: str):
+    """Banded power spectrogram over the REAL WAV codec path: the same
+    deterministic PCM16 payloads as docs_audio_features, framed
+    128/64, rFFT power in 8 bands per doc.  Rows-only; golden-pinned."""
+    from ..functions.hashing import splitmix64
+    from ..functions.wav import encode_wav
+    from ..stages.multimodal import AudioSpectrogram
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            n = 200 + int(i) % 50 * 4
+            seed = splitmix64(np.uint64(i) ^ np.uint64(0xA5A5A5A5A5A5A5A5))
+            raw = splitmix64(seed + np.arange(n, dtype=np.uint64))
+            samples = ((raw & np.uint64(0xFFFF)).astype(np.int64) - 32768).astype(
+                np.int16
+            )
+            payloads.append(encode_wav(samples, 8000))
+        return pa.table(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    ds = ds.map_batches(to_payload, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        AudioSpectrogram,
+        fn_constructor_args=("doc_id",),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=64,
+    ).sort(["doc_id", "band"])

@@ -413,3 +413,115 @@ class ImagePHash:
                 "phash": pa.array(hashes.view(np.int64)),
             }
         )
+
+
+class ImagePatches:
+    """Actor-pool stage: real PNG decode → ViT-style patch extraction.
+
+    Emits one row per FULL ``patch x patch`` grayscale tile with
+    integer mean/variance (milli-units over the 0-255 domain:
+    mean_milli = 1000·Σ/n, var_milli = 1000·(n·Σx² − Σ²)/n² — exact
+    int64 arithmetic, no float drift).  The training-data shape this
+    feeds: patch filtering (drop uniform tiles) before patch-level
+    embedding.  Codec state lives in __init__ (once per actor)."""
+
+    def __init__(self, id_col: str = "doc_id", patch: int = 4):
+        from ..functions.png import decode_png
+
+        self._decode = decode_png
+        self._id = id_col
+        self._p = patch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p = self._p
+        ids_out, prow, pcol, mean_m, var_m = [], [], [], [], []
+        ids = batch[self._id].to_pylist()
+        for i, payload in zip(ids, batch["payload"].to_pylist()):
+            img = self._decode(payload)
+            gray = img.astype(np.int64).sum(axis=2) // img.shape[2]
+            H = (gray.shape[0] // p) * p
+            W = (gray.shape[1] // p) * p
+            if H == 0 or W == 0:
+                continue
+            tiles = gray[:H, :W].reshape(H // p, p, W // p, p)
+            s = tiles.sum(axis=(1, 3))
+            sq = (tiles * tiles).sum(axis=(1, 3))
+            n = p * p
+            mm = (1000 * s) // n
+            vv = (1000 * (n * sq - s * s)) // (n * n)
+            nr, nc = s.shape
+            ids_out.append(np.full(nr * nc, i, dtype=np.int64))
+            prow.append(np.repeat(np.arange(nr, dtype=np.int64), nc))
+            pcol.append(np.tile(np.arange(nc, dtype=np.int64), nr))
+            mean_m.append(mm.ravel())
+            var_m.append(vv.ravel())
+        if not ids_out:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("patch_row", pa.int64()),
+                 ("patch_col", pa.int64()), ("mean_milli", pa.int64()),
+                 ("var_milli", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(ids_out)),
+                "patch_row": pa.array(np.concatenate(prow)),
+                "patch_col": pa.array(np.concatenate(pcol)),
+                "mean_milli": pa.array(np.concatenate(mean_m)),
+                "var_milli": pa.array(np.concatenate(var_m)),
+            }
+        )
+
+
+class AudioSpectrogram:
+    """Actor-pool stage: real WAV decode → banded power spectrogram.
+
+    Rectangular 128-sample frames (hop 64), rFFT power summed over
+    frames, 8 linear bands over the 65 rFFT bins; energies emitted as
+    floor(1000·log10(1+E)) integers so the golden pin is rounding-
+    stable.  The per-frame FFT is the genuinely-multimodal compute;
+    framing is a zero-copy stride trick."""
+
+    FRAME = 128
+    HOP = 64
+    BANDS = 8
+
+    def __init__(self, id_col: str = "doc_id"):
+        from ..functions.wav import decode_wav
+
+        self._decode = decode_wav
+        self._id = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        F, H, B = self.FRAME, self.HOP, self.BANDS
+        ids_out, band, energy, nframes = [], [], [], []
+        ids = batch[self._id].to_pylist()
+        for i, payload in zip(ids, batch["payload"].to_pylist()):
+            arr, _rate = self._decode(payload)
+            x = arr.astype(np.float64).mean(axis=1)
+            if arr.dtype == np.int16:
+                x = x / 32768.0
+            nf = max(0, (len(x) - F) // H + 1)
+            if nf == 0:
+                continue
+            frames = np.lib.stride_tricks.sliding_window_view(x, F)[::H][:nf]
+            spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+            total = spec.sum(axis=0)  # (F//2 + 1,)
+            edges = np.linspace(0, len(total), B + 1).astype(np.int64)
+            e = np.add.reduceat(total, edges[:-1])
+            ids_out.append(np.full(B, i, dtype=np.int64))
+            band.append(np.arange(B, dtype=np.int64))
+            energy.append(np.floor(1000.0 * np.log10(1.0 + e)).astype(np.int64))
+            nframes.append(np.full(B, nf, dtype=np.int64))
+        if not ids_out:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("band", pa.int64()),
+                 ("energy_milli", pa.int64()), ("n_frames", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(ids_out)),
+                "band": pa.array(np.concatenate(band)),
+                "energy_milli": pa.array(np.concatenate(energy)),
+                "n_frames": pa.array(np.concatenate(nframes)),
+            }
+        )

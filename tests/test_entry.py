@@ -44,6 +44,8 @@ def test_queries_have_oracles_or_are_documented(ray_session):
         "mm_image_features",
         "mm_phash_dedup",
         "mm_audio_features",
+        "mm_image_patches",
+        "mm_audio_spectrogram",
         "approx_distinct_parts",
         "approx_quantiles_price",
     }
