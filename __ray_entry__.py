@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": D.docs_decontaminate,
         "docs_bpe_tokens": D.docs_bpe_token_count,
         "docs_bigrams": D.docs_bigrams,
+        "docs_phrase_search": D.docs_phrase_search,
         "docs_gopher_rules": D.docs_gopher_rules,
         "docs_heavy_hitters": D.docs_heavy_hitters,
         "docs_lm_score": D.docs_lm_score,
@@ -322,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontaminate": D.DOCS_DECONTAMINATE_SQL,
         "docs_bpe_tokens": D.DOCS_BPE_TOKEN_SQL,
         "docs_bigrams": D.docs_bigrams_sql(),
+        "docs_phrase_search": D.docs_phrase_search_sql(),
         "docs_gopher_rules": D.DOCS_GOPHER_RULES_SQL,
         "docs_heavy_hitters": D.docs_heavy_hitters_sql(),
         "docs_lm_score": D.DOCS_LM_SCORE_SQL,

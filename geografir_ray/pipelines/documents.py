@@ -4932,3 +4932,148 @@ def mm_audio_spectrogram(sf_dir: str):
         concurrency=2,
         batch_size=64,
     ).sort(["doc_id", "band"])
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search: the inverted-index / corpus-search class —
+# count documents and occurrences of specific multi-token PHRASES
+# (adjacent-token matches, not substrings).  The phrase list is
+# data-derived (the corpus's top-5 bigrams, deterministic tie-break)
+# so the whole query is self-contained: phase 1 reuses the bigram
+# counting exchange and lands 5 rows on the driver; phase 2 broadcasts
+# the phrase token pairs and every batch matches them with two
+# vectorized equality kernels over adjacent token slices — only
+# (phrase, doc, count) partials cross, one bounded-key exchange each.
+# ---------------------------------------------------------------------------
+
+
+def docs_phrase_search(sf_dir: str, k_phrases: int = 5):
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parent = parent[nonempty]
+        if len(flat) < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "one": pa.array([], pa.int64())}
+            )
+        a = flat.slice(0, len(flat) - 1)
+        b = flat.slice(1)
+        same = pa.array(parent[1:] == parent[:-1])
+        bg = pc.binary_join_element_wise(a.filter(same), b.filter(same), " ")
+        return pa.table(
+            {"bigram": bg, "one": pa.array(np.ones(len(bg), dtype=np.int64))}
+        )
+
+    top = (
+        grouped_sum(
+            ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+            ["bigram"],
+            {"n": ("one", "sum")},
+        )
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(k_phrases)
+        .to_pandas()
+    )
+    phrases = sorted(top["bigram"].tolist())
+    ref = ray.put(phrases)
+
+    def match(plist, t: pa.Table) -> pa.Table:
+        doc = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(t["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parent = parent[nonempty]
+        out_p, out_d, out_c = [], [], []
+        if len(flat) >= 2:
+            a = flat.slice(0, len(flat) - 1)
+            b = flat.slice(1)
+            same = parent[1:] == parent[:-1]
+            pa_ = parent[:-1]
+            for ph in plist:
+                w1, w2 = ph.split(" ", 1)
+                m = (
+                    pc.equal(a, w1).to_numpy(zero_copy_only=False)
+                    & pc.equal(b, w2).to_numpy(zero_copy_only=False)
+                    & same
+                )
+                if not m.any():
+                    continue
+                rows, cnts = np.unique(pa_[m], return_counts=True)
+                out_p.append(np.full(len(rows), ph, dtype=object))
+                out_d.append(doc[rows])
+                out_c.append(cnts.astype(np.int64))
+        if not out_p:
+            return pa.table(
+                {
+                    "phrase": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "occ": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "phrase": pa.array(np.concatenate(out_p), pa.string()),
+                "doc_id": pa.array(np.concatenate(out_d)),
+                "occ": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    per_doc = grouped_sum(
+        ds.map_batches(
+            with_broadcast(ref, match), batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["phrase", "doc_id"],
+        {"occ": ("occ", "sum")},
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "phrase": t["phrase"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "occ": t["occ"],
+            }
+        )
+
+    agg = grouped_sum(
+        per_doc.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True),
+        ["phrase"],
+        {"n_docs": ("one", "sum"), "n_occurrences": ("occ", "sum")},
+        merge="driver",
+    )
+    return agg.sort("phrase")
+
+
+def docs_phrase_search_sql(k_phrases: int = 5) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest({_TOKENS_SQL}) AS w,
+         generate_subscripts({_TOKENS_SQL}, 1) AS i
+  FROM documents
+), bg AS (
+  SELECT t1.doc_id, t1.w || ' ' || t2.w AS bigram
+  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+), top AS (
+  SELECT bigram FROM bg GROUP BY bigram
+  ORDER BY count(*) DESC, bigram LIMIT {k_phrases}
+)
+SELECT b.bigram AS phrase,
+       CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_docs,
+       count(*)::BIGINT AS n_occurrences
+FROM bg b JOIN top ON b.bigram = top.bigram
+GROUP BY 1 ORDER BY 1
+"""
