@@ -238,6 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate-string similarity join (FastSS deletion
         # neighborhoods; exact LEVENSHTEIN oracle)
         "cust_name_editdist": R.cust_name_editdist,
+        "cust_entity_resolution": R.cust_entity_resolution,
+        "part_skyline": R.part_skyline,
         # Q19 shape: disjunctive multi-predicate join, zero-exchange
         "disjunctive_revenue": R.disjunctive_revenue,
     }
@@ -400,6 +402,8 @@ def oracle_sql() -> dict[str, str]:
         "part_activity_full": R.PART_ACTIVITY_FULL_SQL,
         "exact_price_quantiles": R.EXACT_PRICE_QUANTILES_SQL,
         "cust_name_editdist": R.CUST_NAME_EDITDIST_SQL,
+        "cust_entity_resolution": R.CUST_ENTITY_RESOLUTION_SQL,
+        "part_skyline": R.PART_SKYLINE_SQL,
         "disjunctive_revenue": R.DISJUNCTIVE_REVENUE_SQL,
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_crosscorpus_neardup,

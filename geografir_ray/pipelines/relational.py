@@ -2705,12 +2705,17 @@ def _editdist_le1(a_names: np.ndarray, b_names: np.ndarray) -> np.ndarray:
     return (np.abs(la - lb) <= 1) & (lcp + lcs >= lmin - (la == lb))
 
 
-def editdist_pairs(names_ds, n_buckets: int = 64):
+def editdist_pairs(names_ds, n_buckets: int = 64, with_ids: bool = False):
     """FastSS edit-distance-<=1 self-join over a ``name`` string column
     (see module comment above): deletion-variant hash exchange →
     in-bucket pair expansion → bounded pair-dedup exchange → vectorized
     LCP+LCS verify.  ``names_ds`` rows must be DISTINCT names.
-    Subquadratic and fully distributed at any cardinality."""
+    Subquadratic and fully distributed at any cardinality.
+
+    ``with_ids=True``: ``names_ds`` additionally carries an int64 ``id``
+    column (1:1 with names); the output pairs then carry ``ia``/``ib``
+    payload ids alongside ``a``/``b`` — the record-linkage form where
+    the caller needs entity keys, not just the matched strings."""
     from ..functions.hashing import splitmix64
 
     ds = names_ds
@@ -2718,16 +2723,24 @@ def editdist_pairs(names_ds, n_buckets: int = 64):
 
     def variants(t: pa.Table) -> pa.Table:
         names = np.asarray(t["name"].to_numpy(zero_copy_only=False))
+        ids0 = (
+            t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if with_ids
+            else None
+        )
         if len(names) == 0:
-            return pa.table(
-                {"vhash": pa.array([], pa.int64()), "name": pa.array([], pa.string())}
-            )
+            cols = {"vhash": pa.array([], pa.int64()), "name": pa.array([], pa.string())}
+            if with_ids:
+                cols["id"] = pa.array([], pa.int64())
+            return pa.table(cols)
         enc = np.frombuffer(
             np.asarray(names, dtype=f"S{W + 1}").tobytes(), dtype=np.uint8
         ).reshape(-1, W + 1)
         ln = (enc != 0).sum(axis=1).astype(np.int64)
         ok = (ln >= 2) & (ln <= W)
         names, enc, ln = names[ok], enc[ok], ln[ok]
+        if with_ids:
+            ids0 = ids0[ok]
         n = len(names)
 
         def row_hash(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -2755,12 +2768,13 @@ def editdist_pairs(names_ds, n_buckets: int = 64):
         # (name, vhash) rows before the exchange
         pair_key = np.stack([idx, vh])
         uniq = np.unique(pair_key, axis=1)
-        return pa.table(
-            {
-                "vhash": pa.array(uniq[1]),
-                "name": pa.array(names[uniq[0]], pa.string()),
-            }
-        )
+        cols = {
+            "vhash": pa.array(uniq[1]),
+            "name": pa.array(names[uniq[0]], pa.string()),
+        }
+        if with_ids:
+            cols["id"] = pa.array(ids0[uniq[0]])
+        return pa.table(cols)
 
     posts = ds.map_batches(variants, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -2769,19 +2783,29 @@ def editdist_pairs(names_ds, n_buckets: int = 64):
         b = (splitmix64(vh) % np.uint64(n_buckets)).astype(np.int64)
         return t.append_column("__bkt", pa.array(b))
 
-    _PAIRS = pa.schema([("a", pa.string()), ("b", pa.string())])
+    _PAIRS = pa.schema(
+        [("a", pa.string()), ("b", pa.string())]
+        + ([("ia", pa.int64()), ("ib", pa.int64())] if with_ids else [])
+    )
 
     def expand(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return _PAIRS.empty_table()
         vh = g["vhash"].to_numpy(zero_copy_only=False)
         nm = np.asarray(g["name"].to_numpy(zero_copy_only=False))
+        gid = (
+            g["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if with_ids
+            else None
+        )
         # integer argsort on the hash only — an object-string lexsort
         # here pays one Python compare per element (rules 13/17/19);
         # pairs are canonicalized a<b AFTER expansion instead, paying
         # O(pairs) compares (pairs << rows)
         order = np.argsort(vh, kind="stable")
         vh, nm = vh[order], nm[order]
+        if with_ids:
+            gid = gid[order]
         first = np.ones(len(vh), dtype=bool)
         first[1:] = vh[1:] != vh[:-1]
         starts = np.flatnonzero(first)
@@ -2795,8 +2819,19 @@ def editdist_pairs(names_ds, n_buckets: int = 64):
         a_idx = np.repeat(starts[seg_id], pos) + offs
         x, y = nm[a_idx], nm[b_idx]
         # duplicate names impossible (keys distinct), so x != y always
+        if not with_ids:
+            return pa.table(
+                {"a": pa.array(np.minimum(x, y)), "b": pa.array(np.maximum(x, y))}
+            )
+        ix, iy = gid[a_idx], gid[b_idx]
+        sw = x > y  # canonicalize by NAME; ids ride the same swap
         return pa.table(
-            {"a": pa.array(np.minimum(x, y)), "b": pa.array(np.maximum(x, y))}
+            {
+                "a": pa.array(np.where(sw, y, x), pa.string()),
+                "b": pa.array(np.where(sw, x, y), pa.string()),
+                "ia": pa.array(np.where(sw, iy, ix)),
+                "ib": pa.array(np.where(sw, ix, iy)),
+            }
         )
 
     pairs = (
@@ -2810,10 +2845,14 @@ def editdist_pairs(names_ds, n_buckets: int = 64):
             "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
         )
 
+    aggs = {"one": ("one", "min")}
+    if with_ids:
+        # ids are functionally determined by (a, b); min == the value
+        aggs.update({"ia": ("ia", "min"), "ib": ("ib", "min")})
     dedup = grouped_sum(
         pairs.map_batches(one, batch_format="pyarrow", zero_copy_batch=True),
         ["a", "b"],
-        {"one": ("one", "min")},
+        aggs,
     )
 
     def verify(t: pa.Table) -> pa.Table:
@@ -2822,7 +2861,12 @@ def editdist_pairs(names_ds, n_buckets: int = 64):
         a = np.asarray(t["a"].to_numpy(zero_copy_only=False))
         b = np.asarray(t["b"].to_numpy(zero_copy_only=False))
         m = _editdist_le1(a, b)
-        return pa.table({"a": pa.array(a[m], pa.string()), "b": pa.array(b[m], pa.string())})
+        cols = {"a": pa.array(a[m], pa.string()), "b": pa.array(b[m], pa.string())}
+        if with_ids:
+            mm = pa.array(m)
+            cols["ia"] = t["ia"].filter(mm)
+            cols["ib"] = t["ib"].filter(mm)
+        return pa.table(cols)
 
     return dedup.map_batches(
         verify, batch_format="pyarrow", zero_copy_batch=True
@@ -2839,6 +2883,91 @@ FROM v a JOIN v b
   ON a.name < b.name AND abs(length(a.name) - length(b.name)) <= 1
 WHERE levenshtein(a.name, b.name) <= 1
 ORDER BY a, b
+"""
+
+
+def cust_entity_resolution(sf_dir: str, max_iters: int = 25):
+    """Record linkage end-to-end — the entity-resolution composition
+    every dedupe pipeline runs: blocking + fuzzy match
+    (:func:`editdist_pairs` with id payload: FastSS deletion-variant
+    exchange, never all-pairs) → undirected match edges → connected
+    components (pointer-doubling min-label propagation,
+    stages/components.py, O(log diameter) rounds) → one canonical
+    ``entity_id`` (the cluster-minimum custkey) per customer.  Every
+    subset customer appears, singletons as their own entity.  All
+    three stages are bounded exchanges; nothing is materialized on the
+    driver.  Same deterministic 1/3 subset as ``cust_name_editdist``
+    so the O(n^2) LEVENSHTEIN + recursive-CTE oracle stays bounded."""
+    from ..stages.components import min_label_components
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["c_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = pa.array(key % 3 == 0)
+        f = t.filter(keep)
+        return pa.table(
+            {"name": f["c_name"], "id": pc.cast(f["c_custkey"], pa.int64())}
+        )
+
+    subset = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = editdist_pairs(subset, with_ids=True)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        ia = t["ia"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = t["ib"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([ia, ib])),
+                "dst": pa.array(np.concatenate([ib, ia])),
+            }
+        )
+
+    edges = pairs.map_batches(
+        both_dirs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def self_label(t: pa.Table) -> pa.Table:
+        k = t["id"]
+        return pa.table({"node": k, "label": k})
+
+    labels = subset.map_batches(
+        self_label, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    labels = min_label_components(
+        edges, labels, max_iters=max_iters, op_name="cust_entity_resolution"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": t["node"], "entity_id": t["label"]})
+
+    return labels.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("c_custkey")
+
+
+CUST_ENTITY_RESOLUTION_SQL = f"""
+WITH RECURSIVE v AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name FROM customer
+  WHERE c_custkey % 3 = 0 AND length(c_name) BETWEEN 2 AND {EDITDIST_MAXLEN}
+),
+pairs AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM v a JOIN v b
+    ON a.name < b.name AND abs(length(a.name) - length(b.name)) <= 1
+  WHERE levenshtein(a.name, b.name) <= 1
+),
+edges AS (
+  SELECT ia AS src, ib AS dst FROM pairs
+  UNION ALL SELECT ib AS src, ia AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS c_custkey, CAST(MIN(label) AS BIGINT) AS entity_id
+FROM reach GROUP BY node ORDER BY c_custkey
 """
 
 
@@ -3087,4 +3216,94 @@ SELECT CAST(p.p AS BIGINT) AS p, r.vc AS value_c
 FROM r CROSS JOIN (VALUES (25), (50), (75), (95)) AS p(p)
 WHERE r.rn = (p.p * r.n + 99) // 100
 ORDER BY p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto-frontier query (Borzsonyi et al., ICDE 2001 — the
+# preference-query operator class): parts that are not DOMINATED under
+# (minimize retail price, maximize size).  q dominates p iff
+# q.price <= p.price AND q.size >= p.size AND strict in at least one.
+# Engine shape: 2-d dominance collapses onto the per-size price minima
+# — p survives iff p.price == min_price(p.size) AND
+# p.price < min_price(any size > p.size) — so pass 1 is a bounded
+# per-size MIN (combiner + driver merge: distinct sizes are bounded by
+# the attribute domain, never by row count), the driver suffix-scans
+# sizes descending for bestGT, and pass 2 re-scans with the tiny
+# (size -> minp, bestGT) table broadcast in the task closure.  Two
+# streaming passes, zero shuffles, no all-pairs at any scale; ties on
+# the frontier all survive.  The oracle is the independent quadratic
+# NOT-EXISTS dominance definition, not this algorithm.
+# ---------------------------------------------------------------------------
+
+
+def part_skyline(sf_dir: str):
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_size": pc.cast(t["p_size"], pa.int64()),
+                "price_c": floor_scale(t["p_retailprice"]),
+            }
+        )
+
+    per_size = (
+        grouped_sum(
+            ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+            ["p_size"],
+            {"minp": ("price_c", "min")},
+            merge="driver",
+        )
+        .to_pandas()
+        .sort_values("p_size")
+    )
+    sizes = per_size["p_size"].values.astype(np.int64)
+    minp = per_size["minp"].values.astype(np.int64)
+    # bestGT(s) = min price over strictly LARGER sizes (exclusive
+    # suffix-min, descending); int64 max = "no larger size"
+    bestgt = np.full(len(sizes), np.iinfo(np.int64).max, dtype=np.int64)
+    if len(sizes) > 1:
+        bestgt[:-1] = np.minimum.accumulate(minp[::-1])[::-1][1:]
+    ref = ray.put((sizes, minp, bestgt))
+
+    def keep(state, t: pa.Table) -> pa.Table:
+        sizes, minp, bestgt = state
+        sz = pc.cast(t["p_size"], pa.int64()).to_numpy(zero_copy_only=False)
+        prc = floor_scale(t["p_retailprice"]).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sizes, sz)  # every size is present in pass 1
+        m = (prc == minp[pos]) & (prc < bestgt[pos])
+        mm = pa.array(m)
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["p_partkey"].filter(mm), pa.int64()),
+                "price_c": pa.array(prc[m]),
+                "p_size": pa.array(sz[m]),
+            }
+        )
+
+    return ds.map_batches(
+        with_broadcast(ref, keep), batch_format="pyarrow", zero_copy_batch=True
+    ).sort("p_partkey")
+
+
+PART_SKYLINE_SQL = f"""
+WITH v AS (
+  SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+         {floor_scale_sql('p_retailprice')} AS price_c,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part
+)
+SELECT p.p_partkey, p.price_c, p.p_size
+FROM v p
+WHERE NOT EXISTS (
+  SELECT 1 FROM v q
+  WHERE q.price_c <= p.price_c AND q.p_size >= p.p_size
+    AND (q.price_c < p.price_c OR q.p_size > p.p_size)
+)
+ORDER BY p_partkey
 """

@@ -1702,6 +1702,38 @@ def test_editdist_le1_rule_vs_brute_dp():
     assert (got == exp).all()
 
 
+def test_entity_resolution_invariants(ray_session, sf_small):
+    """cust_entity_resolution: the id-carrying pair machinery and the
+    component labels satisfy the record-linkage invariants — ids ride
+    the name canonicalization 1:1, every subset customer gets exactly
+    one entity, the entity id is a cluster member's minimum, and
+    matched pairs always share an entity."""
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.relational import (
+        cust_entity_resolution,
+        cust_name_editdist,
+    )
+
+    ent = cust_entity_resolution(sf_small).to_pandas()
+    cust = pq.read_table(
+        f"{sf_small}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    subset = cust[cust["c_custkey"] % 3 == 0]
+    # total + unique coverage of the subset, entity <= member key
+    assert sorted(ent["c_custkey"]) == sorted(subset["c_custkey"])
+    assert (ent["entity_id"] <= ent["c_custkey"]).all()
+    # every entity id IS a member of its own cluster
+    by_ent = ent.groupby("entity_id")["c_custkey"].agg(["min"])
+    assert (by_ent.index == by_ent["min"]).all()
+    # matched name pairs land in the same entity
+    lab = dict(zip(ent["c_custkey"], ent["entity_id"]))
+    name2key = dict(zip(subset["c_name"], subset["c_custkey"]))
+    pairs = cust_name_editdist(sf_small).to_pandas()
+    for a, b in zip(pairs["a"], pairs["b"]):
+        assert lab[name2key[a]] == lab[name2key[b]]
+
+
 def test_exact_quantiles_histogram_refinement_ties(ray_session, tmp_path):
     """Histogram-refinement order statistics vs numpy sort on a
     tie-heavy value distribution (many duplicates sharing 256-cent
@@ -1727,3 +1759,44 @@ def test_exact_quantiles_histogram_refinement_ties(ray_session, tmp_path):
     for p, got in zip(out["p"], out["value_c"]):
         k = (int(p) * n + 99) // 100
         assert int(got) == int(vc[k - 1]), p
+
+
+def test_part_skyline_ties_vs_brute(ray_session, tmp_path):
+    """Skyline on a tie-heavy synthetic part table vs the quadratic
+    dominance definition — frontier ties (several parts sharing a
+    frontier (price, size) point) must ALL survive, and dominated rows
+    that merely tie one coordinate must not."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.relational import part_skyline
+
+    rng = np.random.default_rng(11)
+    n = 5_000
+    size = rng.integers(1, 13, size=n)  # narrow domain -> many ties
+    price = rng.choice(np.linspace(9.0, 19.0, 21), size=n)  # tied prices
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(np.arange(n, dtype=np.int64)),
+                "p_size": pa.array(size.astype(np.int64)),
+                "p_retailprice": pa.array(price),
+            }
+        ),
+        d / "part.parquet",
+    )
+    got = part_skyline(str(d)).to_pandas()
+    pc_ = np.floor(price * 100.0).astype(np.int64)
+    dominated = np.zeros(n, dtype=bool)
+    for s, p in {(int(s), int(p)) for s, p in zip(size, pc_)}:
+        dominated |= (pc_ >= p) & (size <= s) & ((pc_ > p) | (size < s))
+    exp = np.flatnonzero(~dominated)
+    assert sorted(got["p_partkey"]) == sorted(exp)
+    keys = got["p_partkey"].values.astype(np.int64)
+    assert (got["price_c"].values == pc_[keys]).all()
+    assert (got["p_size"].values == size[keys]).all()
+    # frontier must contain >1 row per at least one (price,size) point
+    assert got.duplicated(["price_c", "p_size"]).any()
