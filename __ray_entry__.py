@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma16": E.events_ewma16,
         "events_anomaly": E.events_anomaly,
         "events_user_path": E.events_user_path,
+        "events_twap": E.events_twap,
         # documents (text analysis + dedup family)
         "docs_stats": D.docs_stats,
         "docs_term_topk": D.docs_term_topk,
@@ -180,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_locations": D.docs_locations,
         "docs_extract_zonal": D.docs_extract_zonal,
         "docs_sample": D.docs_sample,
+        "docs_split_assign": D.docs_split_assign,
         "docs_bottomk_sample": D.docs_bottomk_sample,
         "docs_stratified_sample": D.docs_stratified_sample,
         "docs_distinctive_term": D.docs_distinctive_term,
@@ -302,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ewma16": E.EVENTS_EWMA16_SQL,
         "events_anomaly": E.EVENTS_ANOMALY_SQL,
         "events_user_path": E.EVENTS_USER_PATH_SQL,
+        "events_twap": E.EVENTS_TWAP_SQL,
         "docs_stats": D.DOCS_STATS_SQL,
         "docs_term_topk": D.DOCS_TERM_TOPK_SQL,
         "docs_exact_dedup": D.DOCS_EXACT_DEDUP_SQL,
@@ -362,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_locations": D.docs_locations_sql(),
         "docs_extract_zonal": D.docs_extract_zonal_sql(),
         "docs_sample": D.docs_sample_sql(),
+        "docs_split_assign": D.DOCS_SPLIT_ASSIGN_SQL,
         "docs_bottomk_sample": D.docs_bottomk_sample_sql(),
         "docs_stratified_sample": D.docs_stratified_sample_sql(),
         "docs_distinctive_term": D.DOCS_DISTINCTIVE_TERM_SQL,

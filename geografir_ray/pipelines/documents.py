@@ -5077,3 +5077,61 @@ SELECT b.bigram AS phrase,
 FROM bg b JOIN top ON b.bigram = top.bigram
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split assignment — the corpus-split op
+# every training pipeline runs before anything else.  Assignment is a
+# pure function of doc_id (the docs_sample multiplicative hash), so it
+# is reproducible across runs, workers and partitionings, and a doc
+# never migrates between splits when the corpus is re-sharded.  The
+# per-split audit (n_docs, total chars) is a 3-group aggregate:
+# per-batch combiner partials -> driver merge, zero exchanges.
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # remainder = test
+
+
+def docs_split_assign(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((k * 2654435761 + 1013904223) % 4294967296) % 100
+        split = np.full(len(k), "test", dtype=object)
+        split[h < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT] = "val"
+        split[h < SPLIT_TRAIN_PCT] = "train"
+        return pa.table(
+            {
+                "split": pa.array(split, pa.string()),
+                "one": pa.array(np.ones(len(k), dtype=np.int64)),
+                "chars": pc.cast(t["n_chars"], pa.int64()),
+            }
+        )
+
+    agg = grouped_sum(
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
+        ["split"],
+        {"n_docs": ("one", "sum"), "total_chars": ("chars", "sum")},
+        merge="driver",
+    )
+    return agg.sort("split")
+
+
+DOCS_SPLIT_ASSIGN_SQL = f"""
+WITH s AS (
+  SELECT CASE
+           WHEN ((doc_id * 2654435761 + 1013904223) % 4294967296) % 100
+                < {SPLIT_TRAIN_PCT} THEN 'train'
+           WHEN ((doc_id * 2654435761 + 1013904223) % 4294967296) % 100
+                < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+           ELSE 'test'
+         END AS split,
+         n_chars
+  FROM documents
+)
+SELECT split, count(*)::BIGINT AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY split ORDER BY split
+"""

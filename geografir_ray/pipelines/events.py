@@ -3341,3 +3341,91 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) per user — the interval-weighted
+# aggregation class (financial TWAP / sensor time-weighted mean): each
+# observation holds its value until the user's NEXT event, so the mean
+# weights values by holding duration, not by row count.  Engine shape:
+# one hash(user) bucket exchange, per-bucket lexsort + vectorized
+# segment logic (same machinery as events_lead_lag), per-user sums via
+# np.add.reduceat — zero per-user Python.  All arithmetic is exact
+# integers (cents x microseconds; products bounded by value-range x
+# total-span, ~1e18 max at any per-user row count) and the final TWAP
+# is a floor division mirrored by the SQL twin.
+# ---------------------------------------------------------------------------
+
+
+def events_twap(sf_dir: str, n_buckets: int = 32):
+    from ..functions.hashing import splitmix64
+    from .common import floor_scale
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(uid) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bkt", pa.array(b))
+
+    _OUT = pa.schema(
+        [("user_id", pa.int64()), ("span_us", pa.int64()), ("twap_c", pa.int64())]
+    )
+
+    def twap(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        )
+        vc = floor_scale(g["value"]).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uo, to, vo = uid[order], ts[order], vc[order]
+        n = len(uo)
+        same_next = np.zeros(n, dtype=bool)
+        same_next[:-1] = uo[1:] == uo[:-1]
+        dt = np.zeros(n, dtype=np.int64)
+        dt[:-1][same_next[:-1]] = (to[1:] - to[:-1])[same_next[:-1]]
+        first = np.ones(n, dtype=bool)
+        first[1:] = uo[1:] != uo[:-1]
+        starts = np.flatnonzero(first)
+        span = np.add.reduceat(dt, starts)
+        numer = np.add.reduceat(vo * dt, starts)
+        keep = span > 0  # users with >= 2 distinct-ts events
+        return pa.table(
+            {
+                "user_id": pa.array(uo[starts][keep]),
+                "span_us": pa.array(span[keep]),
+                "twap_c": pa.array(numer[keep] // span[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bkt")
+        .map_groups(twap, batch_format="pyarrow")
+        .sort("user_id")
+    )
+
+
+EVENTS_TWAP_SQL = """
+WITH w AS (
+  SELECT user_id,
+         CAST(floor(value * 100.0) AS BIGINT) AS vc,
+         epoch_us(ts) AS tsu,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)) AS nxt
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(nxt - tsu) AS BIGINT) AS span_us,
+       CAST(sum(vc * (nxt - tsu)) AS BIGINT)
+         // CAST(sum(nxt - tsu) AS BIGINT) AS twap_c
+FROM w
+WHERE nxt IS NOT NULL
+GROUP BY user_id
+HAVING sum(nxt - tsu) > 0
+ORDER BY user_id
+"""
