@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly": E.events_anomaly,
         "events_user_path": E.events_user_path,
         "events_twap": E.events_twap,
+        "events_interval_coverage": E.events_interval_coverage,
         # documents (text analysis + dedup family)
         "docs_stats": D.docs_stats,
         "docs_term_topk": D.docs_term_topk,
@@ -157,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dim_stats": M.emb_dim_stats,
         "emb_kmeans": M.emb_kmeans,  # rows-only: iterative Lloyd refinement
         "emb_pca_power": M.emb_pca_power,  # rows-only: float eigenvector, invariance-gated
+        "emb_mmr_topk": M.emb_mmr_topk,  # rows-only: greedy float argmax chain
         "emb_semantic_dedup": M.emb_semantic_dedup,  # rows-only: kmeans buckets
         # raster (tile tables / masked stats / burn / conform)
         "raster_tile_stats": RQ.raster_tile_stats,
@@ -305,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly": E.EVENTS_ANOMALY_SQL,
         "events_user_path": E.EVENTS_USER_PATH_SQL,
         "events_twap": E.EVENTS_TWAP_SQL,
+        "events_interval_coverage": E.EVENTS_INTERVAL_COVERAGE_SQL,
         "docs_stats": D.DOCS_STATS_SQL,
         "docs_term_topk": D.DOCS_TERM_TOPK_SQL,
         "docs_exact_dedup": D.DOCS_EXACT_DEDUP_SQL,

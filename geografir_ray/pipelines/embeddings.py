@@ -2038,3 +2038,85 @@ def emb_sq_knn(sf_dir: str):
     decoded = sq_decoded_view(codes, vmin, vmax)
     qids, qn = _queries_payload(sf_dir)
     return ann_brute_topk(decoded, qids, qn, k=TOP_K, exclude_self=True)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (Carbonell & Goldstein, SIGIR 1998) — the
+# diversified-retrieval / training-data-selection operator: greedy
+# re-rank balancing relevance to the query against redundancy with the
+# already-selected set, score = lam*cos(q,d) - (1-lam)*max_sel cos(d,s).
+# Engine shape: the part that touches every corpus vector is the
+# DISTRIBUTED exact shortlist (ann_brute_topk: bounded k-rows/query/
+# batch exchange, chunked matmul); the greedy loop then runs on the
+# BOUNDED n_queries x shortlist candidate set, whose vectors are
+# fetched by one broadcast-membership filter scan — never a full
+# materialize.  Deterministic vec_id tie-breaks; rows-only (greedy
+# float argmax chains are not SQL-expressible), golden-pinned +
+# invariance-tested.
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_SHORTLIST = 50
+
+
+def emb_mmr_topk(
+    sf_dir: str,
+    k: int = TOP_K,
+    shortlist: int = MMR_SHORTLIST,
+    lam: float = MMR_LAMBDA,
+):
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    qids, qn = _queries_payload(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    short = ann_brute_topk(ds, qids, qn, k=shortlist, exclude_self=True).to_pandas()
+    need = np.unique(short["neighbor_id"].values.astype(np.int64))
+    ref = ray.put(need)
+
+    def pick(state, t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0 or len(state) == 0:
+            return t.slice(0, 0)
+        pos = np.clip(np.searchsorted(state, ids), 0, len(state) - 1)
+        return t.filter(pa.array(state[pos] == ids))
+
+    cand = pa.concat_tables(
+        ds.map_batches(
+            with_broadcast(ref, pick), batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    cid = cand["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cmat = _emb_matrix(cand)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    row_of = {int(v): i for i, v in enumerate(cid)}
+
+    out_q, out_n, out_r = [], [], []
+    for qi, qvec in zip(qids, qn):
+        mine = short[short["query_id"] == qi]
+        ids = mine["neighbor_id"].values.astype(np.int64)
+        V = cmat[[row_of[int(v)] for v in ids]]
+        rel = V @ qvec
+        remaining = np.arange(len(ids))
+        max_div = np.zeros(len(ids))
+        for r in range(min(k, len(ids))):
+            score = lam * rel[remaining] - (1.0 - lam) * max_div[remaining]
+            # argmax with deterministic vec_id tie-break
+            j = remaining[np.lexsort((ids[remaining], -score))[0]]
+            out_q.append(int(qi))
+            out_n.append(int(ids[j]))
+            out_r.append(r + 1)
+            remaining = remaining[remaining != j]
+            if len(remaining) == 0:
+                break
+            max_div[remaining] = np.maximum(
+                max_div[remaining], V[remaining] @ V[j]
+            )
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "mmr_rank": pa.array(out_r, pa.int64()),
+        }
+    )

@@ -3429,3 +3429,121 @@ GROUP BY user_id
 HAVING sum(nxt - tsu) > 0
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands / interval union per user: each event opens a
+# 5-minute activity interval; overlapping-or-touching intervals merge
+# into islands, and the per-user result is (number of islands, total
+# covered microseconds) — the interval-coverage class (uptime
+# calculation, sensor-activity union, sessionized coverage).  Engine
+# shape: one hash(user) bucket exchange, then a per-bucket lexsort and
+# a SEGMENTED RUNNING MAX of interval ends (the classic islands
+# detector: a row starts a new island iff its start exceeds the
+# running max end of everything before it in the user's order) done
+# with a per-segment offset trick on one np.maximum.accumulate —
+# zero per-user Python.  Island and user rollups are reduceat sums.
+# ---------------------------------------------------------------------------
+
+INTERVAL_WINDOW_US = 300_000_000  # 5 minutes
+
+
+def events_interval_coverage(sf_dir: str, n_buckets: int = 32):
+    from ..functions.hashing import splitmix64
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(uid) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bkt", pa.array(b))
+
+    _OUT = pa.schema(
+        [("user_id", pa.int64()), ("n_islands", pa.int64()), ("covered_us", pa.int64())]
+    )
+
+    def islands(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        )
+        order = np.lexsort((eid, ts, uid))
+        uo, so = uid[order], ts[order]
+        eo = so + INTERVAL_WINDOW_US
+        n = len(uo)
+        first = np.ones(n, dtype=bool)
+        first[1:] = uo[1:] != uo[:-1]
+        seg_id = np.cumsum(first) - 1
+        # segmented running max of ends: add a per-segment offset larger
+        # than the whole value range so accumulate never crosses users
+        base = eo.min()
+        rel = eo - base
+        big = int(rel.max()) + INTERVAL_WINDOW_US + 1
+        # offsets must stay clear of int64; users-per-bucket x time-range
+        # is bounded by raising n_buckets with cluster size
+        assert int(seg_id[-1]) * big < (1 << 62), "raise n_buckets"
+        runmax = np.maximum.accumulate(rel + seg_id * big) - seg_id * big + base
+        new_island = first.copy()
+        new_island[1:] |= so[1:] > runmax[:-1]  # touch merges (> strict)
+        isl_starts = np.flatnonzero(new_island)
+        # island end = running max at the island's LAST row
+        isl_last = np.concatenate([isl_starts[1:] - 1, [n - 1]])
+        covered = runmax[isl_last] - so[isl_starts]
+        # roll islands up to users
+        isl_user = uo[isl_starts]
+        ufirst = np.ones(len(isl_user), dtype=bool)
+        ufirst[1:] = isl_user[1:] != isl_user[:-1]
+        ustarts = np.flatnonzero(ufirst)
+        counts = np.diff(np.concatenate([ustarts, [len(isl_user)]]))
+        return pa.table(
+            {
+                "user_id": pa.array(isl_user[ustarts]),
+                "n_islands": pa.array(counts.astype(np.int64)),
+                "covered_us": pa.array(np.add.reduceat(covered, ustarts)),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bkt")
+        .map_groups(islands, batch_format="pyarrow")
+        .sort("user_id")
+    )
+
+
+EVENTS_INTERVAL_COVERAGE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {INTERVAL_WINDOW_US} AS e,
+         max(epoch_us(ts) + {INTERVAL_WINDOW_US}) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_max
+  FROM events
+),
+f AS (
+  SELECT user_id, s, e,
+         CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+           AS isl_start
+  FROM e
+),
+i AS (
+  SELECT user_id, s, e,
+         sum(isl_start) OVER (
+           PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island_id
+  FROM f
+),
+g AS (
+  SELECT user_id, island_id,
+         max(e) - min(s) AS covered
+  FROM i GROUP BY user_id, island_id
+)
+SELECT user_id, count(*)::BIGINT AS n_islands,
+       CAST(sum(covered) AS BIGINT) AS covered_us
+FROM g GROUP BY user_id ORDER BY user_id
+"""

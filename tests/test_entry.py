@@ -39,6 +39,7 @@ def test_queries_have_oracles_or_are_documented(ray_session):
         "emb_ivfpq_knn",
         "emb_kmeans",
         "emb_pca_power",
+        "emb_mmr_topk",
         "emb_semantic_dedup",
         "mm_features",
         "mm_image_features",

@@ -26,6 +26,7 @@ _GOLDEN = {
     "mm_audio_features": (500, "10cc698110d450121f5067ac39d8565c3be7a30f172efc061bd6e5ab72f0491c"),
     "mm_image_patches": (5224, "41d801c08c309e4abfa95f607902452ef091f21d889cd50b7241d3dbe9438734"),
     "mm_audio_spectrogram": (4000, "be1560c7f62a8c5456ecc6910eb18340d73987a5a7e2ad163cf2a4d15cf73475"),
+    "emb_mmr_topk": (50, "f79e5aa937aa58568f39713ad6febd1394fff777c6a18399361417a337b23f2e"),
 }
 
 

@@ -1800,3 +1800,24 @@ def test_part_skyline_ties_vs_brute(ray_session, tmp_path):
     assert (got["p_size"].values == size[keys]).all()
     # frontier must contain >1 row per at least one (price,size) point
     assert got.duplicated(["price_c", "p_size"]).any()
+
+
+def test_mmr_diversified_topk_invariants(ray_session, sf_small):
+    """MMR re-rank: rank-1 equals the plain cosine top-1 (lam weighting
+    cannot change an empty-selection step), every pick comes from the
+    exact shortlist, ranks are 1..k per query, and no duplicates."""
+    from geografir_ray.pipelines.embeddings import (
+        TOP_K,
+        emb_knn,
+        emb_mmr_topk,
+    )
+
+    mmr = emb_mmr_topk(sf_small).to_pandas()
+    knn = emb_knn(sf_small).to_pandas()
+    top1 = knn[knn["rank"] == 1].set_index("query_id")["neighbor_id"]
+    m1 = mmr[mmr["mmr_rank"] == 1].set_index("query_id")["neighbor_id"]
+    assert (top1.sort_index() == m1.sort_index()).all()
+    for qid, grp in mmr.groupby("query_id"):
+        assert sorted(grp["mmr_rank"]) == list(range(1, TOP_K + 1))
+        assert grp["neighbor_id"].is_unique
+        assert not (grp["neighbor_id"] == qid).any()
