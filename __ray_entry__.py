@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_name_editdist": R.cust_name_editdist,
         "cust_entity_resolution": R.cust_entity_resolution,
         "part_skyline": R.part_skyline,
+        "range_partition_assign": R.range_partition_assign,
         # Q19 shape: disjunctive multi-predicate join, zero-exchange
         "disjunctive_revenue": R.disjunctive_revenue,
     }
@@ -411,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
         "cust_name_editdist": R.CUST_NAME_EDITDIST_SQL,
         "cust_entity_resolution": R.CUST_ENTITY_RESOLUTION_SQL,
         "part_skyline": R.PART_SKYLINE_SQL,
+        "range_partition_assign": R.RANGE_PARTITION_ASSIGN_SQL,
         "disjunctive_revenue": R.DISJUNCTIVE_REVENUE_SQL,
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_crosscorpus_neardup,

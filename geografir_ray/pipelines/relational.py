@@ -3307,3 +3307,74 @@ WHERE NOT EXISTS (
 )
 ORDER BY p_partkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact range partitioner, exposed as an operator: equi-depth boundary
+# values (the EXACT p25/p50/p75 order statistics from the
+# histogram-refinement pass above — not a sample-based approximation
+# like Dataset.sort's) assign every row a partition id, with ties
+# going LEFT (pid = count of boundaries strictly below the value).
+# This is the building block of a deterministic distributed sort /
+# bucketed export: the audit (n_rows, min, max per partition) proves
+# the ranges are disjoint, ordered and balanced.  Three streaming
+# passes total (fused histogram, target-bucket collect, assign+audit),
+# zero shuffles; boundaries broadcast in the task closure.
+# ---------------------------------------------------------------------------
+
+RANGE_PART_PS = (25, 50, 75)
+
+
+def range_partition_assign(sf_dir: str):
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    q = exact_price_quantiles(sf_dir)
+    qd = {int(p): int(v) for p, v in zip(q["p"].to_pylist(), q["value_c"].to_pylist())}
+    bounds = np.array([qd[p] for p in RANGE_PART_PS], dtype=np.int64)
+    ref = ray.put(bounds)
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def assign(state, t: pa.Table) -> pa.Table:
+        vc = floor_scale(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        pid = np.searchsorted(state, vc, side="left").astype(np.int64)
+        # side="left": vc == boundary -> pid of the LEFT range; mirrors
+        # the SQL twin's COUNT(boundary < vc)
+        return pa.table(
+            {
+                "pid": pa.array(pid),
+                "one": pa.array(np.ones(len(vc), dtype=np.int64)),
+                "mn": pa.array(vc),
+                "mx": pa.array(vc),
+            }
+        )
+
+    agg = grouped_sum(
+        ds.map_batches(
+            with_broadcast(ref, assign), batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["pid"],
+        {"n_rows": ("one", "sum"), "min_vc": ("mn", "min"), "max_vc": ("mx", "max")},
+        merge="driver",
+    )
+    return agg.sort("pid")
+
+
+RANGE_PARTITION_ASSIGN_SQL = """
+WITH v AS (
+  SELECT CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS vc FROM lineitem
+), r AS (
+  SELECT vc, row_number() OVER (ORDER BY vc) AS rn, count(*) OVER () AS n
+  FROM v
+), b AS (
+  SELECT r.vc FROM r CROSS JOIN (VALUES (25), (50), (75)) AS p(p)
+  WHERE r.rn = (p.p * r.n + 99) // 100
+), a AS (
+  SELECT v.vc, (SELECT count(*) FROM b WHERE b.vc < v.vc) AS pid FROM v
+)
+SELECT CAST(pid AS BIGINT) AS pid, count(*)::BIGINT AS n_rows,
+       CAST(min(vc) AS BIGINT) AS min_vc, CAST(max(vc) AS BIGINT) AS max_vc
+FROM a GROUP BY pid ORDER BY pid
+"""
