@@ -3378,3 +3378,160 @@ SELECT CAST(pid AS BIGINT) AS pid, count(*)::BIGINT AS n_rows,
        CAST(min(vc) AS BIGINT) AS min_vc, CAST(max(vc) AS BIGINT) AS max_vc
 FROM a GROUP BY pid ORDER BY pid
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics per segment: EXACT median and MAD (median absolute
+# deviation) of the price per l_returnflag — the outlier-robust
+# dispersion pair.  Exactness via the same histogram-refinement
+# selection as exact_price_quantiles, generalized to bounded SEGMENTS:
+# each pass computes per-(group, 256-cent-bucket) count partials
+# (combiner + driver merge — group count is bounded by the attribute
+# domain), the driver locates each group's k-th bucket, and a collect
+# pass fetches only the few target buckets' values.  MAD needs the
+# median first, so the full operator is two selection rounds = four
+# streaming passes, zero shuffles, no sort.  Rank convention
+# ceil(n/2) = (n+1)//2 (lower median), mirrored in the SQL twin.
+# ---------------------------------------------------------------------------
+
+
+def _grouped_exact_median(ds, val_of, groups: np.ndarray):
+    """Exact per-group lower median of ``val_of(batch) -> (g_idx, vals)``
+    where g_idx indexes into the bounded, sorted ``groups`` array.
+    Returns (n_per_group, median_per_group) int64 arrays."""
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    G = len(groups)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        gi, vc = val_of(t)
+        if len(vc) == 0:
+            return pa.table(
+                {"gb": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        # fuse (group, bucket) into one int key: bucket counts stay
+        # bounded because values are bounded-domain cents
+        gb = gi.astype(np.int64) * (1 << 40) + (vc >> 8)
+        u, c = np.unique(gb, return_counts=True)
+        return pa.table({"gb": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
+
+    hist = (
+        grouped_sum(
+            ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["gb"],
+            {"cnt": ("cnt", "sum")},
+            merge="driver",
+        )
+        .to_pandas()
+        .sort_values("gb")
+    )
+    gb = hist["gb"].values.astype(np.int64)
+    cnt = hist["cnt"].values.astype(np.int64)
+    gi_h = gb >> 40
+    n_per = np.zeros(G, dtype=np.int64)
+    target_bkt = np.zeros(G, dtype=np.int64)
+    rank_in = np.zeros(G, dtype=np.int64)
+    for g in range(G):
+        m = gi_h == g
+        n = int(cnt[m].sum())
+        n_per[g] = n
+        if n == 0:
+            target_bkt[g] = -1
+            continue
+        k = (n + 1) // 2  # lower median, 1-based
+        cum = np.cumsum(cnt[m])
+        i = int(np.searchsorted(cum, k))
+        target_bkt[g] = int(gb[m][i] & ((1 << 40) - 1))
+        rank_in[g] = k - (int(cum[i - 1]) if i > 0 else 0)
+    ref = ray.put(target_bkt)
+
+    def collect(state, t: pa.Table) -> pa.Table:
+        gi, vc = val_of(t)
+        if len(vc) == 0:
+            return pa.table(
+                {"gi": pa.array([], pa.int64()), "vc": pa.array([], pa.int64())}
+            )
+        m = (vc >> 8) == state[gi]
+        return pa.table(
+            {"gi": pa.array(gi[m].astype(np.int64)), "vc": pa.array(vc[m])}
+        )
+
+    got = ds.map_batches(
+        with_broadcast(ref, collect), batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    med = np.zeros(G, dtype=np.int64)
+    for g in range(G):
+        vals = np.sort(got[got["gi"] == g]["vc"].values.astype(np.int64))
+        if len(vals):
+            med[g] = vals[rank_in[g] - 1]
+    return n_per, med
+
+
+def segment_median_mad(sf_dir: str):
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    groups = np.sort(
+        read_table_local(sf_dir, "lineitem", columns=["l_returnflag"])[
+            "l_returnflag"
+        ].unique()
+    )
+    gset = pa.array(groups, pa.string())
+
+    def base(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        gi = pc.index_in(t["l_returnflag"], value_set=gset).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        vc = floor_scale(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        return gi, vc
+
+    n_per, med = _grouped_exact_median(ds, base, groups)
+    med_ref = ray.put(med)
+
+    # second selection round over |vc - med[g]|; with_broadcast injects
+    # the per-group medians, closing over nothing mutable
+    med_arr = med  # captured read-only
+
+    def dev(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        gi, vc = base(t)
+        return gi, np.abs(vc - med_arr[gi])
+
+    _, mad = _grouped_exact_median(ds, dev, groups)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(groups, pa.string()),
+            "n": pa.array(n_per),
+            "median_c": pa.array(med),
+            "mad_c": pa.array(mad),
+        }
+    )
+
+
+SEGMENT_MEDIAN_MAD_SQL = """
+WITH v AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS vc
+  FROM lineitem
+), r AS (
+  SELECT g, vc, row_number() OVER (PARTITION BY g ORDER BY vc) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM v
+), med AS (
+  SELECT g, CAST(n AS BIGINT) AS n, vc AS med_c FROM r WHERE rn = (n + 1) // 2
+), d AS (
+  SELECT v.g, abs(v.vc - med.med_c) AS dv FROM v JOIN med ON v.g = med.g
+), r2 AS (
+  SELECT g, dv, row_number() OVER (PARTITION BY g ORDER BY dv) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM d
+), mad AS (
+  SELECT g, dv AS mad_c FROM r2 WHERE rn = (n + 1) // 2
+)
+SELECT med.g AS l_returnflag, med.n, med.med_c AS median_c, mad.mad_c
+FROM med JOIN mad ON med.g = mad.g
+ORDER BY l_returnflag
+"""
