@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": G.graph_triangles,
         "graph_kcore": G.graph_kcore,
         "graph_bfs_hops": G.graph_bfs_hops,
+        "graph_sssp": G.graph_sssp,
         "events_staypoints": E.events_staypoints,
         "events_zone_visits": E.events_zone_visits,
         "events_od_matrix": E.events_od_matrix,
@@ -344,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": G.graph_triangles_sql(),
         "graph_kcore": G.graph_kcore_sql(),
         "graph_bfs_hops": G.graph_bfs_hops_sql(),
+        "graph_sssp": G.graph_sssp_sql(),
         "events_staypoints": E.events_staypoints_sql(),
         "events_zone_visits": E.events_zone_visits_sql(),
         "events_od_matrix": E.events_od_matrix_sql(),

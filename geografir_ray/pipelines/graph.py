@@ -38,12 +38,14 @@ PR_ITERS = 4
 SUPP_NODE_OFFSET = 1_000_000_000   # supplier node ids live above this
 
 
-def _split_block(n_buckets: int, src_col: str = "src", dst_col: str = "dst"):
+def _split_block(n_buckets: int, src_col: str = "src", dst_col: str = "dst",
+                 w_col: str | None = None):
     """Task: split one edge block into per-src-bucket piece tables.
 
     ``src_col``/``dst_col`` let a caller shard the REVERSE graph from
     the same blocks (hits' h-phase) without materializing swapped
-    edges."""
+    edges.  ``w_col`` (weighted graphs, e.g. sssp) rides the split as
+    an extra int64 column."""
     from ..functions.hashing import splitmix64
 
     def fn(t: pa.Table):
@@ -51,22 +53,33 @@ def _split_block(n_buckets: int, src_col: str = "src", dst_col: str = "dst"):
             # Ray's groupby-sort occasionally emits a zero-row block
             # with an EMPTY schema (the UDF is skipped for empty sort
             # partitions), so don't index columns before checking.
-            e = pa.table({"src": pa.array([], pa.int64()),
-                          "dst": pa.array([], pa.int64())})
+            cols = {"src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64())}
+            if w_col is not None:
+                cols["w"] = pa.array([], pa.int64())
+            e = pa.table(cols)
             return [e] * n_buckets if n_buckets > 1 else e
         src = pc.cast(t[src_col], pa.int64()).to_numpy(zero_copy_only=False)
         dst = pc.cast(t[dst_col], pa.int64()).to_numpy(zero_copy_only=False)
+        w = (
+            pc.cast(t[w_col], pa.int64()).to_numpy(zero_copy_only=False)
+            if w_col is not None
+            else None
+        )
         bkt = (splitmix64(src.astype(np.uint64)) % np.uint64(n_buckets)).astype(
             np.int64
         )
         order = np.argsort(bkt, kind="stable")
         sb, ss, sd = bkt[order], src[order], dst[order]
+        sw = w[order] if w is not None else None
         bounds = np.searchsorted(sb, np.arange(n_buckets + 1))
-        out = [
-            pa.table({"src": pa.array(ss[bounds[b]:bounds[b + 1]]),
-                      "dst": pa.array(sd[bounds[b]:bounds[b + 1]])})
-            for b in range(n_buckets)
-        ]
+        out = []
+        for b in range(n_buckets):
+            cols = {"src": pa.array(ss[bounds[b]:bounds[b + 1]]),
+                    "dst": pa.array(sd[bounds[b]:bounds[b + 1]])}
+            if sw is not None:
+                cols["w"] = pa.array(sw[bounds[b]:bounds[b + 1]])
+            out.append(pa.table(cols))
         # num_returns=1 hands the whole list back as ONE object; the
         # caller re-wraps, so return the bare table at n_buckets=1
         return out if n_buckets > 1 else out[0]
@@ -94,9 +107,18 @@ def _build_shard(n_buckets: int):
         t = pa.concat_tables(tbls)
         src = t["src"].to_numpy(zero_copy_only=False)
         dst = t["dst"].to_numpy(zero_copy_only=False)
-        # collapse multiplicities: w edges (s, d) contribute w * (r//deg)
-        key = np.stack([src, dst])
-        uniq, w = np.unique(key, axis=1, return_counts=True)
+        if "w" in t.schema.names:
+            # weighted graph: parallel (s, d) edges collapse by MIN
+            # weight (shortest-path semantics); "w" holds the weight
+            ew = t["w"].to_numpy(zero_copy_only=False)
+            key = np.stack([src, dst])
+            uniq, inv = np.unique(key, axis=1, return_inverse=True)
+            w = np.full(uniq.shape[1], np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(w, inv, ew)
+        else:
+            # collapse multiplicities: w edges (s, d) contribute w * (r//deg)
+            key = np.stack([src, dst])
+            uniq, w = np.unique(key, axis=1, return_counts=True)
         usrc, src_code = np.unique(uniq[0], return_inverse=True)
         udst, dst_code = np.unique(uniq[1], return_inverse=True)
         d = np.zeros(len(usrc), dtype=np.int64)
@@ -118,13 +140,14 @@ def _build_shard(n_buckets: int):
 
 
 def _shard_graph(block_refs, n_buckets: int,
-                 src_col: str = "src", dst_col: str = "dst"):
+                 src_col: str = "src", dst_col: str = "dst",
+                 w_col: str | None = None):
     """Shard edge blocks ONCE into B pre-encoded object-store shards
     (see module docstring).  Returns (shard_refs, dstp_refs)."""
     import ray
 
     B = n_buckets
-    split = ray.remote(num_returns=B)(_split_block(B, src_col, dst_col))
+    split = ray.remote(num_returns=B)(_split_block(B, src_col, dst_col, w_col))
     build = ray.remote(num_returns=2)(_build_shard(B))
     piece_refs = [split.remote(r) for r in block_refs]
     if B == 1:  # num_returns=1 yields a bare ref, not a list
@@ -1279,4 +1302,179 @@ d{i} AS MATERIALIZED (
     steps = [step.format(i=i, p=i - 1) for i in range(1, rounds + 1)]
     return head + "".join(steps) + f"""
 SELECT node, CAST(hops AS BIGINT) AS hops FROM d{rounds} ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source (multi-seed) shortest path — Bellman-Ford
+# rounds on the same shard-once BSP engine as bfs_bsp, with per-edge
+# integer weights riding the shard build (parallel edges collapse by
+# MIN weight at encode time).  dist_{i+1}(v) = min(dist_i(v),
+# min over in-edges (u,v): dist_i(u) + w(u,v)) — after R rounds this
+# is exactly "cheapest path using <= R edges", matching the unrolled
+# SQL twin round for round (no fixpoint/termination ambiguity in the
+# oracle).  Per round only the int64 distance arrays and sub-INF
+# contribution pieces move; the weighted shards are static.
+# ---------------------------------------------------------------------------
+
+SSSP_ROUNDS = 3
+SSSP_SEED_MOD = 97
+
+
+def sssp_bsp(edges, seed_pred, rounds: int = SSSP_ROUNDS, n_buckets: int = 64):
+    """Weighted shortest-path distances over ``edges`` (src, dst, w
+    int64; w >= 0) from the seed set ``{node : seed_pred(node)}``.
+    Returns a Dataset (node, dist) of nodes reached within ``rounds``
+    edge relaxations."""
+    import ray
+    import ray.data
+
+    B = n_buckets
+    mat = edges.materialize()  # pin blocks through the shard build
+    shard_refs, dstp_refs = _shard_graph(mat.to_arrow_refs(), B, w_col="w")
+    nodes_refs, dist_refs = _init_buckets(shard_refs, dstp_refs, B, int(BFS_INF))
+    ray.wait(list(shard_refs), num_returns=B, fetch_local=False)
+    del mat
+
+    def _seed(nodes, d):
+        d = d.copy()
+        d[seed_pred(nodes)] = 0
+        return d
+
+    seed = ray.remote(_seed)
+    dist_refs = [seed.remote(nodes_refs[b], dist_refs[b]) for b in range(B)]
+
+    def _contrib(shard, nodes, d):
+        if len(shard["usrc"]) == 0:
+            e = np.array([], dtype=np.int64)
+            return [(e, e)] * B if B > 1 else (e, e)
+        du = d[np.searchsorted(nodes, shard["usrc"])]
+        # clamp so INF + w cannot wrap; INF stays INF-scale
+        per_edge = np.minimum(du[shard["src_code"]], BFS_INF) + shard["w"]
+        c = np.full(len(shard["udst"]), BFS_INF + 1, dtype=np.int64)
+        np.minimum.at(c, shard["dst_code"], per_edge)
+        ub = shard["udst_bkt"]
+        out = []
+        for b in range(B):
+            m = (ub == b) & (c < BFS_INF)  # ship only reachable dsts
+            out.append((shard["udst"][m], c[m]))
+        return out if B > 1 else out[0]
+
+    def _merge(nodes, d, *pieces):
+        nd = d.copy()
+        for n_, c in pieces:
+            if len(n_):
+                np.minimum.at(nd, np.searchsorted(nodes, n_), c)
+        return nd
+
+    contrib = ray.remote(num_returns=B)(_contrib)
+    merge = ray.remote(_merge)
+
+    for _ in range(rounds):
+        piece = [contrib.remote(shard_refs[b], nodes_refs[b], dist_refs[b])
+                 for b in range(B)]
+        if B == 1:
+            piece = [[p] for p in piece]
+        dist_refs = [
+            merge.remote(nodes_refs[b], dist_refs[b],
+                         *[piece[s][b] for s in range(B)])
+            for b in range(B)
+        ]
+
+    def _emit(nodes, d):
+        m = d < BFS_INF
+        return pa.table({"node": pa.array(nodes[m]), "dist": pa.array(d[m])})
+
+    emit = ray.remote(_emit)
+    out_refs = [emit.remote(nodes_refs[b], dist_refs[b]) for b in range(B)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def graph_sssp(sf_dir: str, rounds: int = SSSP_ROUNDS):
+    """Cheapest-path distance from the seed customers
+    (custkey % SSSP_SEED_MOD == 0) over the undirected customer–supplier
+    order graph, edge weight 1 + l_partkey % 5 (both directions, data-
+    derived, parallel edges min-collapsed).  Exact unrolled-round
+    DuckDB oracle (:func:`graph_sssp_sql`)."""
+    from ..stages.join import hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_partkey"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"okey": pc.cast(t["o_orderkey"], pa.int64()),
+             "cust": pc.cast(t["o_custkey"], pa.int64())}
+        )
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        pk = pc.cast(t["l_partkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "okey": pc.cast(t["l_orderkey"], pa.int64()),
+                "supp": pc.add(
+                    pc.cast(t["l_suppkey"], pa.int64()),
+                    pa.scalar(SUPP_NODE_OFFSET, pa.int64()),
+                ),
+                "w": pa.array(1 + pk % 5),
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(l_prep, batch_format="pyarrow"),
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        on="okey",
+        left_cols=["okey", "supp", "w"],
+        right_cols=["okey", "cust"],
+    )
+
+    def both_ways(t: pa.Table) -> pa.Table:
+        c = t["cust"].to_numpy(zero_copy_only=False)
+        s = t["supp"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([c, s])),
+                "dst": pa.array(np.concatenate([s, c])),
+                "w": pa.array(np.concatenate([w, w])),
+            }
+        )
+
+    edges = joined.map_batches(both_ways, batch_format="pyarrow")
+
+    def seeds(nodes: np.ndarray) -> np.ndarray:
+        return (nodes < SUPP_NODE_OFFSET) & (nodes % SSSP_SEED_MOD == 0)
+
+    return sssp_bsp(edges, seeds, rounds=rounds).sort("node")
+
+
+def graph_sssp_sql(rounds: int = SSSP_ROUNDS) -> str:
+    head = f"""
+WITH e AS MATERIALIZED (
+  SELECT CAST(o_custkey AS BIGINT) AS src,
+         CAST(l_suppkey AS BIGINT) + {SUPP_NODE_OFFSET} AS dst,
+         CAST(1 + l_partkey % 5 AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT CAST(l_suppkey AS BIGINT) + {SUPP_NODE_OFFSET},
+         CAST(o_custkey AS BIGINT),
+         CAST(1 + l_partkey % 5 AS BIGINT)
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, 0 AS dist FROM e
+  WHERE src < {SUPP_NODE_OFFSET} AND src % {SSSP_SEED_MOD} = 0
+)"""
+    step = """,
+d{i} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{p}
+    UNION ALL
+    SELECT e.dst AS node, d{p}.dist + e.w AS dist
+    FROM e JOIN d{p} ON e.src = d{p}.node
+  ) GROUP BY node
+)"""
+    steps = [step.format(i=i, p=i - 1) for i in range(1, rounds + 1)]
+    return head + "".join(steps) + f"""
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds} ORDER BY node
 """
