@@ -5135,3 +5135,74 @@ SELECT split, count(*)::BIGINT AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM s GROUP BY split ORDER BY split
 """
+
+
+# ---------------------------------------------------------------------------
+# Order-invariant table checksum — the data-validation / anti-entropy
+# operator (verify a migrated or replicated corpus WITHOUT moving it):
+# per-language row count + modular row-hash sum.  The row hash is pure
+# BIGINT arithmetic (multiplicative mix of doc_id and n_chars, reduced
+# mod a ~2^38 prime) so DuckDB computes the identical value; the sum is
+# order- and partitioning-invariant by construction ((a+b) % M ==
+# (a%M + b%M) % M), so any two engines at any shard layout agree.
+# Engine shape: per-batch vectorized hash + in-batch per-lang partial
+# (already reduced mod M, so cross-batch sums stay within int64 for
+# up to ~3e7 blocks; tree-merge the partials beyond that), driver
+# merge over the bounded language key.  One streaming pass, zero
+# shuffles.
+# ---------------------------------------------------------------------------
+
+CHECKSUM_MOD = 274_877_906_899  # prime near 2^38
+
+
+def docs_table_checksum(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((k % 2147483648) * 2654435761 + (nc % 1000003) * 97003) % CHECKSUM_MOD
+        langs, inv = np.unique(
+            np.asarray(t["lang"].to_numpy(zero_copy_only=False)), return_inverse=True
+        )
+        n = np.zeros(len(langs), dtype=np.int64)
+        s = np.zeros(len(langs), dtype=np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(s, inv, h)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "n_docs": pa.array(n),
+                "hsum": pa.array(s % CHECKSUM_MOD),
+            }
+        )
+
+    agg = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang"],
+        {"n_docs": ("n_docs", "sum"), "hsum": ("hsum", "sum")},
+        merge="driver",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_docs": t["n_docs"],
+                "checksum": pa.array(
+                    t["hsum"].to_numpy(zero_copy_only=False) % CHECKSUM_MOD
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("lang")
+
+
+DOCS_TABLE_CHECKSUM_SQL = f"""
+SELECT lang, count(*)::BIGINT AS n_docs,
+       CAST(sum(((doc_id % 2147483648) * 2654435761
+                 + (n_chars % 1000003) * 97003) % {CHECKSUM_MOD})
+            % {CHECKSUM_MOD} AS BIGINT) AS checksum
+FROM documents
+GROUP BY lang ORDER BY lang
+"""

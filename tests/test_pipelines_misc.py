@@ -1821,3 +1821,22 @@ def test_mmr_diversified_topk_invariants(ray_session, sf_small):
         assert sorted(grp["mmr_rank"]) == list(range(1, TOP_K + 1))
         assert grp["neighbor_id"].is_unique
         assert not (grp["neighbor_id"] == qid).any()
+
+
+def test_table_checksum_order_invariance(ray_session, sf_small, tmp_path):
+    """The anti-entropy checksum must be identical for any row order /
+    shard layout of the same logical table (its whole point)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.documents import docs_table_checksum
+
+    a = docs_table_checksum(sf_small).to_pandas()
+    t = pq.read_table(f"{sf_small}/documents.parquet")
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        t.take(np.arange(t.num_rows - 1, -1, -1)), d / "documents.parquet"
+    )
+    b = docs_table_checksum(str(d)).to_pandas()
+    assert a.equals(b)
