@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_skyline": R.part_skyline,
         "range_partition_assign": R.range_partition_assign,
         "segment_median_mad": R.segment_median_mad,
+        "part_revenue_share": R.part_revenue_share,
         # Q19 shape: disjunctive multi-predicate join, zero-exchange
         "disjunctive_revenue": R.disjunctive_revenue,
     }
@@ -419,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "part_skyline": R.PART_SKYLINE_SQL,
         "range_partition_assign": R.RANGE_PARTITION_ASSIGN_SQL,
         "segment_median_mad": R.SEGMENT_MEDIAN_MAD_SQL,
+        "part_revenue_share": R.PART_REVENUE_SHARE_SQL,
         "disjunctive_revenue": R.DISJUNCTIVE_REVENUE_SQL,
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_crosscorpus_neardup,

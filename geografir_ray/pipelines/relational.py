@@ -3535,3 +3535,89 @@ SELECT med.g AS l_returnflag, med.n, med.med_c AS median_c, mad.mad_c
 FROM med JOIN mad ON med.g = mad.g
 ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# Share-of-total HAVING over an UNBOUNDED key (TPC-H Q11 shape): parts
+# whose revenue exceeds 0.05% of total revenue.  The trap at scale is
+# computing the global scalar: this pipeline derives the total by a
+# second streaming reduction over the (already high-cardinality)
+# grouped OUTPUT — no second scan of lineitem, no driver
+# materialization of the group table — then broadcasts the threshold
+# into a vectorized filter over the grouped Dataset.  Exactly one
+# hash-bucket exchange (grouped_sum merge="bucket" on l_partkey);
+# threshold compare is an integer cross-multiplication (rev * 2000 >
+# total), no float division on either engine.
+# ---------------------------------------------------------------------------
+
+
+def part_revenue_share(sf_dir: str):
+    import ray
+
+    from ..stages.broadcast import with_broadcast
+
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev_c = floor_scale(
+            pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+        )
+        return pa.table(
+            {"l_partkey": pc.cast(t["l_partkey"], pa.int64()), "rev_c": rev_c}
+        )
+
+    per_part = grouped_sum(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey"],
+        {"revenue_c": ("rev_c", "sum")},
+        merge="bucket",
+    ).materialize()  # consumed twice: total reduction + filter
+
+    def total_partial(t: pa.Table) -> pa.Table:
+        s = int(t["revenue_c"].to_numpy(zero_copy_only=False).sum())
+        return pa.table({"k": pa.array([0], pa.int64()), "s": pa.array([s], pa.int64())})
+
+    tot = grouped_sum(
+        per_part.map_batches(total_partial, batch_format="pyarrow"),
+        ["k"],
+        {"s": ("s", "sum")},
+        merge="driver",
+    ).to_pandas()
+    total_c = int(tot["s"].iloc[0])
+    ref = ray.put(np.int64(total_c))
+
+    def keep(state, t: pa.Table) -> pa.Table:
+        rev = t["revenue_c"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(rev * 2000 > int(state)))
+
+    out = per_part.map_batches(
+        with_broadcast(ref, keep), batch_format="pyarrow", zero_copy_batch=True
+    )
+    # the kept set is provably bounded (< 2000 rows: each needs
+    # rev > total/2000) and can legitimately be EMPTY at larger sf —
+    # return the arrow table itself so the schema survives (rule 25)
+    schema = pa.schema([("l_partkey", pa.int64()), ("revenue_c", pa.int64())])
+    tbls = [
+        b.select(schema.names)
+        for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    whole = pa.concat_tables(tbls) if tbls else schema.empty_table()
+    return whole.sort_by([("l_partkey", "ascending")])
+
+
+PART_REVENUE_SHARE_SQL = f"""
+WITH v AS (
+  SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+         CAST(sum({floor_scale_sql('l_extendedprice * (1.0 - l_discount)')})
+              AS BIGINT) AS revenue_c
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, revenue_c FROM v
+WHERE revenue_c * 2000 > (SELECT CAST(sum(revenue_c) AS BIGINT) FROM v)
+ORDER BY l_partkey
+"""
