@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample": D.docs_sample,
         "docs_split_assign": D.docs_split_assign,
         "docs_table_checksum": D.docs_table_checksum,
+        "docs_snapshot_diff": D.docs_snapshot_diff,
         "docs_bottomk_sample": D.docs_bottomk_sample,
         "docs_stratified_sample": D.docs_stratified_sample,
         "docs_distinctive_term": D.docs_distinctive_term,
@@ -376,6 +377,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample": D.docs_sample_sql(),
         "docs_split_assign": D.DOCS_SPLIT_ASSIGN_SQL,
         "docs_table_checksum": D.DOCS_TABLE_CHECKSUM_SQL,
+        "docs_snapshot_diff": D.DOCS_SNAPSHOT_DIFF_SQL,
         "docs_bottomk_sample": D.docs_bottomk_sample_sql(),
         "docs_stratified_sample": D.docs_stratified_sample_sql(),
         "docs_distinctive_term": D.DOCS_DISTINCTIVE_TERM_SQL,

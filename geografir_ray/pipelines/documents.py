@@ -5206,3 +5206,104 @@ SELECT lang, count(*)::BIGINT AS n_docs,
 FROM documents
 GROUP BY lang ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff — the dataset-versioning comparison operator (what
+# changed between two corpus snapshots): full outer join on the key,
+# per-row status from side-presence flags and payload comparison.
+# Snapshot B is derived deterministically from the documents table so
+# the op is self-contained: docs with doc_id % 11 == 0 are REMOVED,
+# docs with doc_id % 7 == 0 have n_chars bumped (CHANGED), and a new
+# doc (id + 1e9) is ADDED for every doc_id % 13 == 0.  Engine shape:
+# one bucketed full outer hash join (stages/join.py — typed-null
+# columns, presence flags), vectorized status classify, unchanged rows
+# dropped pre-sort.  Scales as the join scales; no driver state.
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_ADD_OFFSET = 1_000_000_000
+
+
+def docs_snapshot_diff(sf_dir: str):
+    from ..stages.join import hash_join
+
+    base = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def a_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "a_chars": pc.cast(t["n_chars"], pa.int64()),
+                "a_one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def b_prep(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = k % 11 != 0
+        kk, nk = k[keep], nc[keep]
+        bumped = nk + (kk % 7 == 0)
+        newk = k[k % 13 == 0] + SNAPSHOT_ADD_OFFSET
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([kk, newk])),
+                "b_chars": pa.array(
+                    np.concatenate([bumped, np.full(len(newk), 42, dtype=np.int64)])
+                ),
+                "b_one": pa.array(np.ones(len(kk) + len(newk), dtype=np.int64)),
+            }
+        )
+
+    joined = hash_join(
+        base.map_batches(a_prep, batch_format="pyarrow", zero_copy_batch=True),
+        base.map_batches(b_prep, batch_format="pyarrow", zero_copy_batch=True),
+        on="doc_id",
+        how="full",
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        in_a = pc.is_valid(t["a_one"]).to_numpy(zero_copy_only=False)
+        in_b = pc.is_valid(t["b_one"]).to_numpy(zero_copy_only=False)
+        ac = t["a_chars"].to_numpy(zero_copy_only=False)
+        bc = t["b_chars"].to_numpy(zero_copy_only=False)
+        status = np.full(t.num_rows, "same", dtype=object)
+        status[in_a & ~in_b] = "removed"
+        status[~in_a & in_b] = "added"
+        both = in_a & in_b
+        status[both & (ac != bc)] = "changed"
+        m = pa.array(status != "same")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(m),
+                "status": pa.array(status[status != "same"], pa.string()),
+            }
+        )
+
+    return joined.map_batches(
+        classify, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
+
+
+DOCS_SNAPSHOT_DIFF_SQL = f"""
+WITH a AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+),
+b AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_chars + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_chars
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT CAST(doc_id + {SNAPSHOT_ADD_OFFSET} AS BIGINT), CAST(42 AS BIGINT)
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.doc_id IS NULL THEN 'added'
+            ELSE 'changed' END AS status
+FROM a FULL JOIN b ON a.doc_id = b.doc_id
+WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.n_chars <> b.n_chars
+ORDER BY doc_id
+"""
