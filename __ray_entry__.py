@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition_assign": R.range_partition_assign,
         "segment_median_mad": R.segment_median_mad,
         "part_revenue_share": R.part_revenue_share,
+        "segment_moment_sums": R.segment_moment_sums,
         # Q19 shape: disjunctive multi-predicate join, zero-exchange
         "disjunctive_revenue": R.disjunctive_revenue,
     }
@@ -423,6 +424,7 @@ def oracle_sql() -> dict[str, str]:
         "range_partition_assign": R.RANGE_PARTITION_ASSIGN_SQL,
         "segment_median_mad": R.SEGMENT_MEDIAN_MAD_SQL,
         "part_revenue_share": R.PART_REVENUE_SHARE_SQL,
+        "segment_moment_sums": R.SEGMENT_MOMENT_SUMS_SQL,
         "disjunctive_revenue": R.DISJUNCTIVE_REVENUE_SQL,
         # rows-only (documented): geo_cells, docs_minhash_lsh,
         # docs_crosscorpus_neardup,

@@ -3621,3 +3621,73 @@ SELECT l_partkey, revenue_c FROM v
 WHERE revenue_c * 2000 > (SELECT CAST(sum(revenue_c) AS BIGINT) FROM v)
 ORDER BY l_partkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Regression / covariance moment sums per segment — the exact integer
+# moment vector (n, Σx, Σy, Σxy, Σx², Σy²) that every downstream
+# statistic (covariance, Pearson r, OLS slope/intercept, the DuckDB
+# regr_* family) is a closed form of.  Keeping the EXACT sums instead
+# of the float statistic is the mergeable / partition-invariant form —
+# partials combine by addition at any tree depth, so the operator
+# composes with checkpointed incremental maintenance.  x = quantity in
+# hundredths, y = price in whole dollars (y² bounded within int64 up
+# to ~6e8 rows/group; widen the encoding before that).  One bounded
+# exchange (merge="driver": the segment domain is bounded).
+# ---------------------------------------------------------------------------
+
+
+def segment_moment_sums(sf_dir: str):
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = floor_scale(t["l_quantity"]).to_numpy(zero_copy_only=False)
+        y = pc.cast(pc.floor(t["l_extendedprice"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "one": pa.array(np.ones(len(x), dtype=np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+                "syy": pa.array(y * y),
+            }
+        )
+
+    return grouped_sum(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag"],
+        {
+            "n": ("one", "sum"),
+            "sum_x": ("sx", "sum"),
+            "sum_y": ("sy", "sum"),
+            "sum_xy": ("sxy", "sum"),
+            "sum_xx": ("sxx", "sum"),
+            "sum_yy": ("syy", "sum"),
+        },
+        merge="driver",
+    ).sort("l_returnflag")
+
+
+SEGMENT_MOMENT_SUMS_SQL = """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100.0) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+)
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+       CAST(sum(x * x) AS BIGINT) AS sum_xx,
+       CAST(sum(y * y) AS BIGINT) AS sum_yy
+FROM v GROUP BY l_returnflag ORDER BY l_returnflag
+"""
