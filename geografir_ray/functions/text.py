@@ -40,6 +40,38 @@ def distinct_token_counts(texts) -> np.ndarray:
     )
 
 
+def token_counts_arrow(col) -> np.ndarray:
+    """n_tokens per doc straight from an Arrow string column — one
+    split_pattern + offset math, no Python strings.  Identical values
+    to :func:`token_counts` (tokenize drops empties; null → 0)."""
+    _flat, _docidx, counts = flat_tokens(col)
+    return counts
+
+
+def token_count_stats_arrow(col) -> tuple[np.ndarray, np.ndarray]:
+    """(n_tokens, n_distinct) per doc, vectorized AND string-exact:
+    distinct is counted over ``dictionary_encode`` codes of the flat
+    tokens (identical strings → identical code — no hash-collision
+    caveat), so values match ``len(set(tokenize(t)))`` per row exactly.
+    One split + one dictionary encode + one sort; zero per-row Python.
+    """
+    import pyarrow.compute as pc
+
+    flat, docidx, counts = flat_tokens(col)
+    n_docs = len(counts)
+    if len(flat) == 0:
+        return counts, np.zeros(n_docs, dtype=np.int64)
+    codes = pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    n_codes = int(codes.max()) + 1
+    uniq = np.unique(docidx * np.int64(n_codes) + codes)
+    n_distinct = np.bincount(uniq // np.int64(n_codes), minlength=n_docs).astype(
+        np.int64
+    )
+    return counts, n_distinct
+
+
 def flat_tokens(col):
     """Vectorized batch tokenizer over an Arrow string column.
 

@@ -35,12 +35,12 @@ def docs_stats(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
 
     def stats(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
+        n_tok, n_dis = T.token_count_stats_arrow(t["text"])
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_tokens": pa.array(T.token_counts(texts)),
-                "n_distinct": pa.array(T.distinct_token_counts(texts)),
+                "n_tokens": pa.array(n_tok),
+                "n_distinct": pa.array(n_dis),
                 "text_len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
                 "n_chars": t["n_chars"],
             }
@@ -778,9 +778,7 @@ def docs_quality(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def stats(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        n_tok = T.token_counts(texts)
-        n_dis = T.distinct_token_counts(texts)
+        n_tok, n_dis = T.token_count_stats_arrow(t["text"])
         with np.errstate(divide="ignore", invalid="ignore"):
             ratio = np.where(n_tok > 0, n_dis / np.maximum(n_tok, 1), 0.0)
         return pa.table(
@@ -1062,12 +1060,12 @@ def docs_locations(sf_dir: str):
     def extract(t: pa.Table) -> pa.Table:
         if "x" not in _cache:
             _cache["x"] = LocationExtractor()
-        rows, names, lats, lons = _cache["x"].extract(t["text"].to_pylist())
+        rows, names, lats, lons = _cache["x"].extract_arrow(t["text"])
         take = pa.array(rows)
         return pa.table(
             {
                 "doc_id": t["doc_id"].take(take),
-                "name": pa.array(names, type=pa.string()),
+                "name": names,
                 "lat": pa.array(lats),
                 "lon": pa.array(lons),
             }
@@ -1294,9 +1292,7 @@ def docs_clean_corpus(sf_dir: str, min_distinct_pct: int = 40, sample_pct: int =
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def filter_quality(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        n_tok = T.token_counts(texts)
-        n_dis = T.distinct_token_counts(texts)
+        n_tok, n_dis = T.token_count_stats_arrow(t["text"])
         with np.errstate(divide="ignore", invalid="ignore"):
             pct = np.floor(
                 np.where(n_tok > 0, n_dis / np.maximum(n_tok, 1), 0.0) * 100.0
@@ -1644,7 +1640,7 @@ def docs_pack_sequences(sf_dir: str, n_buckets: int = 64):
             {
                 "doc_id": pa.array(d),
                 "range_id": pa.array(d // PACK_RANGE_DOCS),
-                "n_tokens": pa.array(T.token_counts(t["text"].to_pylist())),
+                "n_tokens": pa.array(T.token_counts_arrow(t["text"])),
             }
         )
 
@@ -4339,9 +4335,7 @@ def docs_quality_percentile(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def score_stage(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        n_tok = T.token_counts(texts)
-        n_dis = T.distinct_token_counts(texts)
+        n_tok, n_dis = T.token_count_stats_arrow(t["text"])
         with np.errstate(divide="ignore", invalid="ignore"):
             ratio = np.where(n_tok > 0, n_dis / np.maximum(n_tok, 1), 0.0)
         return pa.table(

@@ -262,12 +262,12 @@ def extract_locations(pages):
     only READ, never rewritten."""
 
     def fn(t: pa.Table) -> pa.Table:
-        rows, names, lats, lons = _extractor().extract(t["text"].to_pylist())
+        rows, names, lats, lons = _extractor().extract_arrow(t["text"])
         take = pa.array(rows)
         return pa.table(
             {
                 "url": t["url"].take(take),
-                "name": pa.array(names, type=pa.string()),
+                "name": names,
                 "lat": pa.array(lats),
                 "lon": pa.array(lons),
             }

@@ -157,3 +157,29 @@ def test_task_retry_idempotency(ray_session, tmp_path):
     )
     assert ds.count() == 10_000
     assert flag.exists()
+
+
+def test_extract_arrow_parity_with_scalar():
+    """extract_arrow (buffer-native hash membership) must be
+    tuple-identical to the per-token scalar extract on the same texts,
+    including repeats, empties, nulls, and multi-mention docs."""
+    import pyarrow as pa
+
+    from geografir_ray.functions.gazetteer import LocationExtractor
+    from geografir_ray.sources.synth import pages_batch
+
+    x = LocationExtractor()
+    texts = pages_batch(3, 500)["text"].to_pylist()
+    texts += ["", None, "springfield and springfield", "  spark  ",
+              "place_0 place_511 rivertown nothing", "SPRINGFIELD sparkx"]
+    col = pa.array(texts, type=pa.string())
+    rows_s, names_s, lats_s, lons_s = x.extract(
+        [t if t is not None else "" for t in texts]
+    )
+    rows_v, names_v, lats_v, lons_v = x.extract_arrow(col)
+    assert list(rows_v) == list(rows_s)
+    assert names_v.to_pylist() == list(names_s)
+    np.testing.assert_array_equal(lats_v, lats_s)
+    np.testing.assert_array_equal(lons_v, lons_s)
+    # the pages vocabulary must actually produce hits for this to mean much
+    assert len(rows_v) > 0

@@ -225,3 +225,28 @@ def test_minhash_signatures_arrow_matches_batch():
     assert np.array_equal(
         T.token_hashes_arrow(pa.array(toks, pa.string())), T.token_hashes(toks)
     )
+
+
+def test_token_count_stats_arrow_parity():
+    """token_counts_arrow / token_count_stats_arrow must equal the
+    per-row scalar twins (string-exact distinct, not hash-based)."""
+    import pyarrow as pa
+
+    from geografir_ray.functions import text as T
+
+    texts = [
+        "a b c a", "", None, "x", "  spaced   out  ",
+        "dup dup dup", "one two three four five six",
+        "tok" * 50 + " other", "ünï çødé ünï",
+    ]
+    col = pa.array(texts, type=pa.string())
+    clean = [t if t is not None else "" for t in texts]
+    n_tok, n_dis = T.token_count_stats_arrow(col)
+    np.testing.assert_array_equal(n_tok, T.token_counts(clean))
+    np.testing.assert_array_equal(n_dis, T.distinct_token_counts(clean))
+    np.testing.assert_array_equal(T.token_counts_arrow(col), T.token_counts(clean))
+    # all-empty batch keeps dtype/shape
+    e_tok, e_dis = T.token_count_stats_arrow(pa.array(["", None], type=pa.string()))
+    assert e_tok.dtype == np.int64 and e_dis.dtype == np.int64
+    np.testing.assert_array_equal(e_tok, [0, 0])
+    np.testing.assert_array_equal(e_dis, [0, 0])
