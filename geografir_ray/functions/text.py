@@ -432,6 +432,78 @@ def minhash_signatures_arrow(col, num_perm: int = 128, k: int = 3) -> np.ndarray
     return out
 
 
+def _pairwise_set_jaccard(docidx: np.ndarray, keys: np.ndarray, n_pairs: int) -> np.ndarray:
+    """Jaccard of key-sets between doc i and doc i+n_pairs, vectorized.
+
+    ``docidx``/``keys`` are flat (doc-major, docs 0..2*n_pairs-1 where
+    the first half is side A, second half side B); keys may repeat
+    within a doc.  One lexsort dedups per-doc, a second counts keys
+    shared by both sides of a pair (each (pair, key) appears at most
+    twice after dedup, so adjacent-duplicate counting IS the
+    intersection).  No per-pair Python.
+    """
+    sizes = np.zeros(2 * n_pairs, dtype=np.int64)
+    inter = np.zeros(n_pairs, dtype=np.int64)
+    if len(keys):
+        order = np.lexsort((keys, docidx))
+        d, s = docidx[order], keys[order]
+        keep = np.concatenate(([True], (d[1:] != d[:-1]) | (s[1:] != s[:-1])))
+        d, s = d[keep], s[keep]
+        sizes = np.bincount(d, minlength=2 * n_pairs).astype(np.int64)
+        pid = np.where(d < n_pairs, d, d - n_pairs)
+        order2 = np.lexsort((s, pid))
+        p2, s2 = pid[order2], s[order2]
+        dup = (p2[1:] == p2[:-1]) & (s2[1:] == s2[:-1])
+        inter = np.bincount(p2[1:][dup], minlength=n_pairs).astype(np.int64)
+    union = sizes[:n_pairs] + sizes[n_pairs:] - inter
+    return inter / np.maximum(union, 1)
+
+
+def pairwise_token_jaccard_arrow(col_a, col_b) -> np.ndarray:
+    """Exact token-SET jaccard per aligned row pair, string-exact
+    (dictionary codes, not hashes) — identical values to
+    ``len(sa & sb) / max(len(sa | sb), 1)`` over ``set(tokenize(.))``
+    per row (the verify-loop convention: empty∩empty → 0.0), with zero
+    per-row Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col_a, pa.ChunkedArray):
+        col_a = col_a.combine_chunks()
+    if isinstance(col_b, pa.ChunkedArray):
+        col_b = col_b.combine_chunks()
+    n = len(col_a)
+    both = pa.concat_arrays([col_a.cast(pa.string()), col_b.cast(pa.string())])
+    flat, docidx, _counts = flat_tokens(both)
+    if len(flat) == 0:
+        return np.zeros(n, dtype=np.float64)
+    codes = pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    return _pairwise_set_jaccard(docidx, codes, n)
+
+
+def pairwise_shingle_jaccard_arrow(col_a, col_b, k: int = 3) -> np.ndarray:
+    """Exact k-shingle-hash-set jaccard per aligned row pair; identical
+    values to ``set(shingle_hashes(a, k)) vs set(shingle_hashes(b, k))``
+    per row (shingle_hashes_flat is bit-identical to the scalar), with
+    an empty∩empty => 0.0 convention matching the ``max(|union|, 1)``
+    denominator of the verify loops it replaces."""
+    import pyarrow as pa
+
+    if isinstance(col_a, pa.ChunkedArray):
+        col_a = col_a.combine_chunks()
+    if isinstance(col_b, pa.ChunkedArray):
+        col_b = col_b.combine_chunks()
+    n = len(col_a)
+    both = pa.concat_arrays([col_a.cast(pa.string()), col_b.cast(pa.string())])
+    flat, _docidx, counts = flat_tokens(both)
+    th = token_hashes_arrow(flat)
+    sh, n_sh = shingle_hashes_flat(th, counts, k)
+    docidx = np.repeat(np.arange(2 * n, dtype=np.int64), n_sh)
+    return _pairwise_set_jaccard(docidx, sh, n)
+
+
 def simhash64_arrow(col) -> np.ndarray:
     """Vectorized SimHash over an Arrow string column; bit-identical to
     :func:`simhash64` per row (same tokenizer, same FNV-1a token

@@ -608,12 +608,12 @@ def docs_minhash_lsh(sf_dir: str, num_perm: int = 128, n_bands: int = 16, thresh
 
     banded = ds.map_batches(band_stage, batch_format="pyarrow")
 
-    def expand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def expand_pairs(g: pa.Table) -> pa.Table:
         """Same-bucket pair expansion, vectorized with size-batched
         triu gathers over sorted (band, bucket) segments."""
-        band_v = g["band"].values.astype(np.int64)
-        bucket_v = g["bucket"].values.astype(np.int64)
-        doc_v = g["doc_id"].values.astype(np.int64)
+        band_v = g["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket_v = g["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_v = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((doc_v, bucket_v, band_v))
         band_v, bucket_v, doc_v = band_v[order], bucket_v[order], doc_v[order]
         seg_start = np.concatenate(
@@ -628,10 +628,10 @@ def docs_minhash_lsh(sf_dir: str, num_perm: int = 128, n_bands: int = 16, thresh
             pair_a.append(doc_v[seg_s[:, None] + ii[None, :]].ravel())
             pair_b.append(doc_v[seg_s[:, None] + jj[None, :]].ravel())
         if not pair_a:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype=np.int64),
-                 "b": pd.Series([], dtype=np.int64),
-                 "one": pd.Series([], dtype=np.int64)}
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()),
+                 "b": pa.array([], type=pa.int64()),
+                 "one": pa.array([], type=pa.int64())}
             )
         a = np.concatenate(pair_a)
         b = np.concatenate(pair_b)
@@ -640,16 +640,16 @@ def docs_minhash_lsh(sf_dir: str, num_perm: int = 128, n_bands: int = 16, thresh
         # that hash to the same grp); the cross-group dedup is the
         # grouped count below
         packed = np.unique(lo.astype(np.uint64) * np.uint64(1 << 32) + hi.astype(np.uint64))
-        return pd.DataFrame(
+        return pa.table(
             {
-                "a": (packed >> np.uint64(32)).astype(np.int64),
-                "b": (packed & np.uint64(0xFFFFFFFF)).astype(np.int64),
-                "one": np.ones(len(packed), dtype=np.int64),
+                "a": pa.array((packed >> np.uint64(32)).astype(np.int64)),
+                "b": pa.array((packed & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                "one": pa.array(np.ones(len(packed), dtype=np.int64)),
             }
         )
 
     cand = grouped_sum(
-        banded.groupby("grp").map_groups(expand_pairs, batch_format="pandas"),
+        banded.groupby("grp").map_groups(expand_pairs, batch_format="pyarrow"),
         ["a", "b"],
         {"n": ("one", "sum")},
     )
@@ -681,23 +681,16 @@ def docs_minhash_lsh(sf_dir: str, num_perm: int = 128, n_bands: int = 16, thresh
     )
 
     def verify_jac(t: pa.Table) -> pa.Table:
-        out_a, out_b, out_j = [], [], []
-        for x, y, sa_txt, sb_txt in zip(
-            t["a"].to_pylist(), t["doc_id"].to_pylist(),
-            t["text_a"].to_pylist(), t["text"].to_pylist(),
-        ):
-            sa = set(T.tokenize(sa_txt or ""))
-            sb = set(T.tokenize(sb_txt or ""))
-            j = len(sa & sb) / max(len(sa | sb), 1)
-            if j >= threshold:
-                out_a.append(x)
-                out_b.append(y)
-                out_j.append(int(j * 100))
+        # vectorized exact token-set jaccard (sorted dictionary codes +
+        # adjacent-dup intersection counts — no Python per candidate;
+        # candidates ≈ corpus on a duplicate-heavy crawl)
+        j = T.pairwise_token_jaccard_arrow(t["text_a"], t["text"])
+        keep = j >= threshold
         return pa.table(
             {
-                "a": pa.array(out_a, type=pa.int64()),
-                "b": pa.array(out_b, type=pa.int64()),
-                "jaccard_pct": pa.array(out_j, type=pa.int64()),
+                "a": pc.cast(t["a"], pa.int64()).filter(pa.array(keep)),
+                "b": pc.cast(t["doc_id"], pa.int64()).filter(pa.array(keep)),
+                "jaccard_pct": pa.array((j[keep] * 100).astype(np.int64)),
             }
         )
 
@@ -3279,23 +3272,15 @@ def docs_crosscorpus_neardup(
         # jaccard): token-SET jaccard ignores word order, so it can be
         # near 1.0 on a small-vocabulary corpus while the shingle
         # signatures — correctly — see unrelated sequences
-        out_i, out_c, out_j = [], [], []
-        for x, y, si_txt, sc_txt in zip(
-            t["inc_doc"].to_pylist(), t["doc_id"].to_pylist(),
-            t["text_inc"].to_pylist(), t["text"].to_pylist(),
-        ):
-            si = set(T.shingle_hashes(si_txt or "", k=3).tolist())
-            sc = set(T.shingle_hashes(sc_txt or "", k=3).tolist())
-            j = len(si & sc) / max(len(si | sc), 1)
-            if j >= threshold:
-                out_i.append(x)
-                out_c.append(y)
-                out_j.append(int(j * 100))
+        # vectorized: sorted shingle-hash arrays + adjacent-dup
+        # intersection counts (no Python per candidate pair)
+        j = T.pairwise_shingle_jaccard_arrow(t["text_inc"], t["text"], k=3)
+        keep = j >= threshold
         return pa.table(
             {
-                "inc_doc": pa.array(out_i, type=pa.int64()),
-                "cor_doc": pa.array(out_c, type=pa.int64()),
-                "jaccard_pct": pa.array(out_j, type=pa.int64()),
+                "inc_doc": pc.cast(t["inc_doc"], pa.int64()).filter(pa.array(keep)),
+                "cor_doc": pc.cast(t["doc_id"], pa.int64()).filter(pa.array(keep)),
+                "jaccard_pct": pa.array((j[keep] * 100).astype(np.int64)),
             }
         )
 

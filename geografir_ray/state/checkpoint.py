@@ -159,18 +159,19 @@ def checkpointed_write(
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
 
-    def write_group(g: pd.DataFrame) -> pd.DataFrame:
-        key = str(g["__part"].iloc[0])
-        table = pa.Table.from_pandas(
-            g.drop(columns="__part"), preserve_index=False
-        )
+    def write_group(g: pa.Table) -> pa.Table:
+        key = str(g["__part"][0].as_py())
+        table = g.drop_columns(["__part"])
         lineage = write_partition(out_dir, key, table, inputs, op_version)
-        return pd.DataFrame(
-            {"partition": [key], "row_count": [lineage["row_count"]]}
+        return pa.table(
+            {
+                "partition": pa.array([key], type=pa.string()),
+                "row_count": pa.array([lineage["row_count"]], type=pa.int64()),
+            }
         )
 
     written = (
-        tagged.groupby("__part").map_groups(write_group, batch_format="pandas")
+        tagged.groupby("__part").map_groups(write_group, batch_format="pyarrow")
     ).to_pandas()
     return {
         "written": sorted(written["partition"].tolist()) if len(written) else [],

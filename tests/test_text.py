@@ -250,3 +250,30 @@ def test_token_count_stats_arrow_parity():
     assert e_tok.dtype == np.int64 and e_dis.dtype == np.int64
     np.testing.assert_array_equal(e_tok, [0, 0])
     np.testing.assert_array_equal(e_dis, [0, 0])
+
+
+def test_pairwise_jaccard_arrow_parity():
+    """Vectorized pairwise jaccard (token-set and shingle-set) must
+    match the scalar set-arithmetic verify loops exactly."""
+    import pyarrow as pa
+
+    from geografir_ray.functions import text as T
+
+    a_txt = ["a b c d", "x y", "", "same same tokens here", "one two three",
+             "w1 w2 w3 w4 w5 w6 w7", None]
+    b_txt = ["a b e f", "x y", "", "same tokens here same", "four five six",
+             "w3 w4 w5 w6 w7 w8 w9", "q"]
+    ca = pa.array(a_txt, type=pa.string())
+    cb = pa.array(b_txt, type=pa.string())
+
+    jt = T.pairwise_token_jaccard_arrow(ca, cb)
+    js = T.pairwise_shingle_jaccard_arrow(ca, cb, k=3)
+    for i in range(len(a_txt)):
+        sa = set(T.tokenize(a_txt[i] or ""))
+        sb = set(T.tokenize(b_txt[i] or ""))
+        exp_t = len(sa & sb) / max(len(sa | sb), 1)
+        assert jt[i] == exp_t, (i, jt[i], exp_t)
+        ha = set(T.shingle_hashes(a_txt[i] or "", k=3).tolist())
+        hb = set(T.shingle_hashes(b_txt[i] or "", k=3).tolist())
+        exp_s = len(ha & hb) / max(len(ha | hb), 1)
+        assert js[i] == exp_s, (i, js[i], exp_s)
