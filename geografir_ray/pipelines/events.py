@@ -3351,9 +3351,11 @@ ORDER BY user_id
 # one hash(user) bucket exchange, per-bucket lexsort + vectorized
 # segment logic (same machinery as events_lead_lag), per-user sums via
 # np.add.reduceat — zero per-user Python.  All arithmetic is exact
-# integers (cents x microseconds; products bounded by value-range x
-# total-span, ~1e18 max at any per-user row count) and the final TWAP
-# is a floor division mirrored by the SQL twin.
+# integers (cents x microseconds); the numerator accumulates via a
+# hi/lo split of each holding interval so intermediates never exceed
+# the true per-user numerator (safe wherever the answer itself fits
+# int64, matching DuckDB's HUGEINT sum), and the final TWAP is a
+# floor division mirrored by the SQL twin.
 # ---------------------------------------------------------------------------
 
 
@@ -3392,7 +3394,17 @@ def events_twap(sf_dir: str, n_buckets: int = 32):
         first[1:] = uo[1:] != uo[:-1]
         starts = np.flatnonzero(first)
         span = np.add.reduceat(dt, starts)
-        numer = np.add.reduceat(vo * dt, starts)
+        # hi/lo split keeps every intermediate <= the true per-user
+        # numerator (vo >= 0, lo <= dt, vo*hi*2^32 <= vo*dt), so the
+        # sum is exact whenever the numerator itself fits int64 —
+        # unlike the direct vo*dt per-element product, whose wrap at
+        # multi-year spans DuckDB's HUGEINT sum would not share
+        assert vo.min(initial=0) >= 0, "twap requires non-negative values"
+        hi, lo = dt >> np.int64(32), dt & np.int64(0xFFFFFFFF)
+        numer = np.add.reduceat(vo * hi, starts) * np.int64(1 << 32) + np.add.reduceat(
+            vo * lo, starts
+        )
+        assert numer.min(initial=0) >= 0, "twap numerator exceeds int64"
         keep = span > 0  # users with >= 2 distinct-ts events
         return pa.table(
             {
@@ -3525,15 +3537,17 @@ WITH e AS (
   FROM events
 ),
 f AS (
-  SELECT user_id, s, e,
+  SELECT user_id, event_id, s, e,
          CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
            AS isl_start
   FROM e
 ),
 i AS (
+  -- tie-break by event_id to match the prev_max window and the
+  -- engine's (user, ts, event_id) lexsort on duplicate timestamps
   SELECT user_id, s, e,
          sum(isl_start) OVER (
-           PARTITION BY user_id ORDER BY s, e
+           PARTITION BY user_id ORDER BY s, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS island_id
   FROM f

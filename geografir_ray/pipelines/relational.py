@@ -2948,14 +2948,18 @@ def cust_entity_resolution(sf_dir: str, max_iters: int = 25):
 
 CUST_ENTITY_RESOLUTION_SQL = f"""
 WITH RECURSIVE v AS (
+  -- the %3 subset seeds singletons UNFILTERED (mirroring the engine);
+  -- the length bound gates only pair generation, like editdist_pairs
   SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name FROM customer
-  WHERE c_custkey % 3 = 0 AND length(c_name) BETWEEN 2 AND {EDITDIST_MAXLEN}
+  WHERE c_custkey % 3 = 0
 ),
 pairs AS (
   SELECT a.id AS ia, b.id AS ib
   FROM v a JOIN v b
     ON a.name < b.name AND abs(length(a.name) - length(b.name)) <= 1
   WHERE levenshtein(a.name, b.name) <= 1
+    AND length(a.name) BETWEEN 2 AND {EDITDIST_MAXLEN}
+    AND length(b.name) BETWEEN 2 AND {EDITDIST_MAXLEN}
 ),
 edges AS (
   SELECT ia AS src, ib AS dst FROM pairs
@@ -3470,10 +3474,6 @@ def _grouped_exact_median(ds, val_of, groups: np.ndarray):
 
 
 def segment_median_mad(sf_dir: str):
-    import ray
-
-    from ..stages.broadcast import with_broadcast
-
     ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
     groups = np.sort(
         read_table_local(sf_dir, "lineitem", columns=["l_returnflag"])[
@@ -3490,11 +3490,13 @@ def segment_median_mad(sf_dir: str):
         return gi, vc
 
     n_per, med = _grouped_exact_median(ds, base, groups)
-    med_ref = ray.put(med)
 
-    # second selection round over |vc - med[g]|; with_broadcast injects
-    # the per-group medians, closing over nothing mutable
-    med_arr = med  # captured read-only
+    # second selection round over |vc - med[g]|: the tiny (G,) median
+    # array is captured read-only in the task closure (light broadcast
+    # state per rule 3 — serialized once per task, 5 int64s); only the
+    # bucket arrays inside _grouped_exact_median go through ray.put +
+    # with_broadcast
+    med_arr = med
 
     def dev(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         gi, vc = base(t)

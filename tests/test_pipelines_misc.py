@@ -1840,3 +1840,47 @@ def test_table_checksum_order_invariance(ray_session, sf_small, tmp_path):
     )
     b = docs_table_checksum(str(d)).to_pandas()
     assert a.equals(b)
+
+
+def test_interval_coverage_duplicate_ts_oracle_parity(ray_session, tmp_path):
+    """Duplicate (user, ts) rows: the SQL island numbering must
+    tie-break by event_id exactly like the engine's lexsort (ADVICE r4
+    low #1 — latent until data carries tied timestamps)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.events import (
+        EVENTS_INTERVAL_COVERAGE_SQL,
+        events_interval_coverage,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 600
+    users = rng.integers(0, 12, size=n)
+    # coarse second grid + forced repeats => many exact (user, ts) ties
+    secs = rng.integers(0, 2400, size=n) * 1_000_000
+    secs[::3] = secs[1::3][: len(secs[::3])]  # clone timestamps across rows
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(secs.astype("datetime64[us]")),
+            "user_id": pa.array(users.astype(np.int64)),
+            "event_type": pa.array(["x"] * n),
+            "value": pa.array(np.ones(n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    # sanity: the fixture really has duplicate (user, ts) pairs
+    df = t.to_pandas()
+    assert df.duplicated(["user_id", "ts"]).any()
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = events_interval_coverage(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.register("events", t)
+    exp = con.execute(EVENTS_INTERVAL_COVERAGE_SQL).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
