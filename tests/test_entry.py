@@ -83,3 +83,32 @@ def test_tile_assign_deterministic(ray_session, sf_small):
     a = tile_assign(sf_small).to_pandas()
     b = tile_assign(sf_small).to_pandas()
     assert a.equals(b)
+
+
+def test_sample_prefix_spans_operator_families():
+    """The first 50 queries() entries (the driver's CORRECTNESS sample)
+    must include every operator family."""
+    import __ray_entry__ as E
+
+    names = list(E.queries())
+    assert names[:50] == E._SAMPLE_PREFIX
+    prefix = set(names[:50])
+    families = {
+        "relational": {"q1_pricing_summary", "join_orders_bucketed"},
+        "window": {"top_parts_per_nation"},
+        "order_stats": {"exact_price_quantiles"},
+        "sketch": {"approx_distinct_parts"},
+        "string_sim": {"cust_name_editdist", "cust_entity_resolution"},
+        "spatial": {"geo_pip_join", "geo_knn", "geo_knn_partitioned", "geo_cells"},
+        "events": {"events_sessions", "events_asof_signup", "events_stream_join"},
+        "north_star": {"docs_locations", "docs_extract_zonal", "docs_text_passthrough"},
+        "dedup": {"docs_exact_dedup", "docs_minhash_lsh", "docs_simhash_dedup",
+                  "docs_neardup_purge", "docs_dedup_components"},
+        "export": {"docs_partitioned_export"},
+        "graph": {"graph_pagerank", "graph_triangles"},
+        "ann": {"emb_knn", "emb_ivf_knn", "emb_pq_refine_knn", "emb_kmeans"},
+        "raster": {"raster_tile_stats", "raster_conform", "raster_regions"},
+        "multimodal": {"mm_image_features", "mm_audio_features"},
+    }
+    for fam, members in families.items():
+        assert members & prefix, f"family {fam} absent from the 50-entry sample"
