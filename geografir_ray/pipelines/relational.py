@@ -546,7 +546,7 @@ def distinct_supps_per_part(sf_dir: str):
     engine (stages/salt.salted_distinct_count): the exchange key is
     hash(key, val) % buckets, so a hot part's rows spread over every
     reducer instead of funneling into one task — the skew-safe distinct
-    plan benched at 20M rows as skew_distinct_salted_20m."""
+    plan benched at 150M rows as skew_distinct_salted_150m."""
     from ..stages.salt import salted_distinct_count
 
     ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
