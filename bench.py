@@ -1320,11 +1320,17 @@ def run_scale_worker() -> dict:
     from geografir_ray.pipelines.scaling import throughput_run
 
     # min of 2 repetitions: the sandbox host is shared, and a single
-    # run can absorb external load spikes
-    runs = [throughput_run(SCALE_ROWS) for _ in range(2)]
+    # run can absorb external load spikes; each rep carries its own
+    # host-probe stamp so the record shows the window it ran in
+    runs = []
+    probes = []
+    for _ in range(2):
+        probes.append(_probe_light())
+        runs.append(throughput_run(SCALE_ROWS))
     r = min(runs, key=lambda x: x["sec"])
     ray.shutdown()
     r["num_cpus"] = NUM_CPUS
+    r["probe_us_per_page"] = probes
     return r
 
 
@@ -1381,6 +1387,8 @@ def run_scaling() -> dict:
         "efficiency_vs_hardware_ceiling": round(speedup / ceiling, 3),
         "raw_sec_8": [r["sec"] for r in runs_lo],
         "raw_sec_32": [r["sec"] for r in runs_hi],
+        "probe_us_per_page_8": [p for r in runs_lo for p in r.get("probe_us_per_page", [])],
+        "probe_us_per_page_32": [p for r in runs_hi for p in r.get("probe_us_per_page", [])],
     }
 
 
