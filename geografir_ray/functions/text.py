@@ -141,6 +141,59 @@ def quality_stats(texts) -> dict[str, np.ndarray]:
     }
 
 
+def quality_stats_arrow(col) -> dict[str, np.ndarray]:
+    """Arrow-native :func:`quality_stats`: identical values per row
+    (parity-tested), zero per-row Python.  n_tokens/n_distinct via
+    flat_tokens + dictionary codes; mean/stopword via one utf8_length
+    and one is_in over the flat tokens; alpha via an RE2 ``\\P{L}``
+    strip (Python's ``str.isalpha`` is exactly Unicode category L)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat, docidx, n_tokens = flat_tokens(col)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    mean_len = np.zeros(n, dtype=np.float64)
+    stop_ratio = np.zeros(n, dtype=np.float64)
+    alpha_ratio = np.zeros(n, dtype=np.float64)
+    nz = n_tokens > 0
+    if len(flat):
+        codes = pc.dictionary_encode(flat).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ncodes = int(codes.max()) + 1
+        uniq = np.unique(docidx * np.int64(ncodes) + codes)
+        n_distinct = np.bincount(uniq // np.int64(ncodes), minlength=n).astype(
+            np.int64
+        )
+        tl = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.float64)
+        mean_len[nz] = np.bincount(docidx, weights=tl, minlength=n)[nz] / n_tokens[nz]
+        sw = pc.is_in(
+            flat, value_set=pa.array(sorted(_STOPWORDS), type=pa.string())
+        ).to_numpy(zero_copy_only=False).astype(np.float64)
+        stop_ratio[nz] = np.bincount(docidx, weights=sw, minlength=n)[nz] / n_tokens[nz]
+        # alpha ratio over the RAW text — but, like the scalar twin,
+        # only for rows that have at least one token
+        filled = pc.fill_null(col, "")
+        tlen = pc.utf8_length(filled).to_numpy(zero_copy_only=False).astype(np.int64)
+        stripped = pc.replace_substring_regex(filled, pattern=r"\P{L}", replacement="")
+        na = pc.utf8_length(stripped).to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = nz & (tlen > 0)
+        alpha_ratio[ok] = na[ok] / tlen[ok]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        distinct_ratio = np.where(n_tokens > 0, n_distinct / np.maximum(n_tokens, 1), 0.0)
+    return {
+        "n_tokens": n_tokens,
+        "n_distinct": n_distinct,
+        "distinct_ratio": distinct_ratio,
+        "mean_token_len": mean_len,
+        "stopword_ratio": stop_ratio,
+        "alpha_ratio": alpha_ratio,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Language ID — character n-gram heuristic (public technique; profiles are
 # tiny hand-rolled trigram sets, adequate for a deterministic stage)
@@ -173,6 +226,56 @@ def langid(texts) -> np.ndarray:
             if score > best_score:
                 best, best_score = lang, score
         out[i] = best
+    return out.astype(str)
+
+
+def langid_arrow(col) -> np.ndarray:
+    """Arrow-native :func:`langid`, identical outputs per row: the CJK
+    probe scans UTF-8 lead bytes of the first 200 codepoints (E5-E9,
+    or E4 with continuation >= B8 — exactly U+4E00..U+9FFF), and each
+    language's marker score is a sum of literal match_substring hits
+    over lower(text)[:400] (a 3-gram is in the gram set iff it is a
+    substring of that window).  Tie-breaks mirror the scalar loop:
+    first language in _LANG_MARKERS order with a strictly higher score."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .hashing import _str_buffers
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    filled = pc.fill_null(col, "")
+    empty = pc.equal(filled, "").to_numpy(zero_copy_only=False).astype(bool)
+    # CJK: first 200 codepoints of the RAW text
+    head = pc.utf8_slice_codeunits(filled, 0, 200)
+    starts, lens, data = _str_buffers(head)
+    is_cjk = np.zeros(n, dtype=bool)
+    if len(data):
+        nxt = np.zeros_like(data)
+        nxt[:-1] = data[1:]
+        m = ((data >= 0xE5) & (data <= 0xE9)) | ((data == 0xE4) & (nxt >= 0xB8))
+        hits = np.flatnonzero(m)
+        if len(hits):
+            offs = np.concatenate((starts, [starts[-1] + lens[-1]])) if len(starts) else starts
+            doc = np.searchsorted(offs[1:], hits, side="right")
+            is_cjk[np.unique(doc)] = True
+    low = pc.utf8_slice_codeunits(pc.utf8_lower(filled), 0, 400)
+    best = np.zeros(n, dtype=np.int64)
+    out = np.full(n, "und", dtype=object)
+    for lang, markers in _LANG_MARKERS.items():
+        if not markers:
+            continue
+        score = np.zeros(n, dtype=np.int64)
+        for mk in markers:
+            score += pc.match_substring(low, mk).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+        upd = score > best
+        best = np.where(upd, score, best)
+        out[upd] = lang
+    out[is_cjk] = "zh"
+    out[empty] = "und"
     return out.astype(str)
 
 

@@ -740,13 +740,12 @@ def docs_langid_quality(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def score(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        q = T.quality_stats(texts)
+        q = T.quality_stats_arrow(t["text"])
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "lang": t["lang"],
-                "lang_pred": pa.array(T.langid(texts)),
+                "lang_pred": pa.array(T.langid_arrow(t["text"])),
                 "n_tokens": pa.array(q["n_tokens"]),
                 "distinct_pct": pa.array(
                     np.floor(q["distinct_ratio"] * 100.0).astype(np.int64)

@@ -139,8 +139,7 @@ def _token_stats(text_col: str = "text"):
     from ..functions import text as T
 
     def fn(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        q = T.quality_stats(texts)
+        q = T.quality_stats_arrow(t[text_col])
         t = t.append_column("n_tokens", pa.array(q["n_tokens"]))
         t = t.append_column(
             "distinct_pct",
@@ -163,7 +162,7 @@ def _langid(text_col: str = "text"):
     from ..functions import text as T
 
     def fn(t: pa.Table) -> pa.Table:
-        return t.append_column("lang_pred", pa.array(T.langid(t[text_col].to_pylist())))
+        return t.append_column("lang_pred", pa.array(T.langid_arrow(t[text_col])))
 
     fn.__name__ = f"langid[{text_col}]"
     return fn

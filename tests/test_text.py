@@ -277,3 +277,28 @@ def test_pairwise_jaccard_arrow_parity():
         hb = set(T.shingle_hashes(b_txt[i] or "", k=3).tolist())
         exp_s = len(ha & hb) / max(len(ha | hb), 1)
         assert js[i] == exp_s, (i, js[i], exp_s)
+
+
+def test_quality_and_langid_arrow_parity():
+    import pyarrow as pa
+
+    from geografir_ray.functions import text as T
+
+    texts = [
+        "the quick brown fox and the lazy dog in the springtime of the year",
+        "de la casa que el gato los perros ión ado",
+        "le chat est une belle ville de la mer ent ion",
+        "der ein schöne und die ung sch ch ",
+        "这是一个中文句子 with some latin",
+        "", None, "x", "   ", "a b a b a b",
+        "ünï çødé wörds ünï",
+        "12345 !!! ???",
+        "Der Über-Fall: und der Schlüssel die Tür",
+    ]
+    col = pa.array(texts, type=pa.string())
+    clean = [t if t is not None else "" for t in texts]
+    qs = T.quality_stats(clean)
+    qa = T.quality_stats_arrow(col)
+    for k in qs:
+        np.testing.assert_allclose(qa[k], qs[k], rtol=0, atol=0, err_msg=k)
+    np.testing.assert_array_equal(T.langid_arrow(col), T.langid(clean))
