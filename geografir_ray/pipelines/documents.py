@@ -74,16 +74,14 @@ def docs_term_topk(sf_dir: str, k: int = 50):
 
     def explode(t: pa.Table) -> pa.Table:
         # per-batch combiner fused into the explode: emit (token, count)
-        counts: dict[str, int] = {}
-        for s in t["text"].to_pylist():
-            if s:
-                for w in s.split(" "):
-                    if w:
-                        counts[w] = counts.get(w, 0) + 1
+        # via one flat tokenize + one Arrow value_counts — zero per-row
+        # Python (string-exact grouping)
+        flat, _docidx, _counts = T.flat_tokens(t["text"])
+        vc = pc.value_counts(flat)
         return pa.table(
             {
-                "token": pa.array(list(counts.keys()), type=pa.string()),
-                "n": pa.array(np.fromiter(counts.values(), dtype=np.int64, count=len(counts))),
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
             }
         )
 
@@ -310,24 +308,43 @@ def _token_pair_counts(sf_dir: str, df_cutoff: int, n_groups: int):
     )
 
     def distinct_tokens(t: pa.Table) -> pa.Table:
-        ids = []
-        toks = []
-        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            ts = sorted(set(T.tokenize(s or "")))
-            ids.extend([d] * len(ts))
-            toks.extend(ts)
-        # group key: splitmix of the token's first-8-bytes prefix —
-        # deterministic and vectorized; prefix collisions only co-locate
-        # extra tokens in a group (harmless: segments key on full token)
-        pre = np.frombuffer(
-            np.array(toks, dtype="S8").tobytes(), dtype=np.uint64
-        ) if toks else np.array([], dtype=np.uint64)
+        # distinct (doc, token) postings, fully vectorized: flat
+        # tokenize -> dictionary codes (string-exact) -> np.unique on
+        # the packed (row, code) key.  Row order within the batch is
+        # irrelevant downstream (pairs_and_sizes lexsorts per group).
+        flat, docidx, _c = T.flat_tokens(t["text"])
+        if len(flat) == 0:
+            return pa.table(
+                {"grp": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+                 "token": pa.array([], pa.string())}
+            )
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ncodes = len(enc.dictionary)
+        uq = np.unique(docidx * np.int64(ncodes) + codes)
+        row_u = (uq // np.int64(ncodes)).astype(np.int64)
+        code_u = (uq % np.int64(ncodes)).astype(np.int64)
+        toks = enc.dictionary.take(pa.array(code_u, type=pa.int64()))
+        # group key: splitmix of the token's first-8-bytes prefix
+        # (buffer-native, zero-padded little-endian — same value the
+        # old numpy "S8" view produced for ASCII tokens); prefix
+        # collisions only co-locate extra tokens in a group (harmless:
+        # segments key on full token)
+        from ..functions.hashing import _str_buffers
+
+        starts, lens, data = _str_buffers(toks)
+        pre = np.zeros(len(lens), dtype=np.uint64)
+        for j in range(8):
+            has = lens > j
+            pre[has] |= data[starts[has] + j].astype(np.uint64) << np.uint64(8 * j)
         grp = (splitmix64(pre) % np.uint64(n_groups)).astype(np.int64)
         return pa.table(
             {
                 "grp": pa.array(grp),
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "token": pa.array(toks, type=pa.string()),
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).take(
+                    pa.array(row_u, type=pa.int64())
+                ),
+                "token": toks,
             }
         )
 
@@ -336,9 +353,15 @@ def _token_pair_counts(sf_dir: str, df_cutoff: int, n_groups: int):
     def pairs_and_sizes(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return _PAIR_SIZE_SCHEMA.empty_table()
-        tok = g["token"].to_numpy(zero_copy_only=False)
         doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        _, inv = np.unique(tok, return_inverse=True)
+        # token identity via dictionary codes (string-exact, C-speed);
+        # only segment IDENTITY matters below, not code order
+        tok_col = g["token"]
+        if isinstance(tok_col, pa.ChunkedArray):
+            tok_col = tok_col.combine_chunks()
+        inv = pc.dictionary_encode(tok_col).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
         order = np.lexsort((doc, inv))
         inv_s, doc_s = inv[order], doc[order]
         first = np.ones(len(inv_s), dtype=bool)
@@ -1191,21 +1214,32 @@ def docs_top_terms_per_lang(sf_dir: str, k: int = 5):
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
-        counts: dict[tuple[str, str], int] = {}
-        for lang, s in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
-            if s:
-                for w in s.split(" "):
-                    if w:
-                        counts[(lang, w)] = counts.get((lang, w), 0) + 1
-        langs = [kk[0] for kk in counts]
-        toks = [kk[1] for kk in counts]
+        # per-batch (lang, token) combiner, vectorized: dictionary
+        # codes for both keys, packed-key np.unique with counts
+        flat, docidx, _c = T.flat_tokens(t["text"])
+        if len(flat) == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string()), "token": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        lcol = t["lang"]
+        if isinstance(lcol, pa.ChunkedArray):
+            lcol = lcol.combine_chunks()
+        lenc = pc.dictionary_encode(pc.fill_null(lcol, ""))
+        lcodes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[docidx]
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ncodes = len(enc.dictionary)
+        uq, n = np.unique(lcodes * np.int64(ncodes) + codes, return_counts=True)
         return pa.table(
             {
-                "lang": pa.array(langs, type=pa.string()),
-                "token": pa.array(toks, type=pa.string()),
-                "n": pa.array(
-                    np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+                "lang": lenc.dictionary.take(
+                    pa.array((uq // np.int64(ncodes)).astype(np.int64))
                 ),
+                "token": enc.dictionary.take(
+                    pa.array((uq % np.int64(ncodes)).astype(np.int64))
+                ),
+                "n": pa.array(n.astype(np.int64)),
             }
         )
 
@@ -1230,11 +1264,22 @@ def docs_top_terms_per_lang(sf_dir: str, k: int = 5):
             if emit_rank:
                 base = base.append(pa.field("rank", pa.int64()))
             return base.empty_table()
-        lang = t["lang"].to_numpy(zero_copy_only=False)
-        tok = t["token"].to_numpy(zero_copy_only=False)
-        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((tok, -n, lang))
-        lv = lang[order]
+        # lang asc, n desc, token asc via Arrow's C multi-key sort
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("lang", "ascending"),
+                ("n", "descending"),
+                ("token", "ascending"),
+            ],
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        lcol = t["lang"]
+        if isinstance(lcol, pa.ChunkedArray):
+            lcol = lcol.combine_chunks()
+        lcode = pc.dictionary_encode(lcol).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        lv = lcode[order]
         first = np.ones(len(lv), dtype=bool)
         first[1:] = lv[1:] != lv[:-1]
         starts = np.flatnonzero(first)
@@ -1360,20 +1405,28 @@ def docs_distinctive_term(sf_dir: str, n_buckets: int = 64):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
-        counts: dict[tuple[int, str], int] = {}
-        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            if s:
-                for w in s.split(" "):
-                    if w:
-                        counts[(did, w)] = counts.get((did, w), 0) + 1
+        # per-batch (doc, token) tf combiner, vectorized: flat tokenize
+        # -> dictionary codes -> np.unique with counts on the packed key
+        flat, docidx, _c = T.flat_tokens(t["text"])
+        if len(flat) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "token": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64()), "one": pa.array([], pa.int64())}
+            )
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ncodes = len(enc.dictionary)
+        uq, tf = np.unique(docidx * np.int64(ncodes) + codes, return_counts=True)
+        row_u = (uq // np.int64(ncodes)).astype(np.int64)
+        code_u = (uq % np.int64(ncodes)).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array([k[0] for k in counts], type=pa.int64()),
-                "token": pa.array([k[1] for k in counts], type=pa.string()),
-                "tf": pa.array(
-                    np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).take(
+                    pa.array(row_u, type=pa.int64())
                 ),
-                "one": pa.array(np.ones(len(counts), dtype=np.int64)),
+                "token": enc.dictionary.take(pa.array(code_u, type=pa.int64())),
+                "tf": pa.array(tf.astype(np.int64)),
+                "one": pa.array(np.ones(len(uq), dtype=np.int64)),
             }
         )
 
@@ -1458,22 +1511,31 @@ def docs_distinctive_term(sf_dir: str, n_buckets: int = 64):
     def argmax_per_doc(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return _OUT.empty_table()
+        # doc asc, tf desc, df asc, token asc — Arrow's multi-key sort
+        # compares the token STRINGS in C (no per-row Python objects)
+        order_arr = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("tf", "descending"),
+                ("df", "ascending"),
+                ("token", "ascending"),
+            ],
+        )
+        order = order_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         d = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dfv = g["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tok = np.asarray(g["token"].to_pylist(), dtype=object)
-        order = np.lexsort((tok, dfv, -tf, d))  # doc asc, tf desc, df asc, token asc
+        dd = d[order]
         first = np.empty(len(d), dtype=bool)
         first[0] = True
-        dd = d[order]
         first[1:] = dd[1:] != dd[:-1]
-        sel = order[first]
+        sel = pa.array(order[first], type=pa.int64())
+        out = g.take(sel)
         return pa.table(
             {
-                "doc_id": pa.array(d[sel]),
-                "token": pa.array([str(x) for x in tok[sel]], type=pa.string()),
-                "tf": pa.array(tf[sel]),
-                "df": pa.array(dfv[sel]),
+                "doc_id": pc.cast(out["doc_id"], pa.int64()),
+                "token": out["token"],
+                "tf": pc.cast(out["tf"], pa.int64()),
+                "df": pc.cast(out["df"], pa.int64()),
             }
         )
 
