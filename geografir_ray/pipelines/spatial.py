@@ -1303,26 +1303,34 @@ def geo_hotspot_clusters(sf_dir: str, min_pts: int = HOTSPOT_MIN_PTS):
         ["cell"], {"n": ("n", "sum")}, merge="driver",
     ).materialize()
 
-    def dense_only(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["n"], pa.scalar(min_pts, pa.int64())))
-
-    dense = counts.map_batches(
-        dense_only, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    # counts is driver-merged over the BOUNDED 1-degree cell space, so
+    # the dense filter runs locally on the small table — this also
+    # sidesteps rule 25 (a fully-empty filtered Dataset loses its
+    # schema in to_pandas, which happened at sf0.001 where no cell
+    # reaches min_pts).  At a fine grid (merge="shuffle") the filter
+    # moves back into map_batches with an explicit empty schema.
+    cnt_pd = counts.to_pandas()
+    cells_np = cnt_pd["cell"].to_numpy().astype(np.int64)
+    n_np = cnt_pd["n"].to_numpy().astype(np.int64)
+    keep = n_np >= min_pts
+    dense_tbl = pa.table(
+        {"cell": pa.array(cells_np[keep]), "n": pa.array(n_np[keep])}
+    )
+    dense = ray.data.from_arrow(dense_tbl)
 
     # one sorted broadcast of the dense CELL IDS (8 bytes/cell) for the
     # vectorized neighbor probe — the same needed-set semi-join trick as
     # stages/knn.py; at a fine grid this is the per-bucket dense set of
     # a cell-range bucket, not a global array.
-    dense_ids = np.sort(
-        dense.select_columns(["cell"]).to_pandas()["cell"].to_numpy()
-    ).astype(np.int64)
+    dense_ids = np.sort(cells_np[keep]).astype(np.int64)
     if len(dense_ids) == 0:
-        return ray.data.from_arrow(pa.table({
+        # rule 25: an empty Dataset cannot carry its schema through the
+        # driver's to_pandas compare — return the typed Table itself
+        return pa.table({
             "cluster_id": pa.array([], pa.int64()),
             "n_cells": pa.array([], pa.int64()),
             "n_points": pa.array([], pa.int64()),
-        }))
+        })
     import ray
     dense_ref = ray.put(dense_ids)
 

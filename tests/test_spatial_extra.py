@@ -56,3 +56,27 @@ def test_hotspot_clusters_union_find_replay(ray_session, sf_small):
     assert len(got) == len(ref)
     for row in got.itertuples(index=False):
         assert ref[row.cluster_id] == (row.n_cells, row.n_points), row.cluster_id
+
+
+def test_hotspot_clusters_empty_dense_keeps_schema(ray_session, tmp_path):
+    """No cell reaches min_pts (the sf0.001 shape): the result must
+    still carry the 3-column schema — rule 25, empty Datasets lose
+    theirs, so the pipeline returns a typed Table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geografir_ray.pipelines.spatial import geo_hotspot_clusters
+
+    t = pa.table(
+        {"event_id": pa.array(np.arange(5, dtype=np.int64)),
+         "ts": pa.array(np.zeros(5).astype("datetime64[us]")),
+         "user_id": pa.array(np.zeros(5, dtype=np.int64)),
+         "event_type": pa.array(["x"] * 5),
+         "value": pa.array(np.ones(5)),
+         "props": pa.array(["{}"] * 5)}
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = geo_hotspot_clusters(str(tmp_path))
+    out_t = out if isinstance(out, pa.Table) else pa.Table.from_pandas(out.to_pandas())
+    assert out_t.num_rows == 0
+    assert out_t.schema.names == ["cluster_id", "n_cells", "n_points"]
