@@ -146,7 +146,10 @@ def quality_stats_arrow(col) -> dict[str, np.ndarray]:
     (parity-tested), zero per-row Python.  n_tokens/n_distinct via
     flat_tokens + dictionary codes; mean/stopword via one utf8_length
     and one is_in over the flat tokens; alpha via an RE2 ``\\P{L}``
-    strip (Python's ``str.isalpha`` is exactly Unicode category L)."""
+    strip (Python's ``str.isalpha`` is Unicode category L; the one
+    divergence is codepoints newly assigned in a Unicode version RE2
+    ships but CPython's tables don't — e.g. plane-3 Ext-H ideographs
+    on 3.11 — where RE2 says letter and isalpha says no)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 

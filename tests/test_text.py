@@ -302,3 +302,67 @@ def test_quality_and_langid_arrow_parity():
     for k in qs:
         np.testing.assert_allclose(qa[k], qs[k], rtol=0, atol=0, err_msg=k)
     np.testing.assert_array_equal(T.langid_arrow(col), T.langid(clean))
+
+
+def test_text_kernels_hypothesis_parity():
+    """Property test: the Arrow-native text kernels equal their scalar
+    twins on arbitrary unicode inputs (spaces, empties, CJK, controls)."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geografir_ray.functions import text as T
+    from geografir_ray.functions.gazetteer import LocationExtractor
+
+    x = LocationExtractor()
+    # max_codepoint: RE2 and CPython disagree on codepoints assigned in
+    # Unicode versions newer than CPython's tables (plane 3+); the
+    # kernels document that skew, so the property holds below it
+    token = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), blacklist_characters=" ",
+            max_codepoint=0x2FFFF,
+        ),
+        min_size=0, max_size=12,
+    )
+    doc = st.lists(
+        st.one_of(token, st.sampled_from(["springfield", "spark", "place_7", "中文"])),
+        min_size=0, max_size=20,
+    ).map(" ".join)
+    docs = st.lists(st.one_of(st.none(), doc), min_size=1, max_size=12)
+
+    @settings(max_examples=60, deadline=None)
+    @given(docs)
+    def run(texts):
+        col = pa.array(texts, type=pa.string())
+        clean = [t if t is not None else "" for t in texts]
+        # token counts
+        n_tok, n_dis = T.token_count_stats_arrow(col)
+        np.testing.assert_array_equal(n_tok, T.token_counts(clean))
+        np.testing.assert_array_equal(n_dis, T.distinct_token_counts(clean))
+        # quality + langid
+        qa = T.quality_stats_arrow(col)
+        qs = T.quality_stats(clean)
+        for k in qs:
+            np.testing.assert_allclose(qa[k], qs[k], rtol=0, atol=0, err_msg=k)
+        np.testing.assert_array_equal(T.langid_arrow(col), T.langid(clean))
+        # gazetteer extraction
+        rows_v, names_v, lats_v, lons_v = x.extract_arrow(col)
+        rows_s, names_s, lats_s, lons_s = x.extract(clean)
+        assert list(rows_v) == list(rows_s)
+        assert names_v.to_pylist() == list(names_s)
+        np.testing.assert_array_equal(lats_v, lats_s)
+        np.testing.assert_array_equal(lons_v, lons_s)
+        # pairwise jaccard (pair texts with a shifted copy)
+        shifted = clean[1:] + clean[:1]
+        cb = pa.array(shifted, type=pa.string())
+        jt = T.pairwise_token_jaccard_arrow(col, cb)
+        js = T.pairwise_shingle_jaccard_arrow(col, cb, k=3)
+        for i, (a, b) in enumerate(zip(clean, shifted)):
+            sa, sb = set(T.tokenize(a)), set(T.tokenize(b))
+            assert jt[i] == len(sa & sb) / max(len(sa | sb), 1)
+            ha = set(T.shingle_hashes(a, k=3).tolist())
+            hb = set(T.shingle_hashes(b, k=3).tolist())
+            assert js[i] == len(ha & hb) / max(len(ha | hb), 1)
+
+    run()
